@@ -1,0 +1,27 @@
+"""fustpu — TPU-native matrix-free spectral-element solver for focused
+ultrasound (FUS) wave propagation.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+``adeebkor/fenicsx-fus-gpu`` (mounted read-only at /root/reference):
+
+- GLL spectral hex elements (degree P=2..10) with collocated GLL quadrature
+  (diagonal mass matrix), tensor-product DOF ordering.
+- Sum-factorised matrix-free mass / stiffness / boundary-facet-mass operator
+  application, batched over cells and mapped onto the MXU.
+- Linear second-order wave equation and the nonlinear Westervelt equation
+  with windowed velocity sources and first-order absorbing boundaries.
+- Explicit RK4 time integration fully on device under ``jax.lax.scan``.
+- Multi-chip domain decomposition via ``jax.sharding.Mesh`` + ``shard_map``
+  with halo exchange over ICI (``lax.ppermute``) instead of MPI.
+
+Unlike the reference (CUDA thread-per-dof kernels + atomics + MPI halo
+exchange), assembly here is deterministic: on structured box meshes the
+global scatter-add is a closed-form separable "overlap add" (reshape+pad+add
+per axis, no scatter at all); on general index maps it is an XLA scatter-add.
+"""
+
+__version__ = "0.1.0"
+
+from fustpu import config as config
+from fustpu.elements import gll as gll
+from fustpu.mesh.box import BoxMesh, build_box_mesh
