@@ -1,0 +1,146 @@
+"""Physics-level model tests.
+
+The reference validates physics only through demos against an external
+benchmark suite (SURVEY.md §4); here we add executable validation:
+- standing-wave convergence of the linear model against the analytic
+  solution (Neumann box mode),
+- Westervelt reduces exactly to the linear model when beta = delta = 0,
+- source demos run and produce finite, causal fields.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fustpu.config import Material, Source
+from fustpu.mesh.box import build_box_mesh
+from fustpu.models.linear import LinearWaveModel
+from fustpu.models.westervelt import WesterveltModel
+
+EMPTY = np.zeros((0, 2), dtype=np.int32)
+
+
+def standing_wave_error(ncells, degree, c=1.0):
+    """u(x,t) = cos(pi x) cos(pi c t) solves u_tt = c^2 lap u with Neumann
+    BCs on the unit box; integrate to t = 0.5 period and compare."""
+    mesh = build_box_mesh((ncells, ncells, ncells), degree)
+    mat = Material(sound_speed=c, density=1.0)
+    src = Source(frequency=c / 2.0, amplitude=0.0)
+    model = LinearWaveModel(mesh, mat, src, EMPTY, None, dtype=jnp.float64)
+    x = mesh.node_coords[..., 0]
+    u0 = np.cos(np.pi * x)
+    omega = np.pi * c
+    T = 1.0  # half temporal period (omega T = pi): u(T) = -u0
+    dt = 0.4 * mesh.hmin() / (c * degree**2)
+    nsteps = int(np.ceil(T / dt))
+    dt = T / nsteps
+    state = model.init_state(0.0, u0=u0)
+    final, _ = model.solve(state, dt, nsteps)
+    u_exact = u0 * np.cos(omega * T)
+    err = np.linalg.norm(np.asarray(final.u) - u_exact)
+    return err / np.linalg.norm(u_exact)
+
+
+def test_standing_wave_accuracy():
+    # spectral accuracy: errors should be tiny and drop fast with degree
+    e3 = standing_wave_error(3, 3)
+    e4 = standing_wave_error(3, 4)
+    assert e3 < 2e-4, e3
+    assert e4 < 2e-6, e4
+    assert e4 < e3 / 10
+
+
+def test_standing_wave_h_convergence():
+    # GLL spectral elements superconverge in dispersion; pre-asymptotic
+    # meshes (nc=2,3) are non-monotone, so test the asymptotic pair.
+    e4 = standing_wave_error(4, 2)
+    e6 = standing_wave_error(6, 2)
+    assert e4 < 2e-3, e4
+    assert e6 < e4 / 10, (e4, e6)
+
+
+def test_westervelt_reduces_to_linear():
+    mesh = build_box_mesh((3, 3, 3), 3, hi=(0.01, 0.01, 0.01))
+    mat = Material(sound_speed=1500.0, density=1000.0,
+                   nonlinearity=0.0, attenuation_dB=0.0)
+    src = Source(frequency=0.5e6, amplitude=60000.0)
+    s_facets = mesh.boundary_facets("x-")
+    a_facets = mesh.boundary_facets("x+")
+    lin = LinearWaveModel(mesh, mat, src, s_facets, a_facets,
+                          dtype=jnp.float64)
+    non = WesterveltModel(mesh, mat, src, s_facets, a_facets,
+                          dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(mesh.grid_shape))
+    v = jnp.asarray(rng.standard_normal(mesh.grid_shape))
+    t = jnp.asarray(1.3e-7)
+    kl = lin.rhs(t, u, v)
+    # Westervelt source has an extra factor 2 (reference demo convention);
+    # compare with amplitude halved on the nonlinear side.
+    src_half = Source(frequency=src.frequency, amplitude=src.amplitude / 2)
+    non2 = WesterveltModel(mesh, mat, src_half, s_facets, a_facets,
+                           dtype=jnp.float64)
+    kn = non2.rhs(t, u, v)
+    assert np.allclose(np.asarray(kl), np.asarray(kn), rtol=1e-12)
+
+
+def test_linear_demo_smoke():
+    """Miniature of the reference linear box demo: source at x-, absorbing
+    at x+ (numba-cpu/demo_linear_box.py)."""
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=0.5e6, amplitude=60000.0)
+    wavelength = mat.sound_speed / src.frequency
+    L = 2 * wavelength
+    mesh = build_box_mesh((4, 4, 4), 3, hi=(L, L, L))
+    model = LinearWaveModel(mesh, mat, src,
+                            mesh.boundary_facets("x-"),
+                            mesh.boundary_facets("x+"), dtype=jnp.float64)
+    dt, _ = model.cfl_dt(0.65)
+    nsteps = 12
+    final, _ = model.solve(model.init_state(), dt, nsteps)
+    u = np.asarray(final.u)
+    assert np.all(np.isfinite(u))
+    assert np.abs(u[0]).max() > 0.0         # source plane excited
+    # causality: wave cannot have reached farther than c*t (+ one cell)
+    t_end = dt * nsteps
+    reach = mat.sound_speed * t_end + L / 4
+    xgrid = mesh.node_coords[..., 0]
+    beyond = np.abs(u[xgrid > reach])
+    assert beyond.size > 0, "causality check must cover part of the domain"
+    # discrete leakage only (the RK4/stiffness stencil moves information a
+    # cell per stage, so exact zeros aren't expected on a 4-cell mesh)
+    assert beyond.max() < 1e-3 * np.abs(u).max()
+
+
+def test_westervelt_demo_smoke():
+    """Miniature nonlinear bowl-style run: source patch on x-, absorbing
+    everywhere (cuda/demo_nonlinear_bowl.py)."""
+    mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1480.0 * 1000.0 * 0.385)
+    wavelength = mat.sound_speed / src.frequency
+    L = 2 * wavelength
+    mesh = build_box_mesh((4, 4, 4), 3, hi=(L, L, L))
+    aperture = L / 3
+    cyx, cyz = L / 2, L / 2
+    patch = mesh.boundary_facets(
+        "x-", predicate=lambda c: ((c[:, 1] - cyx) ** 2
+                                   + (c[:, 2] - cyz) ** 2) < aperture**2)
+    assert 0 < len(patch) < len(mesh.boundary_facets("x-"))
+    model = WesterveltModel(mesh, mat, src, patch,
+                            mesh.all_boundary_facets(), dtype=jnp.float64)
+    dt, _ = model.cfl_dt(0.4)
+    final, _ = model.solve(model.init_state(), dt, 30)
+    u = np.asarray(final.u)
+    assert np.all(np.isfinite(u)) and np.abs(u).max() > 0.0
+
+
+def test_solve_probe_records():
+    mesh = build_box_mesh((2, 2, 2), 2)
+    mat = Material(sound_speed=1.0, density=1.0)
+    src = Source(frequency=0.5, amplitude=1.0)
+    model = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            None, dtype=jnp.float64)
+    final, ys = model.solve(model.init_state(), 1e-3, 5,
+                            probe=lambda s: s.u[0, 0, 0])
+    assert ys.shape == (5,)
