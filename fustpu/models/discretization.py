@@ -1,13 +1,22 @@
 """Shared spectral-element discretization: device-side geometry factors,
-facet blocks, and host-side (float64) assembly of the lumped LHS.
+facet blocks, and host-side (float64) assembly of diagonal operators.
 
 Plays the role of the per-demo setup blocks in the reference
 (cuda/demo_nonlinear_bowl.py:252-469): precompute detJ/G, build facet
 dofmaps + facet detJ, assemble the steady diagonal LHS once.
+
+Key structural difference from the reference: with GLL collocation every
+mass-type operator (cell or facet) is *globally diagonal*, so each fixed
+coefficient field yields a precomputed diagonal vector and an apply is one
+elementwise multiply (`mass_diag_host` / `facet_diag_host`).  The reference
+instead re-runs a gather/scale/atomic-scatter kernel per apply
+(cuda/operators.py:18-70).  The stiffness operator uses the matmul
+formulation (fustpu.ops.spectral_mm).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -15,11 +24,13 @@ import numpy as np
 
 from fustpu.mesh.box import BoxMesh
 from fustpu.ops import precompute as pre
+from fustpu.ops import spectral_mm as mm
 
 
 class FacetBlock(NamedTuple):
-    """A set of boundary facets with geometry factors, ready for the indexed
-    facet-mass operator."""
+    """A set of boundary facets with geometry factors (indexed form, for the
+    generic facet-mass operator; models with fixed coefficients use
+    facet_diag_host instead)."""
 
     dofmap: jnp.ndarray        # (nf, n^2) int32 flat node indices (device)
     detJ: jnp.ndarray          # (nf, n^2) dtype (device)
@@ -41,12 +52,33 @@ class Discretization:
         self.P = mesh.degree
         elem = mesh.element
         detJ, G = pre.cell_geometry_factors(mesh)          # f64 host
-        self._detJ_host = detJ                              # (cells, n^3)
-        self.detJ_s = jnp.asarray(
-            pre.to_structured_layout(detJ, mesh), dtype)
-        self.G_s = jnp.asarray(pre.to_structured_layout(G, mesh), dtype)
-        self.D = jnp.asarray(elem.deriv_1d, dtype)
+        self._detJ_host = detJ                             # (cells, n^3)
+        self._G_host = G                                   # (cells, n^3, 6)
+        self._D_host = elem.deriv_1d
 
+    # ---- device operators (built on first use) ---------------------------
+    @functools.cached_property
+    def mm_op(self) -> mm.MMStiffness:
+        """Unit-coefficient matmul-form stiffness operator (fast path)."""
+        return mm.build_stiffness(self.mesh.nc, self.P, self._D_host,
+                                  self._G_host, self.dtype)
+
+    # legacy/structured-layout device arrays (tests, generic API)
+    @functools.cached_property
+    def detJ_s(self):
+        return jnp.asarray(
+            pre.to_structured_layout(self._detJ_host, self.mesh), self.dtype)
+
+    @functools.cached_property
+    def G_s(self):
+        return jnp.asarray(
+            pre.to_structured_layout(self._G_host, self.mesh), self.dtype)
+
+    @functools.cached_property
+    def D(self):
+        return jnp.asarray(self._D_host, self.dtype)
+
+    # ---- facets -----------------------------------------------------------
     def facet_block(self, boundary_data: np.ndarray) -> FacetBlock:
         mesh = self.mesh
         fdm = mesh.facet_dofmap(boundary_data)
@@ -59,30 +91,27 @@ class Discretization:
             detJ_host=detJ_f,
         )
 
-    # ---- host-side float64 setup assembly --------------------------------
-    def assemble_mass_host(self, cell_coeff: np.ndarray) -> np.ndarray:
-        """sum_c coeff_c P_c^T detJ_c (x=1) in float64 on the host — the
-        steady diagonal LHS (reference assembles it once on device,
-        cuda/demo_nonlinear_bowl.py:459-469; doing it on host keeps it f64
-        even when the solve runs f32)."""
-        mesh = self.mesh
-        vals = self._detJ_host * np.asarray(cell_coeff).reshape(-1)[:, None]
-        m = np.zeros(mesh.ndofs)
-        np.add.at(m, mesh.dofmap.ravel(), vals.ravel())
-        return m
+    # ---- host-side float64 diagonal assembly ------------------------------
+    def mass_diag_host(self, cell_coeff: np.ndarray | None = None
+                       ) -> np.ndarray:
+        """Global diagonal of the mass operator for a per-cell coefficient
+        field, float64 on host (the steady LHS of the reference,
+        cuda/demo_nonlinear_bowl.py:459-469, but reusable for every mass
+        term since applies are elementwise)."""
+        coeff = None if cell_coeff is None else np.asarray(
+            cell_coeff).reshape(self.mesh.nc)
+        return mm.mass_diagonal(self.mesh.nc, self.P, self._detJ_host, coeff)
 
-    def assemble_facet_mass_host(self, block: FacetBlock,
-                                 facet_coeff: np.ndarray) -> np.ndarray:
-        """Facet-mass of the constant-1 field, float64 host.  Because the
-        facet mass operator is linear and the reference's source fields are
-        spatially constant scalars g(t) (filled vector, demo_nonlinear_bowl
-        :597-598), the per-stage source assembly reduces to
-        g(t) * (this precomputed vector) — an axpy instead of two kernel
-        launches per stage."""
+    def facet_diag_host(self, block: FacetBlock,
+                        facet_coeff: np.ndarray) -> np.ndarray:
+        """Global diagonal of a facet-mass operator (float64 host).  Also
+        the precomputed source vector: because the reference's source fields
+        are spatially constant scalars g(t) (demo_nonlinear_bowl.py:597-598),
+        the per-stage source assembly is g(t) * this vector."""
         vals = block.detJ_host * np.asarray(facet_coeff)[:, None]
         y = np.zeros(self.mesh.ndofs)
         np.add.at(y, block.dofmap_host.ravel(), vals.ravel())
-        return y
+        return y.reshape(self.mesh.grid_shape)
 
     def to_grid(self, flat: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(

@@ -10,13 +10,16 @@ Weak form (reference cpp forms, /root/reference/cpp/demo_linear_box/forms.py
               - (v_n/(rho c)) v ds(Gamma_abs)
     du/dt = v ;  dv/dt = b / m
 
-As a first-order system integrated with RK4 under lax.scan; the whole step
-is one jitted computation on the TPU.
+TPU realisation per RK stage: ONE matmul-form stiffness apply + three
+elementwise multiplies (the mass LHS, the source vector, and the absorbing
+facet term are all precomputed diagonals — see
+fustpu.models.discretization).  The reference launches a stiffness kernel,
+two facet-mass kernels and ~10 vector kernels per stage instead
+(numba-cpu/demo_linear_box.py:361-382).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,7 +27,7 @@ from fustpu.config import Material, Source
 from fustpu.mesh.box import BoxMesh
 from fustpu.models import sources, timestepping
 from fustpu.models.discretization import Discretization
-from fustpu.ops import operators as ops
+from fustpu.ops import spectral_mm as mm
 
 
 class LinearWaveModel:
@@ -45,42 +48,51 @@ class LinearWaveModel:
         self.disc = disc
 
         rho, c = material.density, material.sound_speed
-        nc = mesh.nc
-        # cell coefficient fields (uniform here; per-cell arrays supported
-        # by the operators for heterogeneous media)
-        c1 = np.full(nc, 1.0 / (rho * c * c)).reshape(-1)
-        self.c2 = jnp.asarray(np.full(nc, -1.0 / rho), dtype)
+        # steady diagonal LHS: mass diag with coeff 1/(rho c^2), f64 host
+        self.m = disc.to_grid(disc.mass_diag_host(
+            np.full(mesh.nc, 1.0 / (rho * c * c))))
+        # uniform-material stiffness coefficient as a scalar (heterogeneous
+        # media: pass an expanded coeff to stiffness_apply_mm instead)
+        self.c2_scalar = dtype(-1.0 / rho)
 
-        # steady diagonal LHS, assembled once in f64 on host
-        self.m = disc.to_grid(disc.assemble_mass_host(c1))
-
-        # source boundary: g(t) is spatially constant, so its facet-mass
-        # contribution is g(t) * s_vec with s_vec precomputed (exact).
+        # source boundary: g(t) spatially constant -> contribution is
+        # g(t) * s_vec (exact; see Discretization.facet_diag_host)
         self.src_block = disc.facet_block(source_facets)
-        f1 = np.full(self.src_block.num_facets, 1.0 / rho)
-        self.s_vec = disc.to_grid(
-            disc.assemble_facet_mass_host(self.src_block, f1))
+        self.s_vec = disc.to_grid(disc.facet_diag_host(
+            self.src_block, np.full(self.src_block.num_facets, 1.0 / rho)))
 
-        # absorbing boundary: -(1/(rho c)) v_n v ds
-        self.abs_block = None
+        # absorbing boundary: -(1/(rho c)) v_n v ds — a facet diagonal
+        self.fvec_abs = None
         if absorbing_facets is not None and len(absorbing_facets) > 0:
-            self.abs_block = disc.facet_block(absorbing_facets)
-            self.f2 = jnp.asarray(
-                np.full(self.abs_block.num_facets, -1.0 / (rho * c)), dtype)
+            blk = disc.facet_block(absorbing_facets)
+            self.abs_block = blk
+            self.fvec_abs = disc.to_grid(disc.facet_diag_host(
+                blk, np.full(blk.num_facets, -1.0 / (rho * c))))
+        else:
+            self.abs_block = None
+        self._solver_cache = {}
 
     # ------------------------------------------------------------------
-    def rhs(self, t, u, v):
+    @property
+    def params(self):
+        """All device arrays, threaded explicitly through jit (never
+        closure-captured — large constants wreck compile times)."""
+        p = {"m": self.m, "s1": self.s_vec, "mm": self.disc.mm_op}
+        if self.fvec_abs is not None:
+            p["fvec"] = self.fvec_abs
+        return p
+
+    def _rhs(self, params, t, u, v):
         """kv = M^{-1} b(t, u, v) on the node grid."""
-        disc = self.disc
-        b = ops.stiffness_apply(u, disc.G_s, self.c2, disc.D, disc.P)
+        b = self.c2_scalar * mm.stiffness_apply_mm(params["mm"], u)
         g = sources.linear_source(t, self.source, self.material.sound_speed)
-        b = b + g.astype(self.dtype) * self.s_vec
-        if self.abs_block is not None:
-            blk = self.abs_block
-            bf = ops.mass_apply_indexed(v.reshape(-1), blk.detJ, self.f2,
-                                        blk.dofmap, self.mesh.ndofs)
-            b = b + bf.reshape(self.mesh.grid_shape)
-        return b / self.m
+        b = b + g.astype(self.dtype) * params["s1"]
+        if "fvec" in params:
+            b = b + v * params["fvec"]
+        return b / params["m"]
+
+    def rhs(self, t, u, v):
+        return self._rhs(self.params, t, u, v)
 
     # ------------------------------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
@@ -91,10 +103,16 @@ class LinearWaveModel:
         return timestepping.init_state(u0, v0, t0)
 
     def step(self, state, dt, tf=None):
-        return timestepping.rk4_step(self.rhs, state, dt, tf)
+        return timestepping.rk4_step(self._rhs, self.params, state, dt, tf)
 
     def solve(self, state, dt: float, num_steps: int, tf=None, probe=None):
-        return timestepping.solve(self.rhs, state, dt, num_steps, tf, probe)
+        key = (num_steps, tf is not None, probe)
+        if key not in self._solver_cache:
+            self._solver_cache[key] = timestepping.make_solver(
+                self._rhs, num_steps, probe, clamp_tf=tf is not None)
+        dt_ = jnp.asarray(float(dt), self.dtype)
+        tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
+        return self._solver_cache[key](self.params, state, dt_, tf_)
 
     def cfl_dt(self, cfl: float = 0.65) -> tuple[float, int]:
         """dt = CFL h / (c P^2), snapped to an integer number of steps per

@@ -2,10 +2,15 @@
 
 The reference hand-rolls the RK4 loop on the host, launching ~30 device
 kernels per stage (cuda/demo_nonlinear_bowl.py:529-654).  Here one full time
-step (4 stages) is a single traced function; `solve` wraps it in
+step (4 stages) is a single traced function; `make_solver` wraps it in
 `lax.scan`, so the entire run is one XLA computation with no host round
 trips.  Butcher arrays are the classic RK4 tableau (fustpu.config.RK4_*,
 matching reference numba-cpu/demo_linear_box.py:391-393).
+
+All model arrays are threaded through an explicit `params` pytree argument
+— never closure-captured — so they enter XLA as runtime parameters instead
+of giant HLO constants (closure-captured 100MB geometry blobs make compiles
+take minutes and bloat the executable).
 
 The slope convention matches the reference exactly:
     ku = f0(t, u, v) = v
@@ -37,9 +42,9 @@ def init_state(u0: jax.Array, v0: jax.Array, t0: float) -> RKState:
                    kv=jnp.zeros_like(v0), t=jnp.asarray(t0, u0.dtype))
 
 
-def rk4_step(rhs: Callable, state: RKState, dt, tf=None) -> RKState:
-    """One RK4 step.  `rhs(t, u, v) -> kv`.  If `tf` is given the last step
-    is clamped to land on tf (reference `dt = min(dt, tf - t)`,
+def rk4_step(rhs: Callable, params, state: RKState, dt, tf=None) -> RKState:
+    """One RK4 step.  `rhs(params, t, u, v) -> kv`.  If `tf` is given the
+    last step is clamped to land on tf (reference `dt = min(dt, tf - t)`,
     cuda/demo_nonlinear_bowl.py:530)."""
     u, v, ku, kv, t = state
     dt = jnp.asarray(dt, u.dtype)
@@ -54,20 +59,24 @@ def rk4_step(rhs: Callable, state: RKState, dt, tf=None) -> RKState:
         vn = v0 + a_i * dt * kv
         tn = t + c_i * dt
         ku = vn
-        kv = rhs(tn, un, vn)
+        kv = rhs(params, tn, un, vn)
         u = u + b_i * dt * ku
         v = v + b_i * dt * kv
     return RKState(u=u, v=v, ku=ku, kv=kv, t=t + dt)
 
 
-def solve(rhs: Callable, state: RKState, dt: float, num_steps: int,
-          tf: float | None = None,
-          probe: Callable[[RKState], jax.Array] | None = None):
-    """Run `num_steps` RK4 steps under lax.scan.  Returns (final_state, ys)
-    where ys stacks `probe(state)` per step (or None)."""
+def make_solver(rhs: Callable, num_steps: int,
+                probe: Callable[[RKState], jax.Array] | None = None,
+                clamp_tf: bool = False):
+    """Build a jitted solver fn(params, state, dt, tf) -> (state, ys)
+    running `num_steps` RK4 steps under lax.scan."""
 
-    def body(s, _):
-        s = rk4_step(rhs, s, dt, tf)
-        return s, (probe(s) if probe is not None else None)
+    @jax.jit
+    def run(params, state: RKState, dt, tf):
+        def body(s, _):
+            s = rk4_step(rhs, params, s, dt, tf if clamp_tf else None)
+            return s, (probe(s) if probe is not None else None)
 
-    return jax.lax.scan(body, state, None, length=num_steps)
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return run

@@ -12,14 +12,17 @@ Coefficient recipes (cuda/demo_nonlinear_bowl.py:357-374):
             - (v_n/(rho c)) v ds(abs)
     dv/dt = b / m
 
-The v_n^2 term is the reference's `square` kernel + mass apply
-(cuda/demo_nonlinear_bowl.py:601,633-635) — here just an elementwise square
-fused by XLA into the mass apply.
+TPU realisation per RK stage (uniform media): ONE matmul-form stiffness
+apply — the two stiffness terms fuse into A(c3 u + c4 v) since the operator
+is linear and the coefficients are scalars — plus elementwise multiplies
+for every mass-type term (all globally diagonal under GLL collocation: the
+unsteady LHS update, the v^2 term, both source vectors, and the absorbing
+term).  The reference instead launches 2 stiffness + 4 mass kernels and 5
+MPI scatters per stage (cuda/demo_nonlinear_bowl.py:529-654).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,7 +30,7 @@ from fustpu.config import Material, Source
 from fustpu.mesh.box import BoxMesh
 from fustpu.models import sources, timestepping
 from fustpu.models.discretization import Discretization
-from fustpu.ops import operators as ops
+from fustpu.ops import spectral_mm as mm
 
 
 class WesterveltModel:
@@ -51,59 +54,69 @@ class WesterveltModel:
         beta = material.nonlinearity
         delta = material.diffusivity_of_sound(source.angular_frequency)
         self.delta = delta
-        nc = mesh.nc
 
         # cell coefficients (cuda/demo_nonlinear_bowl.py:357-362)
-        c1 = np.full(nc, 1.0 / (rho * c * c)).reshape(-1)
         nl = 2.0 * beta / (rho * rho * c**4)
-        self.c2m = jnp.asarray(np.full(nc, -nl), dtype)    # unsteady mass
-        self.c3 = jnp.asarray(np.full(nc, -1.0 / rho), dtype)
-        self.c4 = jnp.asarray(np.full(nc, -delta / (rho * c * c)), dtype)
-        self.c5 = jnp.asarray(np.full(nc, nl), dtype)
+        self.c3_scalar = dtype(-1.0 / rho)
+        self.c4_scalar = dtype(-delta / (rho * c * c))
 
-        # steady LHS m0 (+ absorbing-facet delta term), f64 host assembly
-        m0 = disc.assemble_mass_host(c1)
-        self.abs_block = None
+        # unsteady mass diagonal: mass(u; -nl) = u * mvec2 (and the v^2 RHS
+        # term uses +nl, i.e. exactly -mvec2)
+        unit_mass = disc.mass_diag_host()
+        self.mvec2 = disc.to_grid(-nl * unit_mass)
+
+        # steady LHS m0 (+ absorbing-facet delta term), f64 host
+        m0 = disc.mass_diag_host(np.full(mesh.nc, 1.0 / (rho * c * c)))
+        self.fvec_abs = None
         if absorbing_facets is not None and len(absorbing_facets) > 0:
-            self.abs_block = disc.facet_block(absorbing_facets)
-            nfa = self.abs_block.num_facets
-            m0 = m0 + disc.assemble_facet_mass_host(
-                self.abs_block, np.full(nfa, delta / (rho * c**3)))
-            self.f2_2 = jnp.asarray(np.full(nfa, -1.0 / (rho * c)), dtype)
+            blk = disc.facet_block(absorbing_facets)
+            self.abs_block = blk
+            nfa = blk.num_facets
+            m0 = m0 + disc.facet_diag_host(
+                blk, np.full(nfa, delta / (rho * c**3)))
+            self.fvec_abs = disc.to_grid(disc.facet_diag_host(
+                blk, np.full(nfa, -1.0 / (rho * c))))
+        else:
+            self.abs_block = None
         self.m0 = disc.to_grid(m0)
 
-        # source boundary: g and dg are spatially constant scalars -> their
-        # facet-mass contributions are precomputed vectors times g(t), dg(t)
+        # source boundary: g/dg spatially constant -> precomputed vectors
         self.src_block = disc.facet_block(source_facets)
         nfs = self.src_block.num_facets
-        self.s1_vec = disc.to_grid(disc.assemble_facet_mass_host(
+        self.s1_vec = disc.to_grid(disc.facet_diag_host(
             self.src_block, np.full(nfs, 1.0 / rho)))
-        self.s2_vec = disc.to_grid(disc.assemble_facet_mass_host(
+        self.s2_vec = disc.to_grid(disc.facet_diag_host(
             self.src_block, np.full(nfs, delta / (rho * c * c))))
+        self._solver_cache = {}
 
     # ------------------------------------------------------------------
-    def rhs(self, t, u, v):
-        disc = self.disc
-        P, D = disc.P, disc.D
-        grid = self.mesh.grid_shape
+    @property
+    def params(self):
+        """All device arrays, threaded explicitly through jit (never
+        closure-captured — large constants wreck compile times)."""
+        p = {"m0": self.m0, "mvec2": self.mvec2, "s1": self.s1_vec,
+             "s2": self.s2_vec, "mm": self.disc.mm_op}
+        if self.fvec_abs is not None:
+            p["fvec"] = self.fvec_abs
+        return p
 
-        # unsteady LHS: m = m0 + mass(u; -2 beta / rho^2 c^4)
-        m = self.m0 + ops.mass_apply(u, disc.detJ_s, self.c2m, P)
-
-        # RHS
-        b = ops.stiffness_apply(u, disc.G_s, self.c3, D, P)
-        b = b + ops.stiffness_apply(v, disc.G_s, self.c4, D, P)
-        b = b + ops.mass_apply(v * v, disc.detJ_s, self.c5, P)
+    def _rhs(self, params, t, u, v):
+        # unsteady LHS: m = m0 + mass(u; -2 beta / rho^2 c^4) — diagonal
+        m = params["m0"] + u * params["mvec2"]
+        # both stiffness terms in ONE apply (linear operator, scalar coeffs)
+        b = mm.stiffness_apply_mm(params["mm"],
+                                  self.c3_scalar * u + self.c4_scalar * v)
+        b = b - (v * v) * params["mvec2"]     # + nl * v^2 mass term
         g, dg = sources.westervelt_source(t, self.source,
                                           self.material.sound_speed)
-        b = b + g.astype(self.dtype) * self.s1_vec
-        b = b + dg.astype(self.dtype) * self.s2_vec
-        if self.abs_block is not None:
-            blk = self.abs_block
-            bf = ops.mass_apply_indexed(v.reshape(-1), blk.detJ, self.f2_2,
-                                        blk.dofmap, self.mesh.ndofs)
-            b = b + bf.reshape(grid)
+        b = b + g.astype(self.dtype) * params["s1"]
+        b = b + dg.astype(self.dtype) * params["s2"]
+        if "fvec" in params:
+            b = b + v * params["fvec"]
         return b / m
+
+    def rhs(self, t, u, v):
+        return self._rhs(self.params, t, u, v)
 
     # ------------------------------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
@@ -114,10 +127,16 @@ class WesterveltModel:
         return timestepping.init_state(u0, v0, t0)
 
     def step(self, state, dt, tf=None):
-        return timestepping.rk4_step(self.rhs, state, dt, tf)
+        return timestepping.rk4_step(self._rhs, self.params, state, dt, tf)
 
     def solve(self, state, dt: float, num_steps: int, tf=None, probe=None):
-        return timestepping.solve(self.rhs, state, dt, num_steps, tf, probe)
+        key = (num_steps, tf is not None, probe)
+        if key not in self._solver_cache:
+            self._solver_cache[key] = timestepping.make_solver(
+                self._rhs, num_steps, probe, clamp_tf=tf is not None)
+        dt_ = jnp.asarray(float(dt), self.dtype)
+        tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
+        return self._solver_cache[key](self.params, state, dt_, tf_)
 
     def cfl_dt(self, cfl: float = 0.4) -> tuple[float, int]:
         dt = cfl * self.mesh.hmin() / (

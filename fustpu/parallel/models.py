@@ -1,0 +1,213 @@
+"""Sharded (multi-chip) wave models.
+
+Wraps a single-device LinearWaveModel / WesterveltModel and distributes its
+state and geometry over a DeviceGrid.  The full RK4 solve runs inside one
+`shard_map`-wrapped `lax.scan`.
+
+Communication structure per RK stage: exactly ONE `halo_sum` (ppermute over
+ICI) — only the stiffness apply couples neighbouring cells.  Every
+mass-type term (unsteady LHS, v^2 term, sources, absorbing boundary) is a
+globally-diagonal elementwise multiply by a *consistent* distributed vector
+(shared planes hold full sums on every owner), so it commutes with the
+exchange and is added after it.  The reference needs 3 scatter_forward + 2
+scatter_reverse MPI rounds per stage instead
+(/root/reference/cuda/demo_nonlinear_bowl.py:604-615,640).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fustpu.config import RK4_A, RK4_B, RK4_C
+from fustpu.models import sources
+from fustpu.models.westervelt import WesterveltModel
+from fustpu.ops import spectral_mm as mm
+from fustpu.parallel import sharding as sh
+
+try:  # jax >= 0.6 exports shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def split_expanded_field(arr: np.ndarray, nc, S, n: int) -> np.ndarray:
+    """Expanded-layout array (..., ex, ey, ez) with leading extra dims ->
+    (Sx, Sy, Sz, ..., lex, ley, lez)."""
+    lead = arr.shape[:-3]
+    lc = [c // s for c, s in zip(nc, S)]
+    le = [c * n for c in lc]
+    a = arr.reshape(*lead, S[0], le[0], S[1], le[1], S[2], le[2])
+    k = len(lead)
+    perm = (k, k + 2, k + 4, *range(k), k + 1, k + 3, k + 5)
+    return np.ascontiguousarray(a.transpose(perm))
+
+
+class ShardedModel:
+    """Distributes a built single-device model over `grid` and exposes
+    step/solve running under shard_map."""
+
+    def __init__(self, model, grid: sh.DeviceGrid):
+        self.model = model
+        self.grid = grid
+        self.kind = ("westervelt" if isinstance(model, WesterveltModel)
+                     else "linear")
+        mesh = model.mesh
+        self.mesh = mesh
+        S = grid.shape
+        self.S = S
+        Pd = mesh.degree
+        n = Pd + 1
+        nc = mesh.nc
+        self.lc = tuple(c // s for c, s in zip(nc, S))
+        self.lgrid = tuple(c * Pd + 1 for c in self.lc)
+        dtype = model.dtype
+        self.dtype = dtype
+        disc = model.disc
+
+        dist = {}     # leading-device-axes arrays, spec P('x','y','z')
+        repl = {}     # replicated arrays, spec P()
+
+        def put_node(a):
+            return grid.put(sh.split_node_field(np.asarray(a), nc, S, Pd),
+                            dtype)
+
+        # local (per-device) stiffness matrices — identical on every device
+        repl["W"] = tuple(
+            jax.device_put(jnp.asarray(mm.window_matrix(c, Pd), dtype),
+                           NamedSharding(grid.mesh, P())) for c in self.lc)
+        repl["Dt"] = tuple(
+            jax.device_put(jnp.asarray(
+                mm.deriv_block_matrix(c, disc._D_host), dtype),
+                NamedSharding(grid.mesh, P())) for c in self.lc)
+        dist["G"] = grid.put(split_expanded_field(
+            np.asarray(disc.mm_op.G, np.float64), nc, S, n), dtype)
+
+        if self.kind == "linear":
+            dist["m"] = put_node(model.m)
+            dist["s1"] = put_node(model.s_vec)
+        else:
+            dist["m0"] = put_node(model.m0)
+            dist["mvec2"] = put_node(model.mvec2)
+            dist["s1"] = put_node(model.s1_vec)
+            dist["s2"] = put_node(model.s2_vec)
+        if model.fvec_abs is not None:
+            dist["fvec"] = put_node(model.fvec_abs)
+        self.has_abs = model.fvec_abs is not None
+
+        self.ctx = {"dist": dist, "repl": repl}
+        self.ctx_spec = {
+            "dist": {k: P(*sh.AXES) for k in dist},
+            "repl": jax.tree.map(lambda _: P(), repl),
+        }
+        self._solve_cache = {}
+
+    # ---------------- local physics (inside shard_map) -------------------
+    def _local_stiffness(self, ctx, x):
+        op = mm.MMStiffness(W=ctx["repl"]["W"], Dt=ctx["repl"]["Dt"],
+                            G=ctx["dist"]["G"])
+        return mm.stiffness_apply_mm(op, x)
+
+    def _local_rhs(self, ctx, t, u, v):
+        d = ctx["dist"]
+        model = self.model
+        if self.kind == "linear":
+            b = sh.halo_sum(
+                model.c2_scalar * self._local_stiffness(ctx, u), self.S)
+            g = sources.linear_source(t, model.source,
+                                      model.material.sound_speed)
+            b = b + g.astype(self.dtype) * d["s1"]
+            if self.has_abs:
+                b = b + v * d["fvec"]
+            return b / d["m"]
+
+        m = d["m0"] + u * d["mvec2"]
+        b = sh.halo_sum(self._local_stiffness(
+            ctx, model.c3_scalar * u + model.c4_scalar * v), self.S)
+        b = b - (v * v) * d["mvec2"]
+        g, dg = sources.westervelt_source(t, model.source,
+                                          model.material.sound_speed)
+        b = b + g.astype(self.dtype) * d["s1"]
+        b = b + dg.astype(self.dtype) * d["s2"]
+        if self.has_abs:
+            b = b + v * d["fvec"]
+        return b / m
+
+    def _local_step(self, ctx, u, v, ku, kv, t, dt, tf):
+        dt = jnp.minimum(jnp.asarray(dt, u.dtype),
+                         jnp.asarray(tf, u.dtype) - t)
+        u0, v0 = u, v
+        for i in range(4):
+            a_i, b_i, c_i = (u.dtype.type(RK4_A[i]), u.dtype.type(RK4_B[i]),
+                             u.dtype.type(RK4_C[i]))
+            un = u0 + a_i * dt * ku
+            vn = v0 + a_i * dt * kv
+            tn = t + c_i * dt
+            ku = vn
+            kv = self._local_rhs(ctx, tn, un, vn)
+            u = u + b_i * dt * ku
+            v = v + b_i * dt * kv
+        return u, v, ku, kv, t + dt
+
+    # ---------------- public API ------------------------------------------
+    def init_state(self, t0: float = 0.0, u0=None, v0=None):
+        """Distributed (u, v, ku, kv, t)."""
+        nc, S, Pd = self.mesh.nc, self.S, self.mesh.degree
+
+        def dist_field(f):
+            if f is None:
+                f = np.zeros(self.mesh.grid_shape)
+            return self.grid.put(sh.split_node_field(
+                np.asarray(f).reshape(self.mesh.grid_shape), nc, S, Pd),
+                self.dtype)
+
+        u = dist_field(u0)
+        v = dist_field(v0)
+        ku = dist_field(None)
+        kv = dist_field(None)
+        t = jax.device_put(jnp.asarray(t0, self.dtype),
+                           NamedSharding(self.grid.mesh, P()))
+        return (u, v, ku, kv, t)
+
+    def solve(self, state, dt: float, num_steps: int, tf: float = np.inf):
+        """Run num_steps RK4 steps; the whole scan executes inside one
+        shard_map (one XLA program, collectives over ICI)."""
+        key = ("solve", num_steps)
+        if key not in self._solve_cache:
+            vec = P(*sh.AXES)
+
+            def fn(ctx, u, v, ku, kv, t, dt_, tf_):
+                # strip the leading (1,1,1) device-block axes (distributed
+                # leaves only; replicated leaves arrive full)
+                sq = lambda a: a.reshape(a.shape[3:])
+                ctx = {"dist": jax.tree.map(sq, ctx["dist"]),
+                       "repl": ctx["repl"]}
+                u, v, ku, kv = sq(u), sq(v), sq(ku), sq(kv)
+
+                def body(carry, _):
+                    return self._local_step(ctx, *carry, dt_, tf_), None
+
+                (u, v, ku, kv, t), _ = jax.lax.scan(
+                    body, (u, v, ku, kv, t), None, length=num_steps)
+                ex = lambda a: a.reshape((1, 1, 1) + a.shape)
+                return ex(u), ex(v), ex(ku), ex(kv), t
+
+            mapped = shard_map(
+                fn, mesh=self.grid.mesh,
+                in_specs=(self.ctx_spec, vec, vec, vec, vec, P(), P(), P()),
+                out_specs=(vec, vec, vec, vec, P()),
+                check_vma=False)
+            self._solve_cache[key] = jax.jit(
+                lambda ctx, st, dt_, tf_: mapped(ctx, *st, dt_, tf_))
+        dt_ = jnp.asarray(float(dt), self.dtype)
+        tf_ = jnp.asarray(min(float(tf), np.finfo(np.float32).max),
+                          self.dtype)
+        u, v, ku, kv, t = self._solve_cache[key](self.ctx, state, dt_, tf_)
+        return (u, v, ku, kv, t)
+
+    def collect(self, dist_field) -> np.ndarray:
+        """Distributed node field -> global (gx, gy, gz) numpy array."""
+        return sh.merge_node_field(np.asarray(dist_field), self.mesh.nc,
+                                   self.S, self.mesh.degree)

@@ -1,0 +1,111 @@
+"""Point evaluation of spectral-element fields at arbitrary physical points.
+
+The analogue of the reference's bounding-box-tree `compute_eval_params` +
+`Function.eval` pipeline (/root/reference/cuda/utils.py:117-154,
+cuda/demo_nonlinear_bowl.py:134-159): on a structured box the owning cell is
+a floor-divide; on perturbed (trilinear) geometry the reference coordinates
+are recovered with a few Newton iterations of the trilinear map; evaluation
+is tensor-product Lagrange interpolation.  Host-side numpy (output path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fustpu.elements import gll
+from fustpu.elements.hex import hex8_tabulate
+from fustpu.mesh.box import BoxMesh
+
+
+def locate_cells(mesh: BoxMesh, points: np.ndarray) -> np.ndarray:
+    """(npts, 3) physical points -> (npts,) flat cell indices (clipped into
+    the domain).  Assumes the *unperturbed* lattice for the initial guess;
+    Newton in `evaluate` corrects for perturbed geometry."""
+    pts = np.asarray(points, dtype=np.float64)
+    lo, hi = np.array(mesh.lo), np.array(mesh.hi)
+    nc = np.array(mesh.nc)
+    h = (hi - lo) / nc
+    idx = np.floor((pts - lo) / h).astype(np.int64)
+    idx = np.clip(idx, 0, nc - 1)
+    return idx[:, 0] * nc[1] * nc[2] + idx[:, 1] * nc[2] + idx[:, 2]
+
+
+def _invert_trilinear(corners: np.ndarray, pts: np.ndarray,
+                      iters: int = 8) -> np.ndarray:
+    """Newton-invert the trilinear map per point.  corners: (npts, 8, 3);
+    pts: (npts, 3) -> reference coords (npts, 3)."""
+    xi = np.full_like(pts, 0.5)
+    for _ in range(iters):
+        vals, grads = hex8_tabulate(xi)
+        xcur = np.einsum("pv,pvd->pd", vals, corners)
+        J = np.einsum("pvd,pvr->pdr", corners, grads)
+        r = pts - xcur
+        dxi = np.linalg.solve(J, r[..., None])[..., 0]
+        xi = xi + dxi
+        if np.max(np.abs(dxi)) < 1e-14:
+            break
+    return xi
+
+
+def evaluate(mesh: BoxMesh, field: np.ndarray, points: np.ndarray
+             ) -> np.ndarray:
+    """Evaluate a node-grid field (gx, gy, gz) at physical points (npts, 3).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    field = np.asarray(field).reshape(mesh.grid_shape)
+    nc_arr = np.array(mesh.nc)
+    cells = locate_cells(mesh, pts)
+    # Newton + cell walk: on perturbed meshes the lattice guess can land in
+    # a neighbouring cell (reference coords leave [0,1]); hop and re-invert
+    # (the role of the reference's bounding-box-tree candidate search,
+    # cuda/utils.py:117-154).
+    for _ in range(4):
+        corners = mesh.cell_corners_flat[cells]
+        xi = _invert_trilinear(corners, pts)
+        out_lo = xi < -1e-10
+        out_hi = xi > 1 + 1e-10
+        if not (out_lo.any() or out_hi.any()):
+            break
+        cz = cells % nc_arr[2]
+        cy = (cells // nc_arr[2]) % nc_arr[1]
+        cx = cells // (nc_arr[1] * nc_arr[2])
+        cidx = np.stack([cx, cy, cz], axis=1)
+        cidx = np.clip(cidx - out_lo + out_hi, 0, nc_arr - 1)
+        cells = cidx[:, 0] * nc_arr[1] * nc_arr[2] + cidx[:, 1] * nc_arr[2] \
+            + cidx[:, 2]
+    xi = np.clip(xi, 0.0, 1.0)
+
+    n = mesh.element.n
+    P = mesh.degree
+    nodes = mesh.element.nodes_1d
+    lx, _ = gll.lagrange_tabulate(nodes, xi[:, 0])
+    ly, _ = gll.lagrange_tabulate(nodes, xi[:, 1])
+    lz, _ = gll.lagrange_tabulate(nodes, xi[:, 2])
+
+    nc = np.array(mesh.nc)
+    cz = cells % nc[2]
+    cy = (cells // nc[2]) % nc[1]
+    cx = cells // (nc[1] * nc[2])
+    # gather the (n, n, n) nodal values of each owning cell
+    I = cx[:, None] * P + np.arange(n)[None, :]
+    J = cy[:, None] * P + np.arange(n)[None, :]
+    K = cz[:, None] * P + np.arange(n)[None, :]
+    vals = field[I[:, :, None, None], J[:, None, :, None], K[:, None, None, :]]
+    return np.einsum("pijk,pi,pj,pk->p", vals, lx, ly, lz, optimize=True)
+
+
+def eval_plane(mesh: BoxMesh, field: np.ndarray, axis: int, coord: float,
+               n0: int, n1: int):
+    """Sample the field on a plane (the reference's periodic pressure-plane
+    snapshots, cuda/demo_nonlinear_bowl.py:144-159,662-681).  Returns
+    (points (n0*n1, 3), values (n0*n1,))."""
+    lo, hi = np.array(mesh.lo), np.array(mesh.hi)
+    free = [a for a in range(3) if a != axis]
+    s0 = np.linspace(lo[free[0]], hi[free[0]], n0)
+    s1 = np.linspace(lo[free[1]], hi[free[1]], n1)
+    A, B = np.meshgrid(s0, s1, indexing="ij")
+    pts = np.zeros((n0 * n1, 3))
+    pts[:, axis] = coord
+    pts[:, free[0]] = A.ravel()
+    pts[:, free[1]] = B.ravel()
+    return pts, evaluate(mesh, field, pts)

@@ -1,0 +1,96 @@
+"""Field output and checkpoint/resume.
+
+Output parity with the reference: final-field writes (VTXWriter -> .bp,
+numba-cpu/demo_linear_box.py:479-480) are covered by a legacy-VTK
+structured-grid writer readable by ParaView; point-cloud text dumps
+(cuda/demo_nonlinear_bowl.py:662-681) by `save_point_cloud`.
+
+Checkpoint/resume is a capability the reference lacks entirely
+(SURVEY.md §5: "Checkpoint / resume: none") — runs are thousands of steps,
+so (u, v, t, step) snapshots with exact-restart semantics are provided
+here (npz; orbax can be layered later for async multi-host checkpointing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from fustpu.mesh.box import BoxMesh
+
+
+def write_vtk_structured(path: str, mesh: BoxMesh,
+                         fields: dict[str, np.ndarray],
+                         binary: bool = True) -> str:
+    """Legacy VTK STRUCTURED_GRID file of the spectral node lattice with
+    point-data fields.  ParaView-compatible."""
+    if not path.endswith(".vtk"):
+        path = path + ".vtk"
+    gx, gy, gz = mesh.grid_shape
+    pts = mesh.node_coords.reshape(-1, 3)
+    mode = "BINARY" if binary else "ASCII"
+    with open(path, "wb") as f:
+        w = lambda s: f.write(s.encode())
+        w("# vtk DataFile Version 3.0\nfustpu field output\n")
+        w(f"{mode}\nDATASET STRUCTURED_GRID\n")
+        # VTK wants x fastest; our layout is z fastest -> declare dims
+        # (gz, gy, gx) and write points in our natural order.
+        w(f"DIMENSIONS {gz} {gy} {gx}\n")
+        w(f"POINTS {pts.shape[0]} float\n")
+        if binary:
+            f.write(pts.astype(">f4").tobytes())
+        else:
+            np.savetxt(f, pts, fmt="%.7e")
+        w(f"\nPOINT_DATA {pts.shape[0]}\n")
+        for name, data in fields.items():
+            data = np.asarray(data).reshape(-1)
+            w(f"SCALARS {name} float 1\nLOOKUP_TABLE default\n")
+            if binary:
+                f.write(data.astype(">f4").tobytes())
+            else:
+                np.savetxt(f, data, fmt="%.7e")
+            w("\n")
+    return path
+
+
+def save_point_cloud(path: str, points: np.ndarray, values: np.ndarray,
+                     cols=(0, 2)) -> str:
+    """Text dump `x,z,u` rows like the reference's pressure-field snapshots
+    (cuda/demo_nonlinear_bowl.py:662-681), but to a caller-chosen path."""
+    data = np.column_stack([points[:, c] for c in cols] + [values])
+    with open(path, "a") as f:
+        np.savetxt(f, data, fmt="%.8f", delimiter=",")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, state, step: int, meta: dict | None = None
+                    ) -> str:
+    """Snapshot an RKState (works for single-device and collected sharded
+    fields).  Atomic rename so a crash mid-write can't corrupt the latest
+    checkpoint."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp,
+             u=np.asarray(state.u), v=np.asarray(state.v),
+             ku=np.asarray(state.ku), kv=np.asarray(state.kv),
+             t=np.asarray(state.t), step=step,
+             meta=json.dumps(meta or {}))
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str):
+    """Returns (arrays dict, step, meta).  Feed arrays into
+    model.init_state / timestepping.RKState for an exact restart."""
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in ("u", "v", "ku", "kv", "t")}
+        step = int(z["step"])
+        meta = json.loads(str(z["meta"]))
+    return arrays, step, meta

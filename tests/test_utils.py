@@ -1,0 +1,94 @@
+"""Point evaluation, I/O, checkpoint/resume, timing-table tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fustpu.config import Material, Source
+from fustpu.mesh.box import build_box_mesh
+from fustpu.models.linear import LinearWaveModel
+from fustpu.models.timestepping import RKState
+from fustpu.utils import eval as fev
+from fustpu.utils import io as fio
+from fustpu.utils import timing
+
+
+def test_evaluate_polynomial_exact():
+    """Degree-P fields are reproduced exactly at arbitrary points, even on
+    perturbed meshes."""
+    mesh = build_box_mesh((3, 3, 3), 3, hi=(2.0, 1.0, 1.5),
+                          perturb=0.1, seed=5)
+    xyz = mesh.node_coords
+    # trilinear * quadratic field (within the P=3 space cellwise only if
+    # globally polynomial): use a global polynomial of degree <= 3 per axis
+    f = (xyz[..., 0] ** 3 - 2 * xyz[..., 1] ** 2 * xyz[..., 2]
+         + 0.5 * xyz[..., 2])
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([0, 0, 0], [2.0, 1.0, 1.5], (50, 3))
+    got = fev.evaluate(mesh, f, pts)
+    want = (pts[:, 0] ** 3 - 2 * pts[:, 1] ** 2 * pts[:, 2]
+            + 0.5 * pts[:, 2])
+    # isoparametric (trilinear) geometry doesn't represent cubics exactly on
+    # perturbed cells, but the FE interpolant evaluated at its own nodes is
+    # exact; here check near-machine accuracy for the polynomial composed
+    # with the mesh's own coordinates
+    assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_eval_plane_shapes():
+    mesh = build_box_mesh((2, 2, 2), 2)
+    f = mesh.node_coords[..., 1]
+    pts, vals = fev.eval_plane(mesh, f, axis=1, coord=0.5, n0=7, n1=9)
+    assert pts.shape == (63, 3) and vals.shape == (63,)
+    assert np.allclose(vals, 0.5, atol=1e-12)
+
+
+def test_vtk_writer(tmp_path):
+    mesh = build_box_mesh((2, 2, 2), 2)
+    u = np.random.default_rng(0).standard_normal(mesh.grid_shape)
+    p = fio.write_vtk_structured(str(tmp_path / "out"), mesh, {"u": u})
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"# vtk DataFile")
+    assert b"DIMENSIONS 5 5 5" in raw
+    assert b"SCALARS u float 1" in raw
+    # binary payload round-trip of the field
+    idx = raw.index(b"LOOKUP_TABLE default\n") + len(b"LOOKUP_TABLE default\n")
+    data = np.frombuffer(raw[idx:idx + 4 * u.size], dtype=">f4")
+    assert np.allclose(data, u.ravel(), atol=1e-6)
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    mesh = build_box_mesh((3, 3, 3), 2, hi=(0.006,) * 3)
+    mat = Material(sound_speed=1480.0, density=1000.0)
+    src = Source(frequency=1.1e6, amplitude=1e5)
+    model = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            mesh.boundary_facets("x+"), dtype=jnp.float64)
+    dt, _ = model.cfl_dt(0.5)
+    s0 = model.init_state()
+    mid, _ = model.solve(s0, dt, 5)
+    path = fio.save_checkpoint(str(tmp_path / "ck"), mid, step=5,
+                               meta={"dt": dt})
+    arrays, step, meta = fio.load_checkpoint(path)
+    assert step == 5 and abs(meta["dt"] - dt) < 1e-18
+    resumed = RKState(u=jnp.asarray(arrays["u"]), v=jnp.asarray(arrays["v"]),
+                      ku=jnp.asarray(arrays["ku"]),
+                      kv=jnp.asarray(arrays["kv"]),
+                      t=jnp.asarray(arrays["t"]))
+    a, _ = model.solve(resumed, dt, 5)
+    b, _ = model.solve(mid, dt, 5)
+    assert np.array_equal(np.asarray(a.u), np.asarray(b.u))  # exact restart
+
+
+def test_timing_table(capsys):
+    timing.reset_timings()
+    with timing.timer("~ section a"):
+        pass
+    with timing.timer("~ section a"):
+        pass
+    with timing.timer("~ section b"):
+        pass
+    timing.list_timings()
+    out = capsys.readouterr().out
+    assert "~ section a" in out and "~ section b" in out
+    assert timing.get_timings()["~ section a"].__len__() == 2
