@@ -1,0 +1,85 @@
+"""Shared demo driver: chunked solve with progress prints (the reference
+prints `t, step, u[0]` every 100 steps, numba-cpu/demo_linear_box.py:461),
+per-section timings, optional checkpointing and field output."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from fustpu.utils import io as fio
+from fustpu.utils import timing
+
+
+def demo_argparser(**defaults) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--elements", type=int,
+                   default=defaults.get("elements", 0),
+                   help="elements per axis (0 = reference default: "
+                        "2 per wavelength)")
+    p.add_argument("--degree", type=int, default=defaults.get("degree", 4))
+    p.add_argument("--dtype", choices=["f32", "f64", "bf16"],
+                   default=defaults.get("dtype", "f32"))
+    p.add_argument("--periods", type=float,
+                   default=defaults.get("periods", 2.0),
+                   help="extra periods after first transit")
+    p.add_argument("--output", default=defaults.get("output", ""),
+                   help="VTK output path prefix ('' = no output)")
+    p.add_argument("--checkpoint", default="",
+                   help="checkpoint path prefix ('' = off)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--progress-every", type=int, default=100)
+    p.add_argument("--platform", choices=["default", "cpu"],
+                   default="default",
+                   help="cpu = force the host backend (f64-capable, for "
+                        "small verification runs)")
+    return p
+
+
+def pick_dtype(name: str):
+    return {"f32": jnp.float32, "f64": jnp.float64,
+            "bf16": jnp.bfloat16}[name]
+
+
+def apply_platform(args):
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if args.dtype == "f64":
+            jax.config.update("jax_enable_x64", True)
+
+
+def run_demo(model, dt: float, num_steps: int, args, name: str):
+    """Chunked solve: one jitted scan per chunk, host progress in between."""
+    state = model.init_state()
+    chunk = max(args.progress_every, 1)
+    done = 0
+    t_solve = time.perf_counter()
+    while done < num_steps:
+        k = min(chunk, num_steps - done)
+        with timing.timer("~ solve chunk"):
+            state, _ = model.solve(state, dt, k)
+            _ = float(state.u[0, 0, 0])      # sync (axon: BUR is a no-op)
+        done += k
+        print(f"t: {float(state.t):.5e}, steps: {done}/{num_steps}, "
+              f"u[0] = {float(state.u[0, 0, 0]):.6e}", flush=True)
+        if args.checkpoint and args.checkpoint_every and \
+                done % args.checkpoint_every == 0:
+            with timing.timer("~ checkpoint"):
+                fio.save_checkpoint(f"{args.checkpoint}_{done}", state, done)
+    wall = time.perf_counter() - t_solve
+    print(f"Solve time: {wall:.3f}")
+    print(f"Solve time per step: {wall / num_steps:.6f}")
+
+    if args.output:
+        with timing.timer("~ output (vtk)"):
+            path = fio.write_vtk_structured(
+                f"{args.output}_{name}", model.mesh,
+                {"u": np.asarray(state.u), "v": np.asarray(state.v)})
+        print(f"wrote {path}")
+    timing.list_timings()
+    return state

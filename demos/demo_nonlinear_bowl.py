@@ -1,0 +1,90 @@
+"""Flagship: H131-class focused transducer at ~100 W in water, Westervelt
+nonlinear propagation — the physics of
+/root/reference/cuda/demo_nonlinear_bowl.py (1.1 MHz, beta=3.5,
+alpha=0.2 dB/m, source velocity 0.3856 m/s, whole boundary absorbing,
+periodic pressure-plane snapshots once the wave fills the domain).
+
+The reference models the spherical-cap bowl with a body-fitted Gmsh mesh;
+here the bowl is realised as a flat circular aperture with *focus delays*
+(phased-array equivalent — wavelets arrive at the geometric focus in
+phase; see fustpu.models.sources).  H131 geometry: aperture radius 16 mm,
+focal length 35 mm.
+
+    python demos/demo_nonlinear_bowl.py [--elements N] [--degree P] ...
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+from demos.common import apply_platform, demo_argparser, pick_dtype, run_demo  # noqa: E402
+from fustpu.config import Material, Source  # noqa: E402
+from fustpu.mesh.box import build_box_mesh  # noqa: E402
+from fustpu.models import sources  # noqa: E402
+from fustpu.models.westervelt import WesterveltModel  # noqa: E402
+from fustpu.utils import eval as fev  # noqa: E402
+from fustpu.utils import io as fio  # noqa: E402
+
+
+def main():
+    args = demo_argparser(degree=6, periods=8.0).parse_args()
+    apply_platform(args)
+    mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    source_velocity = 0.38557513826589934        # m/s (100 W drive)
+    amplitude = mat.density * mat.sound_speed * source_velocity
+    src = Source(frequency=1.1e6, amplitude=amplitude)
+
+    domain_length = 0.08                         # m (reference :82)
+    aperture_radius = 0.016                      # H131: 32 mm aperture
+    focal_length = 0.035                         # H131: 35 mm focus
+    Lt = 0.05                                    # transverse extent
+    wavelength = mat.sound_speed / src.frequency
+    epw = 2
+    nex = args.elements or int(epw * domain_length / wavelength)
+    net = int(nex * Lt / domain_length)
+    mesh = build_box_mesh((nex, net, net), args.degree,
+                          hi=(domain_length, Lt, Lt))
+    print(f"mesh {mesh.nc}, degree {args.degree}, "
+          f"Number of degrees-of-freedom: {mesh.ndofs}")
+
+    yc = zc = Lt / 2
+    focus = np.array([focal_length, yc, zc])
+    aperture = mesh.boundary_facets(
+        "x-", predicate=lambda c: ((c[:, 1] - yc) ** 2
+                                   + (c[:, 2] - zc) ** 2)
+        < aperture_radius**2)
+    if len(aperture) == 0:
+        raise SystemExit("aperture selected no facets — increase --elements "
+                         "so facet centroids resolve the 16 mm radius")
+    print(f"aperture facets: {len(aperture)}")
+
+    model = WesterveltModel(
+        mesh, mat, src, aperture, mesh.all_boundary_facets(),
+        dtype=pick_dtype(args.dtype),
+        source_delays=lambda pts: sources.focus_delays(
+            pts, focus, mat.sound_speed))
+    dt, _ = model.cfl_dt(0.4)
+    tf = domain_length / mat.sound_speed + args.periods / src.frequency
+    nsteps = int(tf / dt) + 1
+    print(f"Number of steps: {nsteps}")
+    state = run_demo(model, dt, nsteps, args, "nonlinear_bowl")
+
+    if args.output:
+        # axial pressure plane snapshot (reference 357 x 179 grid,
+        # cuda/demo_nonlinear_bowl.py:136-141)
+        pts, vals = fev.eval_plane(mesh, np.asarray(state.u), axis=2,
+                                   coord=zc, n0=357, n1=179)
+        p = fio.save_point_cloud(f"{args.output}_pressure_plane.txt",
+                                 pts, vals, cols=(0, 1))
+        print(f"wrote {p}")
+        focal_p = fev.evaluate(mesh, np.asarray(state.u),
+                               focus[None, :])[0]
+        print(f"pressure at focus: {focal_p:.1f} Pa")
+
+
+if __name__ == "__main__":
+    main()

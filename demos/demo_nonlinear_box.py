@@ -1,0 +1,45 @@
+"""Westervelt nonlinear wave in a homogeneous box, plane source —
+the physics of /root/reference/cuda/demo_nonlinear_box.py (P=6, strong
+nonlinearity + attenuation so harmonics develop over a short domain).
+
+    python demos/demo_nonlinear_box.py [--elements N] [--degree P] ...
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from demos.common import apply_platform, demo_argparser, pick_dtype, run_demo  # noqa: E402
+from fustpu.config import Material, Source  # noqa: E402
+from fustpu.mesh.box import build_box_mesh  # noqa: E402
+from fustpu.models.westervelt import WesterveltModel  # noqa: E402
+
+
+def main():
+    args = demo_argparser(degree=6).parse_args()
+    apply_platform(args)
+    # reference cuda/demo_nonlinear_box.py material block: beta=100,
+    # alpha=50 dB/m exaggerate nonlinear/attenuation effects for testing
+    mat = Material(sound_speed=1500.0, density=1000.0,
+                   nonlinearity=100.0, attenuation_dB=50.0)
+    src = Source(frequency=0.5e6, amplitude=60000.0)
+    L = 0.03
+    wavelength = mat.sound_speed / src.frequency
+    ne = args.elements or int(2 * L / wavelength)
+    mesh = build_box_mesh((ne,) * 3, args.degree, hi=(L, L, L))
+    print(f"Number of degrees-of-freedom: {mesh.ndofs}")
+
+    model = WesterveltModel(mesh, mat, src,
+                            mesh.boundary_facets("x-"),
+                            mesh.all_boundary_facets(),
+                            dtype=pick_dtype(args.dtype))
+    dt, _ = model.cfl_dt(0.4)
+    tf = L / mat.sound_speed + args.periods / src.frequency
+    nsteps = int(tf / dt) + 1
+    print(f"Number of steps: {nsteps}")
+    run_demo(model, dt, nsteps, args, "nonlinear_box")
+
+
+if __name__ == "__main__":
+    main()

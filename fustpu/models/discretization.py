@@ -102,16 +102,25 @@ class Discretization:
             cell_coeff).reshape(self.mesh.nc)
         return mm.mass_diagonal(self.mesh.nc, self.P, self._detJ_host, coeff)
 
-    def facet_diag_host(self, block: FacetBlock,
-                        facet_coeff: np.ndarray) -> np.ndarray:
+    def facet_diag_host(self, block: FacetBlock, facet_coeff: np.ndarray,
+                        node_weights: np.ndarray | None = None) -> np.ndarray:
         """Global diagonal of a facet-mass operator (float64 host).  Also
         the precomputed source vector: because the reference's source fields
         are spatially constant scalars g(t) (demo_nonlinear_bowl.py:597-598),
-        the per-stage source assembly is g(t) * this vector."""
+        the per-stage source assembly is g(t) * this vector.  Optional
+        per-facet-node `node_weights` (nf, n^2) support apodised / phased
+        (focused) apertures."""
         vals = block.detJ_host * np.asarray(facet_coeff)[:, None]
+        if node_weights is not None:
+            vals = vals * node_weights
         y = np.zeros(self.mesh.ndofs)
         np.add.at(y, block.dofmap_host.ravel(), vals.ravel())
         return y.reshape(self.mesh.grid_shape)
+
+    def facet_points(self, block: FacetBlock) -> np.ndarray:
+        """(nf, n^2, 3) physical coordinates of facet nodes (for delay /
+        apodisation profiles)."""
+        return self.mesh.node_coords.reshape(-1, 3)[block.dofmap_host]
 
     def to_grid(self, flat: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(

@@ -39,7 +39,13 @@ class LinearWaveModel:
         source_facets: np.ndarray,
         absorbing_facets: np.ndarray | None,
         dtype=jnp.float32,
+        source_delays=None,
+        source_apodization=None,
     ):
+        """`source_delays`: optional per-node delay profile tau(x) for a
+        phased (focused) aperture — a callable(points (N,3)) -> tau (N,) or
+        an (nf, n^2) array.  `source_apodization`: optional amplitude
+        profile, same convention.  See fustpu.models.sources."""
         self.mesh = mesh
         self.material = material
         self.source = source
@@ -55,11 +61,25 @@ class LinearWaveModel:
         # media: pass an expanded coeff to stiffness_apply_mm instead)
         self.c2_scalar = dtype(-1.0 / rho)
 
-        # source boundary: g(t) spatially constant -> contribution is
-        # g(t) * s_vec (exact; see Discretization.facet_diag_host)
+        # source boundary: the g(t) facet term reduces to precomputed
+        # diagonal vector(s): one for a plain aperture, a cos/sin pair for a
+        # phased (focused) one (see fustpu.models.sources).
         self.src_block = disc.facet_block(source_facets)
-        self.s_vec = disc.to_grid(disc.facet_diag_host(
-            self.src_block, np.full(self.src_block.num_facets, 1.0 / rho)))
+        fcoeff = np.full(self.src_block.num_facets, 1.0 / rho)
+        apod, phi = sources.resolve_profiles(
+            disc, self.src_block, source.angular_frequency,
+            source_delays, source_apodization)
+        if phi is None:
+            self.s_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, fcoeff, apod))
+            self.s_sin = None
+        else:
+            cw = np.cos(phi) if apod is None else apod * np.cos(phi)
+            sw = np.sin(phi) if apod is None else apod * np.sin(phi)
+            self.s_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, fcoeff, cw))
+            self.s_sin = disc.to_grid(disc.facet_diag_host(
+                self.src_block, fcoeff, sw))
 
         # absorbing boundary: -(1/(rho c)) v_n v ds — a facet diagonal
         self.fvec_abs = None
@@ -77,7 +97,9 @@ class LinearWaveModel:
     def params(self):
         """All device arrays, threaded explicitly through jit (never
         closure-captured — large constants wreck compile times)."""
-        p = {"m": self.m, "s1": self.s_vec, "mm": self.disc.mm_op}
+        p = {"m": self.m, "s_cos": self.s_cos, "mm": self.disc.mm_op}
+        if self.s_sin is not None:
+            p["s_sin"] = self.s_sin
         if self.fvec_abs is not None:
             p["fvec"] = self.fvec_abs
         return p
@@ -85,8 +107,11 @@ class LinearWaveModel:
     def _rhs(self, params, t, u, v):
         """kv = M^{-1} b(t, u, v) on the node grid."""
         b = self.c2_scalar * mm.stiffness_apply_mm(params["mm"], u)
-        g = sources.linear_source(t, self.source, self.material.sound_speed)
-        b = b + g.astype(self.dtype) * params["s1"]
+        a_c, a_s = sources.linear_source_coeffs(t, self.source,
+                                                self.material.sound_speed)
+        b = b + a_c.astype(self.dtype) * params["s_cos"]
+        if "s_sin" in params:
+            b = b + a_s.astype(self.dtype) * params["s_sin"]
         if "fvec" in params:
             b = b + v * params["fvec"]
         return b / params["m"]

@@ -42,7 +42,13 @@ class WesterveltModel:
         source_facets: np.ndarray,
         absorbing_facets: np.ndarray | None,
         dtype=jnp.float32,
+        source_delays=None,
+        source_apodization=None,
     ):
+        """`source_delays` / `source_apodization`: optional per-node phased-
+        aperture profiles (callable(points)->array or (nf, n^2) arrays) —
+        the flat phased-array equivalent of the reference's curved H131
+        bowl mesh (see fustpu.models.sources)."""
         self.mesh = mesh
         self.material = material
         self.source = source
@@ -80,13 +86,32 @@ class WesterveltModel:
             self.abs_block = None
         self.m0 = disc.to_grid(m0)
 
-        # source boundary: g/dg spatially constant -> precomputed vectors
+        # source boundary: g/dg time-separable -> precomputed vectors (a
+        # cos/sin pair each for phased apertures)
         self.src_block = disc.facet_block(source_facets)
         nfs = self.src_block.num_facets
-        self.s1_vec = disc.to_grid(disc.facet_diag_host(
-            self.src_block, np.full(nfs, 1.0 / rho)))
-        self.s2_vec = disc.to_grid(disc.facet_diag_host(
-            self.src_block, np.full(nfs, delta / (rho * c * c))))
+        apod, phi = sources.resolve_profiles(
+            disc, self.src_block, source.angular_frequency,
+            source_delays, source_apodization)
+        f1 = np.full(nfs, 1.0 / rho)
+        f2 = np.full(nfs, delta / (rho * c * c))
+        if phi is None:
+            self.s1_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f1, apod))
+            self.s2_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f2, apod))
+            self.s1_sin = self.s2_sin = None
+        else:
+            cw = np.cos(phi) if apod is None else apod * np.cos(phi)
+            sw = np.sin(phi) if apod is None else apod * np.sin(phi)
+            self.s1_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f1, cw))
+            self.s1_sin = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f1, sw))
+            self.s2_cos = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f2, cw))
+            self.s2_sin = disc.to_grid(disc.facet_diag_host(
+                self.src_block, f2, sw))
         self._solver_cache = {}
 
     # ------------------------------------------------------------------
@@ -94,8 +119,10 @@ class WesterveltModel:
     def params(self):
         """All device arrays, threaded explicitly through jit (never
         closure-captured — large constants wreck compile times)."""
-        p = {"m0": self.m0, "mvec2": self.mvec2, "s1": self.s1_vec,
-             "s2": self.s2_vec, "mm": self.disc.mm_op}
+        p = {"m0": self.m0, "mvec2": self.mvec2, "s1_cos": self.s1_cos,
+             "s2_cos": self.s2_cos, "mm": self.disc.mm_op}
+        if self.s1_sin is not None:
+            p["s1_sin"], p["s2_sin"] = self.s1_sin, self.s2_sin
         if self.fvec_abs is not None:
             p["fvec"] = self.fvec_abs
         return p
@@ -107,10 +134,14 @@ class WesterveltModel:
         b = mm.stiffness_apply_mm(params["mm"],
                                   self.c3_scalar * u + self.c4_scalar * v)
         b = b - (v * v) * params["mvec2"]     # + nl * v^2 mass term
-        g, dg = sources.westervelt_source(t, self.source,
-                                          self.material.sound_speed)
-        b = b + g.astype(self.dtype) * params["s1"]
-        b = b + dg.astype(self.dtype) * params["s2"]
+        (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
+            t, self.source, self.material.sound_speed)
+        dt_ = self.dtype
+        b = b + g_c.astype(dt_) * params["s1_cos"]
+        b = b + dg_c.astype(dt_) * params["s2_cos"]
+        if "s1_sin" in params:
+            b = b + g_s.astype(dt_) * params["s1_sin"]
+            b = b + dg_s.astype(dt_) * params["s2_sin"]
         if "fvec" in params:
             b = b + v * params["fvec"]
         return b / m

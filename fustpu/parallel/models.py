@@ -87,12 +87,17 @@ class ShardedModel:
 
         if self.kind == "linear":
             dist["m"] = put_node(model.m)
-            dist["s1"] = put_node(model.s_vec)
+            dist["s_cos"] = put_node(model.s_cos)
+            if model.s_sin is not None:
+                dist["s_sin"] = put_node(model.s_sin)
         else:
             dist["m0"] = put_node(model.m0)
             dist["mvec2"] = put_node(model.mvec2)
-            dist["s1"] = put_node(model.s1_vec)
-            dist["s2"] = put_node(model.s2_vec)
+            dist["s1_cos"] = put_node(model.s1_cos)
+            dist["s2_cos"] = put_node(model.s2_cos)
+            if model.s1_sin is not None:
+                dist["s1_sin"] = put_node(model.s1_sin)
+                dist["s2_sin"] = put_node(model.s2_sin)
         if model.fvec_abs is not None:
             dist["fvec"] = put_node(model.fvec_abs)
         self.has_abs = model.fvec_abs is not None
@@ -116,9 +121,11 @@ class ShardedModel:
         if self.kind == "linear":
             b = sh.halo_sum(
                 model.c2_scalar * self._local_stiffness(ctx, u), self.S)
-            g = sources.linear_source(t, model.source,
-                                      model.material.sound_speed)
-            b = b + g.astype(self.dtype) * d["s1"]
+            a_c, a_s = sources.linear_source_coeffs(
+                t, model.source, model.material.sound_speed)
+            b = b + a_c.astype(self.dtype) * d["s_cos"]
+            if "s_sin" in d:
+                b = b + a_s.astype(self.dtype) * d["s_sin"]
             if self.has_abs:
                 b = b + v * d["fvec"]
             return b / d["m"]
@@ -127,10 +134,13 @@ class ShardedModel:
         b = sh.halo_sum(self._local_stiffness(
             ctx, model.c3_scalar * u + model.c4_scalar * v), self.S)
         b = b - (v * v) * d["mvec2"]
-        g, dg = sources.westervelt_source(t, model.source,
-                                          model.material.sound_speed)
-        b = b + g.astype(self.dtype) * d["s1"]
-        b = b + dg.astype(self.dtype) * d["s2"]
+        (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
+            t, model.source, model.material.sound_speed)
+        b = b + g_c.astype(self.dtype) * d["s1_cos"]
+        b = b + dg_c.astype(self.dtype) * d["s2_cos"]
+        if "s1_sin" in d:
+            b = b + g_s.astype(self.dtype) * d["s1_sin"]
+            b = b + dg_s.astype(self.dtype) * d["s2_sin"]
         if self.has_abs:
             b = b + v * d["fvec"]
         return b / m

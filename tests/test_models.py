@@ -144,3 +144,45 @@ def test_solve_probe_records():
     final, ys = model.solve(model.init_state(), 1e-3, 5,
                             probe=lambda s: s.u[0, 0, 0])
     assert ys.shape == (5,)
+
+
+def test_phased_source_focuses():
+    """A flat aperture with focus delays concentrates pressure near the
+    focal point (the phased-array equivalent of the reference's curved-bowl
+    transducer)."""
+    from fustpu.models import sources as src_mod
+
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=1.0e6, amplitude=1.0, window_periods=1.0)
+    wavelength = mat.sound_speed / src.frequency      # 1.5 mm
+    L = 8 * wavelength
+    mesh = build_box_mesh((12, 12, 12), 3, hi=(L, L, L))
+    focus = np.array([0.6 * L, L / 2, L / 2])
+    s_facets = mesh.boundary_facets("x-")
+
+    def delays(pts):
+        return src_mod.focus_delays(pts, focus, mat.sound_speed)
+
+    kw = dict(dtype=jnp.float64)
+    m_foc = LinearWaveModel(mesh, mat, src, s_facets,
+                            mesh.all_boundary_facets(),
+                            source_delays=delays, **kw)
+    m_flat = LinearWaveModel(mesh, mat, src, s_facets,
+                             mesh.all_boundary_facets(), **kw)
+    dt, _ = m_foc.cfl_dt(0.5)
+    # run until the focused wavefront reaches the focus
+    tmax = (np.max(np.linalg.norm(
+        np.array([[0, 0, 0], [0, L, L]]) - focus, axis=1))
+        / mat.sound_speed + 1.5 / src.frequency)
+    nsteps = int(tmax / dt) + 1
+    uf, _ = m_foc.solve(m_foc.init_state(), dt, nsteps)
+    ul, _ = m_flat.solve(m_flat.init_state(), dt, nsteps)
+
+    from fustpu.utils.eval import evaluate
+    probe_pts = np.array([focus, [0.6 * L, 0.15 * L, 0.15 * L]])
+    pf = evaluate(mesh, np.asarray(uf.u), probe_pts)
+    # focused run: strong at focus, weak off axis
+    assert abs(pf[0]) > 3 * abs(pf[1]), pf
+    # focal pressure of the focused run beats the flat aperture's there
+    pl = evaluate(mesh, np.asarray(ul.u), probe_pts)
+    assert abs(pf[0]) > 1.2 * abs(pl[0]), (pf[0], pl[0])
