@@ -33,9 +33,17 @@ def _jacobians(corners: np.ndarray, grads: np.ndarray) -> np.ndarray:
     return np.einsum("cvp,qvr->cqpr", corners, grads, optimize=True)
 
 
-def cell_geometry_factors(mesh: BoxMesh):
-    """Returns (detJ, G) with detJ (cells, nq) and G (cells, nq, 6)."""
+def cell_geometry_factors(mesh: BoxMesh, use_native: bool = True):
+    """Returns (detJ, G) with detJ (cells, nq) and G (cells, nq, 6).
+    Uses the native C++ runtime when built (fustpu.native_bindings)."""
     elem = mesh.element
+    if use_native:
+        from fustpu import native_bindings as nb
+
+        out = nb.cell_geometry(mesh.cell_corners_flat, elem.quad_points,
+                               elem.quad_weights)
+        if out is not None:
+            return out
     _, grads = hex8_tabulate(elem.quad_points)       # (nq, 8, 3)
     wts = elem.quad_weights                          # (nq,)
     corners = mesh.cell_corners_flat                 # (cells, 8, 3)
@@ -61,10 +69,19 @@ def cell_geometry_factors(mesh: BoxMesh):
     return detJ, G
 
 
-def facet_geometry_factors(mesh: BoxMesh, boundary_data: np.ndarray):
+def facet_geometry_factors(mesh: BoxMesh, boundary_data: np.ndarray,
+                           use_native: bool = True):
     """detJ_f (nf, n^2): surface measure * weights at facet GLL points for
     (cell, local_facet) pairs."""
     elem = mesh.element
+    if use_native and boundary_data.shape[0] > 0:
+        from fustpu import native_bindings as nb
+
+        qpts_f = np.stack([elem.facet_quad_points(f) for f in range(6)])
+        out = nb.facet_geometry(mesh.cell_corners_flat, qpts_f,
+                                elem.facet_quad_weights, boundary_data)
+        if out is not None:
+            return out
     wts_f = elem.facet_quad_weights                  # (n^2,)
     corners = mesh.cell_corners_flat
     nf = boundary_data.shape[0]
