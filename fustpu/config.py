@@ -30,27 +30,40 @@ RK4_B = np.array([1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0])
 RK4_C = np.array([0.0, 0.5, 0.5, 1.0])
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Material:
-    """Homogeneous material parameters.
+    """Material parameters — scalars for homogeneous media, or per-cell
+    arrays (any shape broadcastable to mesh.nc) for heterogeneous media.
 
     Mirrors the reference's DG-0 material fields (cuda/demo_nonlinear_bowl.py
-    :163-180); heterogeneous (per-cell) coefficients are supported by the
-    operators directly, this is the convenience container for the uniform
-    case.
+    :163-180, which are per-cell arrays filled with constants).
     """
 
-    sound_speed: float = 1500.0        # c0 [m/s]
-    density: float = 1000.0            # rho0 [kg/m^3]
-    nonlinearity: float = 0.0          # beta (Westervelt); 0 => linear
-    attenuation_dB: float = 0.0        # alpha [dB/m]
+    sound_speed: float | np.ndarray = 1500.0   # c0 [m/s]
+    density: float | np.ndarray = 1000.0       # rho0 [kg/m^3]
+    nonlinearity: float | np.ndarray = 0.0     # beta (Westervelt)
+    attenuation_dB: float | np.ndarray = 0.0   # alpha [dB/m]
 
-    def diffusivity_of_sound(self, angular_frequency: float) -> float:
+    @property
+    def is_uniform(self) -> bool:
+        return all(np.ndim(v) == 0 for v in
+                   (self.sound_speed, self.density, self.nonlinearity,
+                    self.attenuation_dB))
+
+    def cell_fields(self, nc) -> tuple:
+        """(c, rho, beta, alpha) broadcast to per-cell arrays of shape nc."""
+        return tuple(np.broadcast_to(np.asarray(v, np.float64), nc)
+                     for v in (self.sound_speed, self.density,
+                               self.nonlinearity, self.attenuation_dB))
+
+    def diffusivity_of_sound(self, angular_frequency: float):
         """delta = 2 c^3 alpha_Np / omega^2 (reference cuda/utils.py:157-162)."""
-        alpha_np = self.attenuation_dB / 20.0 * math.log(10.0)
+        alpha_np = np.asarray(self.attenuation_dB) / 20.0 * math.log(10.0)
         if angular_frequency == 0.0:
-            return 0.0
-        return 2.0 * alpha_np * self.sound_speed**3 / angular_frequency**2
+            return np.zeros_like(alpha_np) if alpha_np.ndim else 0.0
+        delta = (2.0 * alpha_np * np.asarray(self.sound_speed) ** 3
+                 / angular_frequency**2)
+        return delta if delta.ndim else float(delta)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,19 +53,28 @@ class LinearWaveModel:
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
-        rho, c = material.density, material.sound_speed
+        c, rho, _, _ = material.cell_fields(mesh.nc)
+        self.uniform = material.is_uniform
         # steady diagonal LHS: mass diag with coeff 1/(rho c^2), f64 host
-        self.m = disc.to_grid(disc.mass_diag_host(
-            np.full(mesh.nc, 1.0 / (rho * c * c))))
-        # uniform-material stiffness coefficient as a scalar (heterogeneous
-        # media: pass an expanded coeff to stiffness_apply_mm instead)
-        self.c2_scalar = dtype(-1.0 / rho)
+        self.m = disc.to_grid(disc.mass_diag_host(1.0 / (rho * c * c)))
+        # stiffness coefficient -1/rho: a scalar for uniform media (fused
+        # into the apply), an expanded per-cell field otherwise
+        if self.uniform:
+            self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
+            self.c2_e = None
+        else:
+            self.c2_scalar = None
+            self.c2_e = jnp.asarray(
+                mm.expand_cell_field(-1.0 / rho, mesh.degree + 1), dtype)
 
         # source boundary: the g(t) facet term reduces to precomputed
         # diagonal vector(s): one for a plain aperture, a cos/sin pair for a
         # phased (focused) one (see fustpu.models.sources).
         self.src_block = disc.facet_block(source_facets)
-        fcoeff = np.full(self.src_block.num_facets, 1.0 / rho)
+        fcoeff = 1.0 / rho.reshape(-1)[self.src_block.cells]
+        # scalar sound speed at the source (enters the source amplitude)
+        self.c_src = float(np.mean(c.reshape(-1)[self.src_block.cells])) \
+            if self.src_block.num_facets else float(np.max(c))
         apod, phi = sources.resolve_profiles(
             disc, self.src_block, source.angular_frequency,
             source_delays, source_apodization)
@@ -86,8 +95,9 @@ class LinearWaveModel:
         if absorbing_facets is not None and len(absorbing_facets) > 0:
             blk = disc.facet_block(absorbing_facets)
             self.abs_block = blk
+            rc = (rho * c).reshape(-1)[blk.cells]
             self.fvec_abs = disc.to_grid(disc.facet_diag_host(
-                blk, np.full(blk.num_facets, -1.0 / (rho * c))))
+                blk, -1.0 / rc))
         else:
             self.abs_block = None
         self._solver_cache = {}
@@ -98,6 +108,8 @@ class LinearWaveModel:
         """All device arrays, threaded explicitly through jit (never
         closure-captured — large constants wreck compile times)."""
         p = {"m": self.m, "s_cos": self.s_cos, "mm": self.disc.mm_op}
+        if self.c2_e is not None:
+            p["c2_e"] = self.c2_e
         if self.s_sin is not None:
             p["s_sin"] = self.s_sin
         if self.fvec_abs is not None:
@@ -106,9 +118,12 @@ class LinearWaveModel:
 
     def _rhs(self, params, t, u, v):
         """kv = M^{-1} b(t, u, v) on the node grid."""
-        b = self.c2_scalar * mm.stiffness_apply_mm(params["mm"], u)
-        a_c, a_s = sources.linear_source_coeffs(t, self.source,
-                                                self.material.sound_speed)
+        if self.uniform:
+            b = self.c2_scalar * mm.stiffness_apply_mm(params["mm"], u)
+        else:
+            b = mm.stiffness_apply_mm(params["mm"], u,
+                                      coeff_e=params["c2_e"])
+        a_c, a_s = sources.linear_source_coeffs(t, self.source, self.c_src)
         b = b + a_c.astype(self.dtype) * params["s_cos"]
         if "s_sin" in params:
             b = b + a_s.astype(self.dtype) * params["s_sin"]
@@ -142,7 +157,7 @@ class LinearWaveModel:
     def cfl_dt(self, cfl: float = 0.65) -> tuple[float, int]:
         """dt = CFL h / (c P^2), snapped to an integer number of steps per
         source period (reference numba-cpu/demo_linear_box.py:94-100)."""
-        dt = cfl * self.mesh.hmin() / (
-            self.material.sound_speed * self.mesh.degree**2)
+        c_max = float(np.max(self.material.sound_speed))
+        dt = cfl * self.mesh.hmin() / (c_max * self.mesh.degree**2)
         spp = int(self.source.period / dt) + 1
         return self.source.period / spp, spp

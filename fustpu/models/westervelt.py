@@ -56,32 +56,43 @@ class WesterveltModel:
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
-        rho, c = material.density, material.sound_speed
-        beta = material.nonlinearity
-        delta = material.diffusivity_of_sound(source.angular_frequency)
-        self.delta = delta
+        c, rho, beta, _ = material.cell_fields(mesh.nc)
+        delta = np.broadcast_to(np.asarray(
+            material.diffusivity_of_sound(source.angular_frequency),
+            np.float64), mesh.nc)
+        self.delta = delta if np.ptp(delta) else float(delta.flat[0])
+        self.uniform = material.is_uniform
 
         # cell coefficients (cuda/demo_nonlinear_bowl.py:357-362)
         nl = 2.0 * beta / (rho * rho * c**4)
-        self.c3_scalar = dtype(-1.0 / rho)
-        self.c4_scalar = dtype(-delta / (rho * c * c))
+        if self.uniform:
+            self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
+            self.c4_scalar = dtype(-float(delta.flat[0])
+                                   / float((rho * c * c).flat[0]))
+            self.c3_e = self.c4_e = None
+        else:
+            self.c3_scalar = self.c4_scalar = None
+            n = mesh.degree + 1
+            self.c3_e = jnp.asarray(mm.expand_cell_field(-1.0 / rho, n),
+                                    dtype)
+            self.c4_e = jnp.asarray(
+                mm.expand_cell_field(-delta / (rho * c * c), n), dtype)
 
         # unsteady mass diagonal: mass(u; -nl) = u * mvec2 (and the v^2 RHS
         # term uses +nl, i.e. exactly -mvec2)
-        unit_mass = disc.mass_diag_host()
-        self.mvec2 = disc.to_grid(-nl * unit_mass)
+        self.mvec2 = disc.to_grid(disc.mass_diag_host(-nl))
 
         # steady LHS m0 (+ absorbing-facet delta term), f64 host
-        m0 = disc.mass_diag_host(np.full(mesh.nc, 1.0 / (rho * c * c)))
+        m0 = disc.mass_diag_host(1.0 / (rho * c * c))
         self.fvec_abs = None
         if absorbing_facets is not None and len(absorbing_facets) > 0:
             blk = disc.facet_block(absorbing_facets)
             self.abs_block = blk
-            nfa = blk.num_facets
+            cells = blk.cells
             m0 = m0 + disc.facet_diag_host(
-                blk, np.full(nfa, delta / (rho * c**3)))
+                blk, (delta / (rho * c**3)).reshape(-1)[cells])
             self.fvec_abs = disc.to_grid(disc.facet_diag_host(
-                blk, np.full(nfa, -1.0 / (rho * c))))
+                blk, (-1.0 / (rho * c)).reshape(-1)[cells]))
         else:
             self.abs_block = None
         self.m0 = disc.to_grid(m0)
@@ -90,11 +101,14 @@ class WesterveltModel:
         # cos/sin pair each for phased apertures)
         self.src_block = disc.facet_block(source_facets)
         nfs = self.src_block.num_facets
+        self.c_src = float(np.mean(c.reshape(-1)[self.src_block.cells])) \
+            if nfs else float(np.max(c))
         apod, phi = sources.resolve_profiles(
             disc, self.src_block, source.angular_frequency,
             source_delays, source_apodization)
-        f1 = np.full(nfs, 1.0 / rho)
-        f2 = np.full(nfs, delta / (rho * c * c))
+        scells = self.src_block.cells
+        f1 = (1.0 / rho).reshape(-1)[scells]
+        f2 = (delta / (rho * c * c)).reshape(-1)[scells]
         if phi is None:
             self.s1_cos = disc.to_grid(disc.facet_diag_host(
                 self.src_block, f1, apod))
@@ -121,6 +135,8 @@ class WesterveltModel:
         closure-captured — large constants wreck compile times)."""
         p = {"m0": self.m0, "mvec2": self.mvec2, "s1_cos": self.s1_cos,
              "s2_cos": self.s2_cos, "mm": self.disc.mm_op}
+        if self.c3_e is not None:
+            p["c3_e"], p["c4_e"] = self.c3_e, self.c4_e
         if self.s1_sin is not None:
             p["s1_sin"], p["s2_sin"] = self.s1_sin, self.s2_sin
         if self.fvec_abs is not None:
@@ -130,12 +146,18 @@ class WesterveltModel:
     def _rhs(self, params, t, u, v):
         # unsteady LHS: m = m0 + mass(u; -2 beta / rho^2 c^4) — diagonal
         m = params["m0"] + u * params["mvec2"]
-        # both stiffness terms in ONE apply (linear operator, scalar coeffs)
-        b = mm.stiffness_apply_mm(params["mm"],
-                                  self.c3_scalar * u + self.c4_scalar * v)
+        if self.uniform:
+            # both stiffness terms in ONE apply (linearity, scalar coeffs)
+            b = mm.stiffness_apply_mm(
+                params["mm"], self.c3_scalar * u + self.c4_scalar * v)
+        else:
+            b = mm.stiffness_apply_mm(params["mm"], u,
+                                      coeff_e=params["c3_e"])
+            b = b + mm.stiffness_apply_mm(params["mm"], v,
+                                          coeff_e=params["c4_e"])
         b = b - (v * v) * params["mvec2"]     # + nl * v^2 mass term
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
-            t, self.source, self.material.sound_speed)
+            t, self.source, self.c_src)
         dt_ = self.dtype
         b = b + g_c.astype(dt_) * params["s1_cos"]
         b = b + dg_c.astype(dt_) * params["s2_cos"]
@@ -170,7 +192,7 @@ class WesterveltModel:
         return self._solver_cache[key](self.params, state, dt_, tf_)
 
     def cfl_dt(self, cfl: float = 0.4) -> tuple[float, int]:
-        dt = cfl * self.mesh.hmin() / (
-            self.material.sound_speed * self.mesh.degree**2)
+        c_max = float(np.max(self.material.sound_speed))
+        dt = cfl * self.mesh.hmin() / (c_max * self.mesh.degree**2)
         spp = int(self.source.period / dt) + 1
         return self.source.period / spp, spp

@@ -85,11 +85,17 @@ class ShardedModel:
         dist["G"] = grid.put(split_expanded_field(
             np.asarray(disc.mm_op.G, np.float64), nc, S, n), dtype)
 
+        def put_exp(a):
+            return grid.put(split_expanded_field(
+                np.asarray(a, np.float64), nc, S, n), dtype)
+
         if self.kind == "linear":
             dist["m"] = put_node(model.m)
             dist["s_cos"] = put_node(model.s_cos)
             if model.s_sin is not None:
                 dist["s_sin"] = put_node(model.s_sin)
+            if model.c2_e is not None:
+                dist["c2_e"] = put_exp(model.c2_e)
         else:
             dist["m0"] = put_node(model.m0)
             dist["mvec2"] = put_node(model.mvec2)
@@ -98,6 +104,9 @@ class ShardedModel:
             if model.s1_sin is not None:
                 dist["s1_sin"] = put_node(model.s1_sin)
                 dist["s2_sin"] = put_node(model.s2_sin)
+            if model.c3_e is not None:
+                dist["c3_e"] = put_exp(model.c3_e)
+                dist["c4_e"] = put_exp(model.c4_e)
         if model.fvec_abs is not None:
             dist["fvec"] = put_node(model.fvec_abs)
         self.has_abs = model.fvec_abs is not None
@@ -110,19 +119,22 @@ class ShardedModel:
         self._solve_cache = {}
 
     # ---------------- local physics (inside shard_map) -------------------
-    def _local_stiffness(self, ctx, x):
+    def _local_stiffness(self, ctx, x, coeff_e=None):
         op = mm.MMStiffness(W=ctx["repl"]["W"], Dt=ctx["repl"]["Dt"],
                             G=ctx["dist"]["G"])
-        return mm.stiffness_apply_mm(op, x)
+        return mm.stiffness_apply_mm(op, x, coeff_e=coeff_e)
 
     def _local_rhs(self, ctx, t, u, v):
         d = ctx["dist"]
         model = self.model
         if self.kind == "linear":
-            b = sh.halo_sum(
-                model.c2_scalar * self._local_stiffness(ctx, u), self.S)
+            if model.uniform:
+                b = model.c2_scalar * self._local_stiffness(ctx, u)
+            else:
+                b = self._local_stiffness(ctx, u, d["c2_e"])
+            b = sh.halo_sum(b, self.S)
             a_c, a_s = sources.linear_source_coeffs(
-                t, model.source, model.material.sound_speed)
+                t, model.source, model.c_src)
             b = b + a_c.astype(self.dtype) * d["s_cos"]
             if "s_sin" in d:
                 b = b + a_s.astype(self.dtype) * d["s_sin"]
@@ -131,11 +143,16 @@ class ShardedModel:
             return b / d["m"]
 
         m = d["m0"] + u * d["mvec2"]
-        b = sh.halo_sum(self._local_stiffness(
-            ctx, model.c3_scalar * u + model.c4_scalar * v), self.S)
+        if model.uniform:
+            b = self._local_stiffness(
+                ctx, model.c3_scalar * u + model.c4_scalar * v)
+        else:
+            b = (self._local_stiffness(ctx, u, d["c3_e"])
+                 + self._local_stiffness(ctx, v, d["c4_e"]))
+        b = sh.halo_sum(b, self.S)
         b = b - (v * v) * d["mvec2"]
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
-            t, model.source, model.material.sound_speed)
+            t, model.source, model.c_src)
         b = b + g_c.astype(self.dtype) * d["s1_cos"]
         b = b + dg_c.astype(self.dtype) * d["s2_cos"]
         if "s1_sin" in d:
