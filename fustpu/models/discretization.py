@@ -63,6 +63,27 @@ class Discretization:
         return mm.build_stiffness(self.mesh.nc, self.P, self._D_host,
                                   self._G_host, self.dtype)
 
+    def pallas_op(self, coeff=None):
+        """Fused-kernel stiffness operator (fustpu.ops.pallas_stiffness);
+        per-cell coefficients are folded into G at build time."""
+        from fustpu.ops import pallas_stiffness as ps
+
+        return ps.build(self.mesh.nc, self.P, self._D_host, self._G_host,
+                        self.dtype, coeff=coeff)
+
+    def pallas_fits(self) -> bool:
+        """Whether one x-slab fits VMEM: the G block (6n slices) + live
+        temporaries (~3n slices: u/f0, wx, r) + in/out blocks."""
+        n = self.P + 1
+        _, ncy, ncz = self.mesh.nc
+        gy, gz = ncy * self.P + 1, ncz * self.P + 1
+        ey, ez = ncy * n, ncz * n
+        pad = lambda d: -(-d // 128) * 128
+        slab = ey * pad(ez) * 4
+        io = gy * pad(gz) * 4
+        bytes_needed = (6 * n + 3 * n) * slab + 2 * n * io
+        return bytes_needed < 12 * 2**20
+
     # legacy/structured-layout device arrays (tests, generic API)
     @functools.cached_property
     def detJ_s(self):
@@ -125,3 +146,18 @@ class Discretization:
     def to_grid(self, flat: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(
             np.asarray(flat).reshape(self.mesh.grid_shape), self.dtype)
+
+
+def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
+    """'auto' picks the fused Pallas kernel on TPU backends when the slab
+    fits VMEM, else the XLA matmul formulation."""
+    if impl != "auto":
+        return impl
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        on_tpu = "tpu" in dev.platform.lower() or "tpu" in str(dev).lower()
+    except Exception:
+        on_tpu = False
+    return "pallas" if (on_tpu and disc.pallas_fits()) else "mm"

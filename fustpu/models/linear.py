@@ -26,7 +26,7 @@ import numpy as np
 from fustpu.config import Material, Source
 from fustpu.mesh.box import BoxMesh
 from fustpu.models import sources, timestepping
-from fustpu.models.discretization import Discretization
+from fustpu.models.discretization import Discretization, resolve_stiffness_impl
 from fustpu.ops import spectral_mm as mm
 
 
@@ -41,11 +41,13 @@ class LinearWaveModel:
         dtype=jnp.float32,
         source_delays=None,
         source_apodization=None,
+        stiffness_impl: str = "auto",
     ):
         """`source_delays`: optional per-node delay profile tau(x) for a
         phased (focused) aperture — a callable(points (N,3)) -> tau (N,) or
         an (nf, n^2) array.  `source_apodization`: optional amplitude
-        profile, same convention.  See fustpu.models.sources."""
+        profile, same convention.  See fustpu.models.sources.
+        `stiffness_impl`: 'auto' | 'mm' | 'pallas'."""
         self.mesh = mesh
         self.material = material
         self.source = source
@@ -59,13 +61,19 @@ class LinearWaveModel:
         self.m = disc.to_grid(disc.mass_diag_host(1.0 / (rho * c * c)))
         # stiffness coefficient -1/rho: a scalar for uniform media (fused
         # into the apply), an expanded per-cell field otherwise
+        self.impl = resolve_stiffness_impl(stiffness_impl, disc)
+        self.c2_scalar = self.c2_e = None
         if self.uniform:
             self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
-            self.c2_e = None
+            self._stiff_op = (disc.pallas_op() if self.impl == "pallas"
+                              else disc.mm_op)
         else:
-            self.c2_scalar = None
+            # heterogeneous: expanded coefficient field (also consumed by
+            # the sharded wrapper, which runs the mm path per device)
             self.c2_e = jnp.asarray(
                 mm.expand_cell_field(-1.0 / rho, mesh.degree + 1), dtype)
+            self._stiff_op = (disc.pallas_op(coeff=-1.0 / rho)
+                              if self.impl == "pallas" else disc.mm_op)
 
         # source boundary: the g(t) facet term reduces to precomputed
         # diagonal vector(s): one for a plain aperture, a cos/sin pair for a
@@ -107,7 +115,7 @@ class LinearWaveModel:
     def params(self):
         """All device arrays, threaded explicitly through jit (never
         closure-captured — large constants wreck compile times)."""
-        p = {"m": self.m, "s_cos": self.s_cos, "mm": self.disc.mm_op}
+        p = {"m": self.m, "s_cos": self.s_cos, "stiff": self._stiff_op}
         if self.c2_e is not None:
             p["c2_e"] = self.c2_e
         if self.s_sin is not None:
@@ -118,11 +126,7 @@ class LinearWaveModel:
 
     def _rhs(self, params, t, u, v):
         """kv = M^{-1} b(t, u, v) on the node grid."""
-        if self.uniform:
-            b = self.c2_scalar * mm.stiffness_apply_mm(params["mm"], u)
-        else:
-            b = mm.stiffness_apply_mm(params["mm"], u,
-                                      coeff_e=params["c2_e"])
+        b = self._apply_stiffness(params, u)
         a_c, a_s = sources.linear_source_coeffs(t, self.source, self.c_src)
         b = b + a_c.astype(self.dtype) * params["s_cos"]
         if "s_sin" in params:
@@ -130,6 +134,17 @@ class LinearWaveModel:
         if "fvec" in params:
             b = b + v * params["fvec"]
         return b / params["m"]
+
+    def _apply_stiffness(self, params, u):
+        if self.impl == "pallas":
+            from fustpu.ops import pallas_stiffness as ps
+
+            b = ps.stiffness_apply_pallas(params["stiff"], u)
+            return self.c2_scalar * b if self.uniform else b
+        if self.uniform:
+            return self.c2_scalar * mm.stiffness_apply_mm(params["stiff"], u)
+        return mm.stiffness_apply_mm(params["stiff"], u,
+                                     coeff_e=params["c2_e"])
 
     def rhs(self, t, u, v):
         return self._rhs(self.params, t, u, v)

@@ -29,7 +29,7 @@ import numpy as np
 from fustpu.config import Material, Source
 from fustpu.mesh.box import BoxMesh
 from fustpu.models import sources, timestepping
-from fustpu.models.discretization import Discretization
+from fustpu.models.discretization import Discretization, resolve_stiffness_impl
 from fustpu.ops import spectral_mm as mm
 
 
@@ -44,6 +44,7 @@ class WesterveltModel:
         dtype=jnp.float32,
         source_delays=None,
         source_apodization=None,
+        stiffness_impl: str = "auto",
     ):
         """`source_delays` / `source_apodization`: optional per-node phased-
         aperture profiles (callable(points)->array or (nf, n^2) arrays) —
@@ -65,18 +66,28 @@ class WesterveltModel:
 
         # cell coefficients (cuda/demo_nonlinear_bowl.py:357-362)
         nl = 2.0 * beta / (rho * rho * c**4)
+        self.impl = resolve_stiffness_impl(stiffness_impl, disc)
+        self.c3_scalar = self.c4_scalar = None
+        self.c3_e = self.c4_e = None
         if self.uniform:
             self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
             self.c4_scalar = dtype(-float(delta.flat[0])
                                    / float((rho * c * c).flat[0]))
-            self.c3_e = self.c4_e = None
+            self._stiff_op = (disc.pallas_op() if self.impl == "pallas"
+                              else disc.mm_op)
         else:
-            self.c3_scalar = self.c4_scalar = None
             n = mesh.degree + 1
             self.c3_e = jnp.asarray(mm.expand_cell_field(-1.0 / rho, n),
                                     dtype)
             self.c4_e = jnp.asarray(
                 mm.expand_cell_field(-delta / (rho * c * c), n), dtype)
+            if self.impl == "pallas":
+                # two operators with the coefficients folded in
+                self._stiff_op = (
+                    disc.pallas_op(coeff=-1.0 / rho),
+                    disc.pallas_op(coeff=-delta / (rho * c * c)))
+            else:
+                self._stiff_op = disc.mm_op
 
         # unsteady mass diagonal: mass(u; -nl) = u * mvec2 (and the v^2 RHS
         # term uses +nl, i.e. exactly -mvec2)
@@ -134,7 +145,7 @@ class WesterveltModel:
         """All device arrays, threaded explicitly through jit (never
         closure-captured — large constants wreck compile times)."""
         p = {"m0": self.m0, "mvec2": self.mvec2, "s1_cos": self.s1_cos,
-             "s2_cos": self.s2_cos, "mm": self.disc.mm_op}
+             "s2_cos": self.s2_cos, "stiff": self._stiff_op}
         if self.c3_e is not None:
             p["c3_e"], p["c4_e"] = self.c3_e, self.c4_e
         if self.s1_sin is not None:
@@ -146,15 +157,7 @@ class WesterveltModel:
     def _rhs(self, params, t, u, v):
         # unsteady LHS: m = m0 + mass(u; -2 beta / rho^2 c^4) — diagonal
         m = params["m0"] + u * params["mvec2"]
-        if self.uniform:
-            # both stiffness terms in ONE apply (linearity, scalar coeffs)
-            b = mm.stiffness_apply_mm(
-                params["mm"], self.c3_scalar * u + self.c4_scalar * v)
-        else:
-            b = mm.stiffness_apply_mm(params["mm"], u,
-                                      coeff_e=params["c3_e"])
-            b = b + mm.stiffness_apply_mm(params["mm"], v,
-                                          coeff_e=params["c4_e"])
+        b = self._apply_stiffness(params, u, v)
         b = b - (v * v) * params["mvec2"]     # + nl * v^2 mass term
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
             t, self.source, self.c_src)
@@ -167,6 +170,25 @@ class WesterveltModel:
         if "fvec" in params:
             b = b + v * params["fvec"]
         return b / m
+
+    def _apply_stiffness(self, params, u, v):
+        if self.impl == "pallas":
+            from fustpu.ops import pallas_stiffness as ps
+
+            if self.uniform:
+                return ps.stiffness_apply_pallas(
+                    params["stiff"], self.c3_scalar * u + self.c4_scalar * v)
+            op3, op4 = params["stiff"]
+            return (ps.stiffness_apply_pallas(op3, u)
+                    + ps.stiffness_apply_pallas(op4, v))
+        if self.uniform:
+            # both stiffness terms in ONE apply (linearity, scalar coeffs)
+            return mm.stiffness_apply_mm(
+                params["stiff"], self.c3_scalar * u + self.c4_scalar * v)
+        return (mm.stiffness_apply_mm(params["stiff"], u,
+                                      coeff_e=params["c3_e"])
+                + mm.stiffness_apply_mm(params["stiff"], v,
+                                        coeff_e=params["c4_e"]))
 
     def rhs(self, t, u, v):
         return self._rhs(self.params, t, u, v)

@@ -78,7 +78,7 @@ def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
     )
 
 
-def _mk_kernel(n: int, D: tuple):
+def _mk_kernel(n: int, D: tuple, precision):
     """Kernel specialised for degree (n = P+1) with D as static scalars."""
 
     def kernel(x_ref, G_ref, Wy_ref, Wz_ref, Dey_ref, Dez_ref, o_ref):
@@ -90,7 +90,7 @@ def _mk_kernel(n: int, D: tuple):
             dn = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
             return jax.lax.dot_general(a, b, dn,
                                        preferred_element_type=f32,
-                                       precision=_HI)
+                                       precision=precision)
 
         # expand y/z per slab plane: u_i = Wy @ xs_i @ Wz^T   (ey, ez)
         u = [matmul(matmul(Wy, x_ref[0, i]), Wz, tb=True) for i in range(n)]
@@ -121,10 +121,14 @@ def _mk_kernel(n: int, D: tuple):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def stiffness_apply_pallas(op: PallasStiffness, x: jax.Array,
-                           interpret: bool = False) -> jax.Array:
-    """y_grid = A_stiff(x_grid) with the fused slab kernel."""
+                           interpret: bool = False,
+                           precision=_HI) -> jax.Array:
+    """y_grid = A_stiff(x_grid) with the fused slab kernel.  `precision`
+    controls the in-kernel W / block-diag-D matmuls (the x-direction
+    contraction is always exact static-scalar arithmetic): HIGHEST = full
+    f32 (default), HIGH = bf16x3 (~1e-6 relative, ~2x faster)."""
     ncx, _, n, ey, ez = op.G.shape
     gx, gy, gz = x.shape
     P = n - 1
@@ -136,7 +140,7 @@ def stiffness_apply_pallas(op: PallasStiffness, x: jax.Array,
 
     vmem = pltpu.VMEM
     out = pl.pallas_call(
-        _mk_kernel(n, op.D_host),
+        _mk_kernel(n, op.D_host, precision),
         grid=(ncx,),
         in_specs=[
             pl.BlockSpec((1, n, gy, gz), lambda i: (i, 0, 0, 0),

@@ -110,21 +110,35 @@ def time_apply(fn, params, x, chain: int = 50, reps: int = 5,
 
 def bench_operators(nc: int = 32, degree: int = 4, dtype=jnp.float32,
                     reps: int = 5, chain: int = 50, mesh=None,
-                    stiffness_fn=None):
+                    impl: str = "auto", stiffness_fn=None):
     """Times the production mass apply (diagonal multiply) and stiffness
-    apply (matmul formulation by default; pass `stiffness_fn(x)->y` to bench
-    an alternative kernel)."""
+    apply ('auto' = fused Pallas kernel on TPU, matmul formulation
+    otherwise; pass `stiffness_fn(params, x)->y` for a custom kernel)."""
+    from fustpu.models.discretization import Discretization, \
+        resolve_stiffness_impl
+
     if mesh is None:
         mesh = build_box_mesh((nc, nc, nc), degree)
     elem = mesh.element
     detJ, G = pre.cell_geometry_factors(mesh)
-    op = mm.build_stiffness(mesh.nc, degree, elem.deriv_1d, G, dtype)
     diag = jnp.asarray(mm.mass_diagonal(mesh.nc, degree, detJ), dtype)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(mesh.grid_shape), dtype)
 
     mass = lambda p, v: v * p
-    stiff = stiffness_fn or (lambda p, v: mm.stiffness_apply_mm(p, v))
+    if stiffness_fn is not None:
+        stiff, op = stiffness_fn, None
+    else:
+        disc = Discretization(mesh, dtype)
+        impl = resolve_stiffness_impl(impl, disc)
+        if impl == "pallas":
+            from fustpu.ops import pallas_stiffness as ps
+
+            op = disc.pallas_op()
+            stiff = lambda p, v: ps.stiffness_apply_pallas(p, v)
+        else:
+            op = disc.mm_op
+            stiff = lambda p, v: mm.stiffness_apply_mm(p, v)
 
     base = sync_baseline()
     out = []
