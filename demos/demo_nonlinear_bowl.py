@@ -45,7 +45,7 @@ def main():
     wavelength = mat.sound_speed / src.frequency
     epw = 2
     nex = args.elements or int(epw * domain_length / wavelength)
-    net = int(nex * Lt / domain_length)
+    net = max(8, int(round(nex * Lt / domain_length / 8)) * 8)  # multiple of 8 keeps the fused kernel eligible
     mesh = build_box_mesh((nex, net, net), args.degree,
                           hi=(domain_length, Lt, Lt))
     print(f"mesh {mesh.nc}, degree {args.degree}, "

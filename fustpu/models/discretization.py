@@ -72,17 +72,14 @@ class Discretization:
                         self.dtype, coeff=coeff)
 
     def pallas_fits(self) -> bool:
-        """Whether one x-slab fits VMEM: the G block (6n slices) + live
-        temporaries (~3n slices: u/f0, wx, r) + in/out blocks."""
+        """Whether a (x-slab, y-block) tile fits VMEM (see
+        pallas_stiffness._pick_yblocks)."""
+        from fustpu.ops import pallas_stiffness as ps
+
         n = self.P + 1
         _, ncy, ncz = self.mesh.nc
-        gy, gz = ncy * self.P + 1, ncz * self.P + 1
-        ey, ez = ncy * n, ncz * n
-        pad = lambda d: -(-d // 128) * 128
-        slab = ey * pad(ez) * 4
-        io = gy * pad(gz) * 4
-        bytes_needed = (6 * n + 3 * n) * slab + 2 * n * io
-        return bytes_needed < 12 * 2**20
+        gz = ncz * self.P + 1
+        return ps.pallas_fits(n, ncy, ncz, gz)
 
     # legacy/structured-layout device arrays (tests, generic API)
     @functools.cached_property

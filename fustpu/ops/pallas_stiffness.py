@@ -1,29 +1,28 @@
 """Fused Pallas TPU kernel for the sum-factorised stiffness apply.
 
 Motivation: the XLA matmul formulation (fustpu.ops.spectral_mm) is ~12
-full-field HBM passes (~1.5 ms for P=4, 32^3, f32, HIGHEST).  This kernel
-processes one x-slab of cells per grid step entirely in VMEM: expand in
-y/z, three derivative contractions, the G metric transform, three reverse
-contractions, and the y/z overlap-add — one HBM read of the slab + G, one
-write.  Only the (cheap, layout-friendly) x-axis expand/fold stay outside.
+full-field HBM passes (~1.6 ms for P=4, 32^3, f32, HIGHEST).  This kernel
+processes one (x-slab, y-block) tile of cells per grid step entirely in
+VMEM: z-window expansion, all three derivative contractions, the G metric
+transform, reverse contractions, and the z overlap-add — one HBM read of
+the tile + its G block, one write.  The x/y window expansion and
+overlap-add stay outside as cheap slicing passes (their trailing dims are
+large, so they are layout-friendly), which also makes tiles independent:
+no overlap between Pallas blocks, and VMEM use scales down with the
+y-block count (P=6 fits too).
 
 The role of the reference's shared-memory CUDA kernel
 (/root/reference/cuda/operators.py:73-192), re-thought for a VMEM+MXU
-machine: the cell batch is a whole (ncy x ncz) slab, y/z contractions are
-2D MXU matmuls on (ey, ez) slices, and the x-direction contraction unrolls
-over the n slab planes with the 1D derivative matrix baked into the kernel
-as compile-time scalars (pure VPU multiply-adds).
-
-Layout notes (TPU tiles the last two dims (8,128)):
-- slab fields are n slices of (ey, ez) — trailing dims 100-300;
-- G is pre-arranged as (ncx, 6, n, ey, ez) so a slab's factors are one
-  contiguous block.
+machine: the cell batch is a tile of (ncy/NYB x ncz) cells, the z-direction
+(lane axis) contractions are 2D MXU matmuls, and the x/y directions unroll
+over planes / sublane cell blocks with the 1D derivative matrix baked into
+the kernel as compile-time scalars (pure VPU multiply-adds — matmul FLOPs
+are ~18x under f32 emulation, so keeping them off the MXU is a win).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,16 +41,14 @@ class PallasStiffness:
     derivative matrix as STATIC aux data (baked into the kernel as
     compile-time scalars)."""
 
-    def __init__(self, G, Wy, Wz, Dey, Dez, D_host: tuple):
+    def __init__(self, G, Wz, Dez, D_host: tuple):
         self.G = G            # (ncx, 6, n, ey, ez)
-        self.Wy = Wy          # (ey, gy)
         self.Wz = Wz          # (ez, gz)
-        self.Dey = Dey        # (ey, ey) block-diag D
         self.Dez = Dez        # (ez, ez) block-diag D
         self.D_host = D_host  # tuple-of-tuples of floats (hashable)
 
     def tree_flatten(self):
-        return (self.G, self.Wy, self.Wz, self.Dey, self.Dez), self.D_host
+        return (self.G, self.Wz, self.Dez), self.D_host
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -70,9 +67,7 @@ def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
     Ge = np.ascontiguousarray(Ge.transpose(0, 4, 1, 2, 3))
     return PallasStiffness(
         G=jnp.asarray(Ge, dtype),
-        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
         Wz=jnp.asarray(mm.window_matrix(ncz, P), dtype),
-        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
         Dez=jnp.asarray(mm.deriv_block_matrix(ncz, D_1d), dtype),
         D_host=tuple(map(tuple, np.asarray(D_1d, np.float64))),
     )
@@ -81,26 +76,61 @@ def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
 def _mk_kernel(n: int, D: tuple, precision):
     """Kernel specialised for degree (n = P+1) with D as static scalars."""
 
-    def kernel(x_ref, G_ref, Wy_ref, Wz_ref, Dey_ref, Dez_ref, o_ref):
+    def kernel(x_ref, G_ref, Wz_ref, Dez_ref, o_ref):
         f32 = o_ref.dtype
-        Wy, Wz = Wy_ref[...], Wz_ref[...]
-        Dey, Dez = Dey_ref[...], Dez_ref[...]
+        Wz, Dez = Wz_ref[...], Dez_ref[...]
 
-        def matmul(a, b, ta=False, tb=False):
-            dn = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
-            return jax.lax.dot_general(a, b, dn,
-                                       preferred_element_type=f32,
-                                       precision=precision)
+        def _dn(tb):
+            return (((1,), (1 if tb else 0,)), ((), ()))
 
-        # expand y/z per slab plane: u_i = Wy @ xs_i @ Wz^T   (ey, ez)
-        u = [matmul(matmul(Wy, x_ref[0, i]), Wz, tb=True) for i in range(n)]
+        if precision == "bf16x3":
+            # manual 3-term bf16 decomposition: a@b = ah@bh + ah@bl + al@bh
+            # (~f32 accuracy at ~1/6 the cost of Mosaic's f32 emulation;
+            # Mosaic has no Precision.HIGH)
+            def _split(a):
+                hi = a.astype(jnp.bfloat16).astype(f32)
+                return hi, a - hi
+
+            Wzs = _split(Wz)
+            Dezs = _split(Dez)
+            mats = {id(Wz): Wzs, id(Dez): Dezs}
+
+            def matmul(a, b, tb=False):
+                dn = _dn(tb)
+                ah, al = _split(a)
+                bh, bl = mats[id(b)]
+                d = lambda p, q: jax.lax.dot_general(
+                    p, q, dn, preferred_element_type=f32,
+                    precision=jax.lax.Precision.DEFAULT)
+                return d(ah, bh) + d(ah, bl) + d(al, bh)
+        else:
+            def matmul(a, b, tb=False):
+                return jax.lax.dot_general(a, b, _dn(tb),
+                                           preferred_element_type=f32,
+                                           precision=precision)
+
+        def y_deriv(t, trans=False):          # within-cell D along sublanes
+            eyb, Z = t.shape
+            ncy = eyb // n
+            t3 = t.reshape(ncy, n, Z)
+            rows = []
+            for q in range(n):
+                acc = None
+                for j in range(n):
+                    d = D[j][q] if trans else D[q][j]
+                    term = d * t3[:, j]
+                    acc = term if acc is None else acc + term
+                rows.append(acc)
+            return jnp.stack(rows, axis=1).reshape(eyb, Z)
+
+        # expand z per plane: u_i (ey_b, ez) = x_i (ey_b, gz) @ Wz^T
+        u = [matmul(x_ref[0, i], Wz, tb=True) for i in range(n)]
 
         r = [None] * n
-        # x-contractions use static D scalars (VPU multiply-adds);
-        # y/z use the block-diag matrices (MXU).
+        # x-contraction across planes with static D scalars (VPU)
         wx = [sum(D[q][i] * u[i] for i in range(n)) for q in range(n)]
         for i in range(n):
-            wy = matmul(Dey, u[i])
+            wy = y_deriv(u[i])
             wz = matmul(u[i], Dez, tb=True)
             G0 = G_ref[0, 0, i]
             G1 = G_ref[0, 1, i]
@@ -112,53 +142,109 @@ def _mk_kernel(n: int, D: tuple, precision):
             f2 = G2 * wx[i] + G4 * wy + G5 * wz
             # store f0 for the cross-plane reverse x-contraction
             u[i] = G0 * wx[i] + G1 * wy + G2 * wz   # reuse u as f0 storage
-            r[i] = matmul(Dey, f1, ta=True) + matmul(f2, Dez)
+            r[i] = y_deriv(f1, trans=True) + matmul(f2, Dez)
         for i in range(n):
             rx = sum(D[q][i] * u[q] for q in range(n))
-            # fold y/z: Wy^T @ (.) @ Wz
-            o_ref[0, i] = matmul(matmul(Wy, r[i] + rx, ta=True), Wz)
+            # fold z: (.) @ Wz   -> (ey_b, gz)
+            o_ref[0, i] = matmul(r[i] + rx, Wz)
 
     return kernel
+
+
+def _win_axis2(t, P):
+    """(A, B, g, Z) -> (A, B, nc*n, Z) window expansion along axis 2."""
+    A, B, g, Z = t.shape
+    nc = (g - 1) // P
+    a = t[:, :, : g - 1].reshape(A, B, nc, P, Z)
+    b = t[:, :, 1:].reshape(A, B, nc, P, Z)[:, :, :, P - 1: P]
+    return jnp.concatenate([a, b], axis=3).reshape(A, B, nc * (P + 1), Z)
+
+
+def _fold_axis2(t, P):
+    """(A, B, nc*n, Z) -> (A, B, g, Z) overlap-add along axis 2."""
+    A, B, e, Z = t.shape
+    n = P + 1
+    nc = e // n
+    t5 = t.reshape(A, B, nc, n, Z)
+    main = t5[:, :, :, :P].reshape(A, B, nc * P, Z)
+    main = jnp.concatenate(
+        [main, jnp.zeros((A, B, 1, Z), t.dtype)], axis=2)
+    ends = jnp.pad(t5[:, :, :, P][:, :, :, None],
+                   ((0, 0), (0, 0), (0, 0), (P - 1, 0), (0, 0)))
+    shifted = jnp.concatenate(
+        [jnp.zeros((A, B, 1, Z), t.dtype),
+         ends.reshape(A, B, nc * P, Z)], axis=2)
+    return main + shifted
+
+
+def _pick_yblocks(n, ncy, ncz, gz, limit_bytes=9 * 2**20):
+    """Smallest y-block count (divisor of ncy) whose VMEM footprint fits:
+    double-buffered G + x/out blocks plus ~4n live (ey_b, ez) slices.
+    Mosaic additionally requires a block's second-to-last dim (ey_b here)
+    to be a multiple of 8 or the full dimension.  Returns None if no valid
+    block count fits (callers fall back to the XLA matmul path)."""
+    ez = ncz * n
+    ey = ncy * n
+    pad = lambda d: -(-d // 128) * 128
+    for nyb in [d for d in range(1, ncy + 1) if ncy % d == 0]:
+        ey_b = (ncy // nyb) * n
+        if ey_b != ey and ey_b % 8:
+            continue
+        slab = ey_b * pad(ez) * 4
+        io = ey_b * pad(gz) * 4
+        need = 2 * (6 * n * slab + 2 * n * io) + 4 * n * slab
+        if need < limit_bytes:
+            return nyb
+    return None
+
+
+def pallas_fits(n, ncy, ncz, gz) -> bool:
+    return _pick_yblocks(n, ncy, ncz, gz) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def stiffness_apply_pallas(op: PallasStiffness, x: jax.Array,
                            interpret: bool = False,
                            precision=_HI) -> jax.Array:
-    """y_grid = A_stiff(x_grid) with the fused slab kernel.  `precision`
-    controls the in-kernel W / block-diag-D matmuls (the x-direction
-    contraction is always exact static-scalar arithmetic): HIGHEST = full
-    f32 (default), HIGH = bf16x3 (~1e-6 relative, ~2x faster)."""
+    """y_grid = A_stiff(x_grid) with the fused tile kernel.  `precision`
+    controls the in-kernel z-direction matmuls (the x/y contractions are
+    always exact static-scalar arithmetic): HIGHEST = full f32 (default)."""
     ncx, _, n, ey, ez = op.G.shape
     gx, gy, gz = x.shape
     P = n - 1
+    ncy = ey // n
+    nyb = _pick_yblocks(n, ncy, ncz=ez // n, gz=gz)
+    if nyb is None:
+        raise ValueError(
+            "no VMEM-feasible y-block count for this mesh; use the mm path")
+    ey_b = ey // nyb
 
-    # expand along x by slicing (cheap: trailing dims are large)
+    # expand along x then y by slicing (cheap: trailing dims are large)
     a = x[: gx - 1].reshape(ncx, P, gy, gz)
     b = x[1:].reshape(ncx, P, gy, gz)[:, P - 1: P]
     xe = jnp.concatenate([a, b], axis=1)          # (ncx, n, gy, gz)
+    xe = _win_axis2(xe, P)                        # (ncx, n, ey, gz)
 
     vmem = pltpu.VMEM
     out = pl.pallas_call(
         _mk_kernel(n, op.D_host, precision),
-        grid=(ncx,),
+        grid=(ncx, nyb),
         in_specs=[
-            pl.BlockSpec((1, n, gy, gz), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, n, ey_b, gz), lambda i, j: (i, 0, j, 0),
                          memory_space=vmem),
-            pl.BlockSpec((1, 6, n, ey, ez), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
+            pl.BlockSpec((1, 6, n, ey_b, ez),
+                         lambda i, j: (i, 0, 0, j, 0), memory_space=vmem),
             pl.BlockSpec(memory_space=vmem),
             pl.BlockSpec(memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((1, n, gy, gz), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, n, ey_b, gz), lambda i, j: (i, 0, j, 0),
                                memory_space=vmem),
-        out_shape=jax.ShapeDtypeStruct((ncx, n, gy, gz), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((ncx, n, ey, gz), x.dtype),
         interpret=interpret,
-    )(xe, op.G, op.Wy, op.Wz, op.Dey, op.Dez)
+    )(xe, op.G, op.Wz, op.Dez)
 
-    # fold along x (overlap-add by slicing)
+    # fold along y then x (overlap-add by slicing)
+    out = _fold_axis2(out, P)                     # (ncx, n, gy, gz)
     main = out[:, :P].reshape(ncx * P, gy, gz)
     main = jnp.concatenate(
         [main, jnp.zeros((1, gy, gz), out.dtype)], axis=0)

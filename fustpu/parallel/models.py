@@ -45,11 +45,22 @@ def split_expanded_field(arr: np.ndarray, nc, S, n: int) -> np.ndarray:
     return np.ascontiguousarray(a.transpose(perm))
 
 
+def _split_pallas_G(Gp: np.ndarray, S) -> np.ndarray:
+    """Pallas-layout G (ncx, 6, n, ey, ez) -> (Sx, Sy, Sz, ncx_l, 6, n,
+    ley, lez) device blocks."""
+    ncx, six, n, ey, ez = Gp.shape
+    lx, ly, lz = ncx // S[0], ey // S[1], ez // S[2]
+    a = Gp.reshape(S[0], lx, six, n, S[1], ly, S[2], lz)
+    return np.ascontiguousarray(a.transpose(0, 4, 6, 1, 2, 3, 5, 7))
+
+
 class ShardedModel:
     """Distributes a built single-device model over `grid` and exposes
-    step/solve running under shard_map."""
+    step/solve running under shard_map.  `stiffness_impl` defaults to the
+    base model's choice (fused Pallas kernel per device on TPU, XLA matmul
+    formulation elsewhere)."""
 
-    def __init__(self, model, grid: sh.DeviceGrid):
+    def __init__(self, model, grid: sh.DeviceGrid, stiffness_impl=None):
         self.model = model
         self.grid = grid
         self.kind = ("westervelt" if isinstance(model, WesterveltModel)
@@ -74,16 +85,54 @@ class ShardedModel:
             return grid.put(sh.split_node_field(np.asarray(a), nc, S, Pd),
                             dtype)
 
-        # local (per-device) stiffness matrices — identical on every device
-        repl["W"] = tuple(
-            jax.device_put(jnp.asarray(mm.window_matrix(c, Pd), dtype),
-                           NamedSharding(grid.mesh, P())) for c in self.lc)
-        repl["Dt"] = tuple(
-            jax.device_put(jnp.asarray(
-                mm.deriv_block_matrix(c, disc._D_host), dtype),
-                NamedSharding(grid.mesh, P())) for c in self.lc)
-        dist["G"] = grid.put(split_expanded_field(
-            np.asarray(disc.mm_op.G, np.float64), nc, S, n), dtype)
+        self.impl = stiffness_impl or getattr(model, "impl", "mm")
+        from fustpu.ops import pallas_stiffness as ps
+
+        if self.impl == "pallas" and not ps.pallas_fits(
+                n, self.lc[1], self.lc[2], self.lgrid[2]):
+            self.impl = "mm"
+        # interpret mode lets the pallas path run on CPU device meshes
+        # (tests); real TPUs compile the kernel
+        dev = jax.devices()[0]
+        self._pallas_interpret = not ("tpu" in dev.platform.lower()
+                                      or "tpu" in str(dev).lower())
+
+        def repl_put(a):
+            return jax.device_put(jnp.asarray(a, dtype),
+                                  NamedSharding(grid.mesh, P()))
+
+        if self.impl == "pallas":
+            # per-device fused-kernel operator(s); G split into device tiles
+            self._D_host = tuple(map(tuple,
+                                     np.asarray(disc._D_host, np.float64)))
+            repl["Wz"] = repl_put(mm.window_matrix(self.lc[2], Pd))
+            repl["Dez"] = repl_put(
+                mm.deriv_block_matrix(self.lc[2], disc._D_host))
+            if model.uniform:
+                coeffs = [None]
+            else:
+                c_f, rho_f, _, _ = model.material.cell_fields(nc)
+                if self.kind == "linear":
+                    coeffs = [-1.0 / rho_f]
+                else:
+                    delta_f = np.broadcast_to(np.asarray(
+                        model.material.diffusivity_of_sound(
+                            model.source.angular_frequency)), nc)
+                    coeffs = [-1.0 / rho_f,
+                              -delta_f / (rho_f * c_f * c_f)]
+            for k, cf in enumerate(coeffs):
+                bop = disc.pallas_op(coeff=cf)
+                dist[f"Gp{k}"] = grid.put(_split_pallas_G(
+                    np.asarray(bop.G, np.float64), S), dtype)
+        else:
+            # local (per-device) matmul-form matrices — same on every device
+            repl["W"] = tuple(
+                repl_put(mm.window_matrix(c, Pd)) for c in self.lc)
+            repl["Dt"] = tuple(
+                repl_put(mm.deriv_block_matrix(c, disc._D_host))
+                for c in self.lc)
+            dist["G"] = grid.put(split_expanded_field(
+                np.asarray(disc.mm_op.G, np.float64), nc, S, n), dtype)
 
         def put_exp(a):
             return grid.put(split_expanded_field(
@@ -119,7 +168,16 @@ class ShardedModel:
         self._solve_cache = {}
 
     # ---------------- local physics (inside shard_map) -------------------
-    def _local_stiffness(self, ctx, x, coeff_e=None):
+    def _local_stiffness(self, ctx, x, coeff_e=None, op_idx=0):
+        if self.impl == "pallas":
+            from fustpu.ops import pallas_stiffness as ps
+
+            op = ps.PallasStiffness(G=ctx["dist"][f"Gp{op_idx}"],
+                                    Wz=ctx["repl"]["Wz"],
+                                    Dez=ctx["repl"]["Dez"],
+                                    D_host=self._D_host)
+            return ps.stiffness_apply_pallas(
+                op, x, interpret=self._pallas_interpret)
         op = mm.MMStiffness(W=ctx["repl"]["W"], Dt=ctx["repl"]["Dt"],
                             G=ctx["dist"]["G"])
         return mm.stiffness_apply_mm(op, x, coeff_e=coeff_e)
@@ -130,6 +188,8 @@ class ShardedModel:
         if self.kind == "linear":
             if model.uniform:
                 b = model.c2_scalar * self._local_stiffness(ctx, u)
+            elif self.impl == "pallas":
+                b = self._local_stiffness(ctx, u)   # coeff folded into G
             else:
                 b = self._local_stiffness(ctx, u, d["c2_e"])
             b = sh.halo_sum(b, self.S)
@@ -146,6 +206,9 @@ class ShardedModel:
         if model.uniform:
             b = self._local_stiffness(
                 ctx, model.c3_scalar * u + model.c4_scalar * v)
+        elif self.impl == "pallas":
+            b = (self._local_stiffness(ctx, u, op_idx=0)
+                 + self._local_stiffness(ctx, v, op_idx=1))
         else:
             b = (self._local_stiffness(ctx, u, d["c3_e"])
                  + self._local_stiffness(ctx, v, d["c4_e"]))

@@ -70,3 +70,20 @@ def test_halo_sum_plane_consistency():
     kv = np.asarray(dkv)
     assert np.array_equal(kv[0, 0, 0][-1, :, :], kv[1, 0, 0][0, :, :])
     assert np.array_equal(kv[0, 0, 0][:, -1, :], kv[0, 1, 0][:, 0, :])
+
+
+def test_sharded_pallas_matches_single():
+    """Per-device fused Pallas kernel (interpret mode on CPU) inside
+    shard_map matches the single-device solve."""
+    model, mat, src = _build(WesterveltModel, nc=(4, 4, 4), degree=2)
+    grid = sh.DeviceGrid.create((2, 2, 1))
+    smodel = ShardedModel(model, grid, stiffness_impl="pallas")
+    assert smodel.impl == "pallas"
+    dt, _ = model.cfl_dt(0.4)
+    nsteps = 3
+    final, _ = model.solve(model.init_state(), dt, nsteps)
+    du, *_ = smodel.solve(smodel.init_state(), dt, nsteps)
+    u = smodel.collect(du)
+    err = (np.linalg.norm(u - np.asarray(final.u))
+           / np.linalg.norm(np.asarray(final.u)))
+    assert err < 1e-12, err
