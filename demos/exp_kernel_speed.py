@@ -40,6 +40,9 @@ def main():
     print(f"mesh {nc}^3, degree {degree}, dofs {mesh.ndofs}")
 
     disc = Discretization(mesh, dtype)
+    # materialize lazy device arrays eagerly (a cached_property first
+    # touched inside a jit trace would cache a tracer)
+    _ = disc.D, disc.G_s, disc.mm_op
     coeff = jnp.ones(mesh.nc, dtype)
     coeff_flat = jnp.ones(mesh.num_cells, dtype)
     dofmap = jnp.asarray(mesh.dofmap)

@@ -23,5 +23,10 @@ per axis, no scatter at all); on general index maps it is an XLA scatter-add.
 __version__ = "0.1.0"
 
 from fustpu import config as config
+from fustpu.config import Material, Source
 from fustpu.elements import gll as gll
 from fustpu.mesh.box import BoxMesh, build_box_mesh
+from fustpu.models.linear import LinearWaveModel
+from fustpu.models.westervelt import WesterveltModel
+from fustpu.parallel.models import ShardedModel
+from fustpu.parallel.sharding import DeviceGrid

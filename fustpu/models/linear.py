@@ -58,7 +58,10 @@ class LinearWaveModel:
         c, rho, _, _ = material.cell_fields(mesh.nc)
         self.uniform = material.is_uniform
         # steady diagonal LHS: mass diag with coeff 1/(rho c^2), f64 host
-        self.m = disc.to_grid(disc.mass_diag_host(1.0 / (rho * c * c)))
+        # (all diagonal vectors are stored FLAT: elementwise ops on flat
+        # vectors avoid the ~2x lane-padding of odd 3D grid dims)
+        to_flat = lambda a: disc.to_grid(a).reshape(-1)
+        self.m = to_flat(disc.mass_diag_host(1.0 / (rho * c * c)))
         # stiffness coefficient -1/rho: a scalar for uniform media (fused
         # into the apply), an expanded per-cell field otherwise
         self.impl = resolve_stiffness_impl(stiffness_impl, disc)
@@ -87,15 +90,15 @@ class LinearWaveModel:
             disc, self.src_block, source.angular_frequency,
             source_delays, source_apodization)
         if phi is None:
-            self.s_cos = disc.to_grid(disc.facet_diag_host(
+            self.s_cos = to_flat(disc.facet_diag_host(
                 self.src_block, fcoeff, apod))
             self.s_sin = None
         else:
             cw = np.cos(phi) if apod is None else apod * np.cos(phi)
             sw = np.sin(phi) if apod is None else apod * np.sin(phi)
-            self.s_cos = disc.to_grid(disc.facet_diag_host(
+            self.s_cos = to_flat(disc.facet_diag_host(
                 self.src_block, fcoeff, cw))
-            self.s_sin = disc.to_grid(disc.facet_diag_host(
+            self.s_sin = to_flat(disc.facet_diag_host(
                 self.src_block, fcoeff, sw))
 
         # absorbing boundary: -(1/(rho c)) v_n v ds — a facet diagonal
@@ -104,7 +107,7 @@ class LinearWaveModel:
             blk = disc.facet_block(absorbing_facets)
             self.abs_block = blk
             rc = (rho * c).reshape(-1)[blk.cells]
-            self.fvec_abs = disc.to_grid(disc.facet_diag_host(
+            self.fvec_abs = to_flat(disc.facet_diag_host(
                 blk, -1.0 / rc))
         else:
             self.abs_block = None
@@ -135,19 +138,24 @@ class LinearWaveModel:
             b = b + v * params["fvec"]
         return b / params["m"]
 
-    def _apply_stiffness(self, params, u):
+    def _apply_stiffness(self, params, u_flat):
+        u = u_flat.reshape(self.mesh.grid_shape)
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 
             b = ps.stiffness_apply_pallas(params["stiff"], u)
-            return self.c2_scalar * b if self.uniform else b
-        if self.uniform:
-            return self.c2_scalar * mm.stiffness_apply_mm(params["stiff"], u)
-        return mm.stiffness_apply_mm(params["stiff"], u,
-                                     coeff_e=params["c2_e"])
+            b = self.c2_scalar * b if self.uniform else b
+        elif self.uniform:
+            b = self.c2_scalar * mm.stiffness_apply_mm(params["stiff"], u)
+        else:
+            b = mm.stiffness_apply_mm(params["stiff"], u,
+                                      coeff_e=params["c2_e"])
+        return b.reshape(-1)
 
     def rhs(self, t, u, v):
-        return self._rhs(self.params, t, u, v)
+        """Grid-shaped public entry point."""
+        kv = self._rhs(self.params, t, u.reshape(-1), v.reshape(-1))
+        return kv.reshape(self.mesh.grid_shape)
 
     # ------------------------------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
@@ -157,17 +165,36 @@ class LinearWaveModel:
         v0 = z if v0 is None else jnp.asarray(v0, self.dtype).reshape(z.shape)
         return timestepping.init_state(u0, v0, t0)
 
+    def _flat_state(self, s):
+        r = lambda a: a.reshape(-1)
+        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
+
+    def _grid_state(self, s):
+        g = self.mesh.grid_shape
+        r = lambda a: a.reshape(g)
+        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
+
     def step(self, state, dt, tf=None):
-        return timestepping.rk4_step(self._rhs, self.params, state, dt, tf)
+        s = timestepping.rk4_step(self._rhs, self.params,
+                                  self._flat_state(state), dt, tf)
+        return self._grid_state(s)
 
     def solve(self, state, dt: float, num_steps: int, tf=None, probe=None):
+        """State fields are (gx, gy, gz) at the API; the scan runs on flat
+        vectors internally (lane-padding on odd grid dims costs ~2x on every
+        elementwise pass; flat vectors tile perfectly).  Probes observe a
+        3D view."""
         key = (num_steps, tf is not None, probe)
         if key not in self._solver_cache:
+            wrapped = (None if probe is None
+                       else (lambda s: probe(self._grid_state(s))))
             self._solver_cache[key] = timestepping.make_solver(
-                self._rhs, num_steps, probe, clamp_tf=tf is not None)
+                self._rhs, num_steps, wrapped, clamp_tf=tf is not None)
         dt_ = jnp.asarray(float(dt), self.dtype)
         tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
-        return self._solver_cache[key](self.params, state, dt_, tf_)
+        out, ys = self._solver_cache[key](self.params,
+                                          self._flat_state(state), dt_, tf_)
+        return self._grid_state(out), ys
 
     def cfl_dt(self, cfl: float = 0.65) -> tuple[float, int]:
         """dt = CFL h / (c P^2), snapped to an integer number of steps per

@@ -90,8 +90,10 @@ class WesterveltModel:
                 self._stiff_op = disc.mm_op
 
         # unsteady mass diagonal: mass(u; -nl) = u * mvec2 (and the v^2 RHS
-        # term uses +nl, i.e. exactly -mvec2)
-        self.mvec2 = disc.to_grid(disc.mass_diag_host(-nl))
+        # term uses +nl, i.e. exactly -mvec2).  All diagonal vectors are
+        # stored FLAT (lane-padding avoidance; see LinearWaveModel).
+        to_flat = lambda a: disc.to_grid(a).reshape(-1)
+        self.mvec2 = to_flat(disc.mass_diag_host(-nl))
 
         # steady LHS m0 (+ absorbing-facet delta term), f64 host
         m0 = disc.mass_diag_host(1.0 / (rho * c * c))
@@ -102,11 +104,11 @@ class WesterveltModel:
             cells = blk.cells
             m0 = m0 + disc.facet_diag_host(
                 blk, (delta / (rho * c**3)).reshape(-1)[cells])
-            self.fvec_abs = disc.to_grid(disc.facet_diag_host(
+            self.fvec_abs = to_flat(disc.facet_diag_host(
                 blk, (-1.0 / (rho * c)).reshape(-1)[cells]))
         else:
             self.abs_block = None
-        self.m0 = disc.to_grid(m0)
+        self.m0 = to_flat(m0)
 
         # source boundary: g/dg time-separable -> precomputed vectors (a
         # cos/sin pair each for phased apertures)
@@ -121,21 +123,21 @@ class WesterveltModel:
         f1 = (1.0 / rho).reshape(-1)[scells]
         f2 = (delta / (rho * c * c)).reshape(-1)[scells]
         if phi is None:
-            self.s1_cos = disc.to_grid(disc.facet_diag_host(
+            self.s1_cos = to_flat(disc.facet_diag_host(
                 self.src_block, f1, apod))
-            self.s2_cos = disc.to_grid(disc.facet_diag_host(
+            self.s2_cos = to_flat(disc.facet_diag_host(
                 self.src_block, f2, apod))
             self.s1_sin = self.s2_sin = None
         else:
             cw = np.cos(phi) if apod is None else apod * np.cos(phi)
             sw = np.sin(phi) if apod is None else apod * np.sin(phi)
-            self.s1_cos = disc.to_grid(disc.facet_diag_host(
+            self.s1_cos = to_flat(disc.facet_diag_host(
                 self.src_block, f1, cw))
-            self.s1_sin = disc.to_grid(disc.facet_diag_host(
+            self.s1_sin = to_flat(disc.facet_diag_host(
                 self.src_block, f1, sw))
-            self.s2_cos = disc.to_grid(disc.facet_diag_host(
+            self.s2_cos = to_flat(disc.facet_diag_host(
                 self.src_block, f2, cw))
-            self.s2_sin = disc.to_grid(disc.facet_diag_host(
+            self.s2_sin = to_flat(disc.facet_diag_host(
                 self.src_block, f2, sw))
         self._solver_cache = {}
 
@@ -171,27 +173,34 @@ class WesterveltModel:
             b = b + v * params["fvec"]
         return b / m
 
-    def _apply_stiffness(self, params, u, v):
+    def _apply_stiffness(self, params, u_flat, v_flat):
+        g = self.mesh.grid_shape
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 
             if self.uniform:
-                return ps.stiffness_apply_pallas(
-                    params["stiff"], self.c3_scalar * u + self.c4_scalar * v)
-            op3, op4 = params["stiff"]
-            return (ps.stiffness_apply_pallas(op3, u)
-                    + ps.stiffness_apply_pallas(op4, v))
-        if self.uniform:
+                x = (self.c3_scalar * u_flat
+                     + self.c4_scalar * v_flat).reshape(g)
+                b = ps.stiffness_apply_pallas(params["stiff"], x)
+            else:
+                op3, op4 = params["stiff"]
+                b = (ps.stiffness_apply_pallas(op3, u_flat.reshape(g))
+                     + ps.stiffness_apply_pallas(op4, v_flat.reshape(g)))
+        elif self.uniform:
             # both stiffness terms in ONE apply (linearity, scalar coeffs)
-            return mm.stiffness_apply_mm(
-                params["stiff"], self.c3_scalar * u + self.c4_scalar * v)
-        return (mm.stiffness_apply_mm(params["stiff"], u,
-                                      coeff_e=params["c3_e"])
-                + mm.stiffness_apply_mm(params["stiff"], v,
-                                        coeff_e=params["c4_e"]))
+            x = (self.c3_scalar * u_flat + self.c4_scalar * v_flat).reshape(g)
+            b = mm.stiffness_apply_mm(params["stiff"], x)
+        else:
+            b = (mm.stiffness_apply_mm(params["stiff"], u_flat.reshape(g),
+                                       coeff_e=params["c3_e"])
+                 + mm.stiffness_apply_mm(params["stiff"], v_flat.reshape(g),
+                                         coeff_e=params["c4_e"]))
+        return b.reshape(-1)
 
     def rhs(self, t, u, v):
-        return self._rhs(self.params, t, u, v)
+        """Grid-shaped public entry point."""
+        kv = self._rhs(self.params, t, u.reshape(-1), v.reshape(-1))
+        return kv.reshape(self.mesh.grid_shape)
 
     # ------------------------------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
@@ -201,17 +210,36 @@ class WesterveltModel:
         v0 = z if v0 is None else jnp.asarray(v0, self.dtype).reshape(z.shape)
         return timestepping.init_state(u0, v0, t0)
 
+    def _flat_state(self, s):
+        r = lambda a: a.reshape(-1)
+        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
+
+    def _grid_state(self, s):
+        g = self.mesh.grid_shape
+        r = lambda a: a.reshape(g)
+        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
+
     def step(self, state, dt, tf=None):
-        return timestepping.rk4_step(self._rhs, self.params, state, dt, tf)
+        s = timestepping.rk4_step(self._rhs, self.params,
+                                  self._flat_state(state), dt, tf)
+        return self._grid_state(s)
 
     def solve(self, state, dt: float, num_steps: int, tf=None, probe=None):
+        """State fields are (gx, gy, gz) at the API; the scan runs on flat
+        vectors internally (lane-padding on odd grid dims costs ~2x on every
+        elementwise pass; flat vectors tile perfectly).  Probes observe a
+        3D view."""
         key = (num_steps, tf is not None, probe)
         if key not in self._solver_cache:
+            wrapped = (None if probe is None
+                       else (lambda s: probe(self._grid_state(s))))
             self._solver_cache[key] = timestepping.make_solver(
-                self._rhs, num_steps, probe, clamp_tf=tf is not None)
+                self._rhs, num_steps, wrapped, clamp_tf=tf is not None)
         dt_ = jnp.asarray(float(dt), self.dtype)
         tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
-        return self._solver_cache[key](self.params, state, dt_, tf_)
+        out, ys = self._solver_cache[key](self.params,
+                                          self._flat_state(state), dt_, tf_)
+        return self._grid_state(out), ys
 
     def cfl_dt(self, cfl: float = 0.4) -> tuple[float, int]:
         c_max = float(np.max(self.material.sound_speed))

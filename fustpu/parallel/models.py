@@ -82,8 +82,9 @@ class ShardedModel:
         repl = {}     # replicated arrays, spec P()
 
         def put_node(a):
-            return grid.put(sh.split_node_field(np.asarray(a), nc, S, Pd),
-                            dtype)
+            # model diagonals are stored flat; restore the grid shape
+            a = np.asarray(a).reshape(mesh.grid_shape)
+            return grid.put(sh.split_node_field(a, nc, S, Pd), dtype)
 
         self.impl = stiffness_impl or getattr(model, "impl", "mm")
         from fustpu.ops import pallas_stiffness as ps

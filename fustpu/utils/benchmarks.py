@@ -145,6 +145,10 @@ def bench_operators(nc: int = 32, degree: int = 4, dtype=jnp.float32,
     for name, fn, p, k in [("mass", mass, diag, chain * 10),
                            ("stiffness", stiff, op, chain)]:
         mean, std = time_apply(fn, p, x, k, reps, base)
+        # grow the chain until the signal clears the RTT noise floor
+        while mean * k < 10 * base and k < 100000:
+            k *= 8
+            mean, std = time_apply(fn, p, x, k, reps, base)
         out.append(OpBenchResult(
             name=name, degree=degree, ncells=mesh.num_cells,
             ndofs=mesh.ndofs, mean_s=mean, std_s=std,
