@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fustpu.elements.hex import FACETS, HexElement, hex8_tabulate
+from fustpu.elements.hex import FACETS, hex8_tabulate
 from fustpu.mesh.box import BoxMesh
 
 _CHUNK = 16384  # cells per chunk to bound peak memory of (c, q, 3, 3) temps

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from fustpu.elements import gll
-from fustpu.elements.hex import FACETS, HexElement, hex8_tabulate, tabulate_3d_basis
+from fustpu.elements.hex import FACETS, hex8_tabulate, tabulate_3d_basis
 from fustpu.mesh.box import BoxMesh
 
 

@@ -26,7 +26,7 @@ leading axes; inside `shard_map` each device sees (1, 1, 1, lgx, lgy, lgz).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
