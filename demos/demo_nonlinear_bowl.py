@@ -4,13 +4,17 @@ nonlinear propagation — the physics of
 alpha=0.2 dB/m, source velocity 0.3856 m/s, whole boundary absorbing,
 periodic pressure-plane snapshots once the wave fills the domain).
 
-The reference models the spherical-cap bowl with a body-fitted Gmsh mesh;
-here the bowl is realised as a flat circular aperture with *focus delays*
-(phased-array equivalent — wavelets arrive at the geometric focus in
-phase; see fustpu.models.sources).  H131 geometry: aperture radius 16 mm,
-focal length 35 mm.
+Two bowl realisations (--geometry):
+- `conformal` (default): a body-fitted spherical-cap mesh — the x- face of
+  a deformed box is morphed onto the H131 cap (the same thing the
+  reference's Gmsh mesh does, cuda/demo_nonlinear_bowl.py:98-105), and the
+  transducer is a constant velocity source on the curved patch;
+- `phased`: flat aperture with per-node focus delays (phased-array
+  equivalent; see fustpu.models.sources).
+H131 geometry: aperture radius 16 mm, focal length 35 mm.
 
-    python demos/demo_nonlinear_bowl.py [--elements N] [--degree P] ...
+    python demos/demo_nonlinear_bowl.py [--elements N] [--degree P]
+                                        [--geometry conformal|phased] ...
 """
 
 import sys
@@ -22,15 +26,39 @@ import numpy as np  # noqa: E402
 
 from demos.common import apply_platform, demo_argparser, pick_dtype, run_demo  # noqa: E402
 from fustpu.config import Material, Source  # noqa: E402
-from fustpu.mesh.box import build_box_mesh  # noqa: E402
+from fustpu.mesh.box import build_box_mesh, build_mapped_mesh  # noqa: E402
 from fustpu.models import sources  # noqa: E402
 from fustpu.models.westervelt import WesterveltModel  # noqa: E402
 from fustpu.utils import eval as fev  # noqa: E402
 from fustpu.utils import io as fio  # noqa: E402
 
 
+def bowl_mapping(focal_length, aperture_radius, yc, zc, Lx):
+    """Morph the x- face onto the spherical cap x_s(r) = F - sqrt(F^2-r^2)
+    (apex at the origin, rim towards the focus), tapering the displacement
+    to zero by x = Lx/2 and beyond ~1.4 aperture radii."""
+    import numpy as np
+
+    def mapping(p):
+        q = p.copy()
+        r = np.sqrt((p[:, 1] - yc) ** 2 + (p[:, 2] - zc) ** 2)
+        rc = np.minimum(r, aperture_radius)
+        sag = focal_length - np.sqrt(focal_length**2 - rc**2)
+        # smooth radial taper beyond the aperture
+        t = np.clip((1.4 * aperture_radius - r) / (0.4 * aperture_radius),
+                    0.0, 1.0)
+        decay = np.clip(1.0 - 2.0 * p[:, 0] / Lx, 0.0, 1.0)
+        q[:, 0] = p[:, 0] + sag * t * decay
+        return q
+
+    return mapping
+
+
 def main():
-    args = demo_argparser(degree=6, periods=8.0).parse_args()
+    parser = demo_argparser(degree=6, periods=8.0)
+    parser.add_argument("--geometry", choices=["conformal", "phased"],
+                        default="conformal")
+    args = parser.parse_args()
     apply_platform(args)
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)
@@ -46,12 +74,19 @@ def main():
     epw = 2
     nex = args.elements or int(epw * domain_length / wavelength)
     net = max(8, int(round(nex * Lt / domain_length / 8)) * 8)  # multiple of 8 keeps the fused kernel eligible
-    mesh = build_box_mesh((nex, net, net), args.degree,
-                          hi=(domain_length, Lt, Lt))
-    print(f"mesh {mesh.nc}, degree {args.degree}, "
+    yc = zc = Lt / 2
+    if args.geometry == "conformal":
+        mesh = build_mapped_mesh(
+            (nex, net, net), args.degree,
+            bowl_mapping(focal_length, aperture_radius, yc, zc,
+                         domain_length),
+            hi=(domain_length, Lt, Lt))
+    else:
+        mesh = build_box_mesh((nex, net, net), args.degree,
+                              hi=(domain_length, Lt, Lt))
+    print(f"mesh {mesh.nc}, degree {args.degree}, {args.geometry} bowl, "
           f"Number of degrees-of-freedom: {mesh.ndofs}")
 
-    yc = zc = Lt / 2
     focus = np.array([focal_length, yc, zc])
     aperture = mesh.boundary_facets(
         "x-", predicate=lambda c: ((c[:, 1] - yc) ** 2
@@ -62,11 +97,12 @@ def main():
                          "so facet centroids resolve the 16 mm radius")
     print(f"aperture facets: {len(aperture)}")
 
+    delays = (None if args.geometry == "conformal" else
+              (lambda pts: sources.focus_delays(pts, focus,
+                                                mat.sound_speed)))
     model = WesterveltModel(
         mesh, mat, src, aperture, mesh.all_boundary_facets(),
-        dtype=pick_dtype(args.dtype),
-        source_delays=lambda pts: sources.focus_delays(
-            pts, focus, mat.sound_speed))
+        dtype=pick_dtype(args.dtype), source_delays=delays)
     dt, _ = model.cfl_dt(0.4)
     tf = domain_length / mat.sound_speed + args.periods / src.frequency
     nsteps = int(tf / dt) + 1

@@ -220,3 +220,28 @@ def build_box_mesh(
         coords = coords + disp
     return BoxMesh(degree=degree, nc=nc, lo=tuple(lo), hi=tuple(hi),
                    vertex_coords=coords)
+
+
+def build_mapped_mesh(
+    nc: tuple[int, int, int],
+    degree: int,
+    mapping,
+    lo: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    hi: tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> BoxMesh:
+    """Box-topology mesh with vertices moved by `mapping(points (N,3)) ->
+    (N,3)`: body-fitted curved or graded geometry (the role of the
+    reference's Gmsh-built meshes, e.g. the bowl-conforming
+    transducer_3d mesh of cuda/demo_nonlinear_bowl.py:98-105) without an
+    unstructured mesh — per-cell trilinear geometry handles the curvature,
+    exactly like the perturbed-mesh tests.
+
+    Note: `lo`/`hi` describe the parameter box; the physical extent is the
+    mapping's image (BoxMesh.lo/hi keep the parameter values for
+    locate_cells' initial guess, which the Newton cell-walk corrects)."""
+    base = build_box_mesh(nc, degree, lo=lo, hi=hi)
+    pts = base.vertex_coords.reshape(-1, 3)
+    mapped = np.asarray(mapping(pts), dtype=np.float64).reshape(
+        base.vertex_coords.shape)
+    return BoxMesh(degree=degree, nc=nc, lo=tuple(lo), hi=tuple(hi),
+                   vertex_coords=mapped)

@@ -154,3 +154,39 @@ def test_facet_area():
     detJ_all = pre.facet_geometry_factors(mesh, bd_all)
     area = 2 * (2 * 1 + 2 * 0.5 + 1 * 0.5)
     assert np.isclose(detJ_all.sum(), area, rtol=1e-13)
+
+
+def test_mapped_mesh_operators():
+    """Body-fitted curved geometry (deformed box): operators still match
+    the dense oracle, and volumes follow the mapping."""
+    from fustpu.mesh.box import build_mapped_mesh
+    from fustpu.ops import spectral_mm as mm_ops
+    from fustpu.elements.hex import HexElement
+
+    # smoothly bulge the box: x' = x(1 + 0.3 y (1-y)), curved cells
+    def mapping(p):
+        q = p.copy()
+        q[:, 0] = p[:, 0] * (1.0 + 0.3 * p[:, 1] * (1 - p[:, 1]))
+        q[:, 2] = p[:, 2] + 0.1 * np.sin(np.pi * p[:, 0])
+        return q
+
+    mesh = build_mapped_mesh((3, 3, 3), 3, mapping)
+    detJ, G = pre.cell_geometry_factors(mesh)
+    rng = np.random.default_rng(4)
+    coeff = rng.uniform(0.5, 2.0, mesh.num_cells)
+    x = rng.standard_normal(mesh.ndofs)
+
+    Ke = oracle.element_stiffness_matrices(mesh)
+    y_ref = oracle.apply_elementwise(Ke, mesh.dofmap, coeff, x, mesh.ndofs)
+    elem = HexElement(3)
+    op = mm_ops.build_stiffness(mesh.nc, 3, elem.deriv_1d, G, jnp.float64,
+                                coeff=coeff.reshape(mesh.nc))
+    y = mm_ops.stiffness_apply_mm(op, jnp.asarray(
+        x.reshape(mesh.grid_shape)))
+    assert rel_l2(np.asarray(y).ravel(), y_ref) < TOL
+
+    # mass of 1 = volume of the mapped domain (rough check: exceeds the
+    # unit box because of the bulge)
+    diag = mm_ops.mass_diagonal(mesh.nc, 3, detJ)
+    vol = diag.sum()
+    assert 1.0 < vol < 1.1, vol
