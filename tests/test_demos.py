@@ -1,0 +1,49 @@
+"""CLI smoke tests for the demo scripts (subprocess, tiny meshes, CPU) —
+guards the user-facing argument surface."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_demo(script, *extra):
+    env = dict(os.environ)
+    cmd = [sys.executable, str(REPO / "demos" / script),
+           "--elements", "4", "--degree", "2", "--periods", "0.2",
+           "--dtype", "f64", "--platform", "cpu",
+           "--progress-every", "50", *extra]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=300,
+                         cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_demo_linear_box_cli(tmp_path):
+    out = run_demo("demo_linear_box.py", "--output",
+                   str(tmp_path / "o"), "--checkpoint",
+                   str(tmp_path / "ck"), "--checkpoint-every", "10",
+                   "--progress-every", "10")
+    assert "Solve time per step" in out
+    assert "degrees-of-freedom" in out
+    assert list(tmp_path.glob("ck_*.npz")), "checkpoint not written"
+    assert list(tmp_path.glob("o_linear_box.vtk")), "vtk not written"
+
+
+def test_demo_nonlinear_bowl_cli(tmp_path):
+    out = run_demo("demo_nonlinear_bowl.py", "--elements", "12",
+                   "--geometry", "conformal",
+                   "--output", str(tmp_path / "b"))
+    assert "conformal bowl" in out
+    assert "pressure at focus" in out
+
+
+@pytest.mark.parametrize("script", ["demo_linear_piston.py",
+                                    "demo_nonlinear_box.py"])
+def test_other_demos_cli(script):
+    out = run_demo(script)
+    assert "Solve time per step" in out
