@@ -31,6 +31,10 @@ def demo_argparser(**defaults) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="",
                    help="checkpoint path prefix ('' = off)")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="dump a pressure-plane point cloud every N steps "
+                        "(reference's periodic snapshots, "
+                        "cuda/demo_nonlinear_bowl.py:662-681)")
     p.add_argument("--progress-every", type=int, default=100)
     p.add_argument("--platform", choices=["default", "cpu"],
                    default="default",
@@ -71,6 +75,18 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                 done % args.checkpoint_every == 0:
             with timing.timer("~ checkpoint"):
                 fio.save_checkpoint(f"{args.checkpoint}_{done}", state, done)
+        if args.output and args.snapshot_every and \
+                done % args.snapshot_every == 0:
+            from fustpu.utils import eval as fev
+
+            with timing.timer("~ snapshot (plane eval)"):
+                zc = (model.mesh.lo[2] + model.mesh.hi[2]) / 2
+                pts, vals = fev.eval_plane(
+                    model.mesh, np.asarray(state.u), axis=2, coord=zc,
+                    n0=179, n1=179)
+                fio.save_point_cloud(
+                    f"{args.output}_{name}_snap_{done}.txt", pts, vals,
+                    cols=(0, 1))
     wall = time.perf_counter() - t_solve
     print(f"Solve time: {wall:.3f}")
     print(f"Solve time per step: {wall / num_steps:.6f}")

@@ -49,7 +49,9 @@ def rk4_step(rhs: Callable, params, state: RKState, dt, tf=None) -> RKState:
     u, v, ku, kv, t = state
     dt = jnp.asarray(dt, u.dtype)
     if tf is not None:
-        dt = jnp.minimum(dt, jnp.asarray(tf, u.dtype) - t)
+        # clamp the last step onto tf; steps past tf become no-ops (dt=0)
+        # rather than integrating backwards
+        dt = jnp.clip(jnp.asarray(tf, u.dtype) - t, 0.0, dt)
     u0, v0 = u, v
     for i in range(4):
         a_i = u.dtype.type(RK4_A[i])

@@ -227,8 +227,8 @@ class ShardedModel:
         return b / m
 
     def _local_step(self, ctx, u, v, ku, kv, t, dt, tf):
-        dt = jnp.minimum(jnp.asarray(dt, u.dtype),
-                         jnp.asarray(tf, u.dtype) - t)
+        dt = jnp.clip(jnp.asarray(tf, u.dtype) - t, 0.0,
+                      jnp.asarray(dt, u.dtype))
         u0, v0 = u, v
         for i in range(4):
             a_i, b_i, c_i = (u.dtype.type(RK4_A[i]), u.dtype.type(RK4_B[i]),

@@ -248,3 +248,16 @@ def test_heterogeneous_two_layer_physics():
     # 5%-of-own-max threshold and coarse resolution in the slow half make
     # the measured ratio smaller)
     assert arrivals[1] > 1.15 * arrivals[0], arrivals
+
+
+def test_tf_clamp_no_backward_integration():
+    """Steps past tf are no-ops (dt clamps to 0), never negative."""
+    mesh = build_box_mesh((2, 2, 2), 2)
+    mat = Material(sound_speed=1.0, density=1.0)
+    src = Source(frequency=0.5, amplitude=1.0)
+    model = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            None, dtype=jnp.float64)
+    dt = 1e-3
+    tf = 5.5 * dt
+    final, _ = model.solve(model.init_state(), dt, 20, tf=tf)
+    assert np.isclose(float(final.t), tf, atol=1e-15)
