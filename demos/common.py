@@ -57,37 +57,56 @@ def apply_platform(args):
             jax.config.update("jax_enable_x64", True)
 
 
-def run_demo(model, dt: float, num_steps: int, args, name: str):
-    """Chunked solve: one jitted scan per chunk, host progress in between."""
-    state = model.init_state()
+def _gcd_chunk(args) -> int:
+    """Chunk size that hits every requested cadence exactly."""
+    import math
+
     chunk = max(args.progress_every, 1)
+    for c in (args.checkpoint_every if args.checkpoint else 0,
+              args.snapshot_every if args.output else 0):
+        if c:
+            chunk = math.gcd(chunk, c)
+    return max(chunk, 1)
+
+
+def run_demo(model, dt: float, num_steps: int, args, name: str):
+    """Chunked solve: one jitted scan per chunk, host progress in between.
+    Diagnostics (checkpoints, snapshots) are excluded from the reported
+    solve wall-clock."""
+    from fustpu.utils.eval import PointSampler, plane_points
+
+    state = model.init_state()
+    chunk = _gcd_chunk(args)
     done = 0
-    t_solve = time.perf_counter()
+    sampler = None
+    wall = 0.0
     while done < num_steps:
         k = min(chunk, num_steps - done)
         with timing.timer("~ solve chunk"):
+            t0 = time.perf_counter()
             state, _ = model.solve(state, dt, k)
             _ = float(state.u[0, 0, 0])      # sync (axon: BUR is a no-op)
+            wall += time.perf_counter() - t0
         done += k
-        print(f"t: {float(state.t):.5e}, steps: {done}/{num_steps}, "
-              f"u[0] = {float(state.u[0, 0, 0]):.6e}", flush=True)
+        if done % max(args.progress_every, 1) == 0 or done == num_steps:
+            print(f"t: {float(state.t):.5e}, steps: {done}/{num_steps}, "
+                  f"u[0] = {float(state.u[0, 0, 0]):.6e}", flush=True)
         if args.checkpoint and args.checkpoint_every and \
                 done % args.checkpoint_every == 0:
             with timing.timer("~ checkpoint"):
                 fio.save_checkpoint(f"{args.checkpoint}_{done}", state, done)
         if args.output and args.snapshot_every and \
                 done % args.snapshot_every == 0:
-            from fustpu.utils import eval as fev
-
             with timing.timer("~ snapshot (plane eval)"):
-                zc = (model.mesh.lo[2] + model.mesh.hi[2]) / 2
-                pts, vals = fev.eval_plane(
-                    model.mesh, np.asarray(state.u), axis=2, coord=zc,
-                    n0=179, n1=179)
+                if sampler is None:
+                    zc = (model.mesh.lo[2] + model.mesh.hi[2]) / 2
+                    pts = plane_points(model.mesh, axis=2, coord=zc,
+                                       n0=179, n1=179)
+                    sampler = PointSampler(model.mesh, pts)
+                vals = sampler.sample(np.asarray(state.u))
                 fio.save_point_cloud(
-                    f"{args.output}_{name}_snap_{done}.txt", pts, vals,
-                    cols=(0, 1))
-    wall = time.perf_counter() - t_solve
+                    f"{args.output}_{name}_snap_{done}.txt",
+                    sampler.points, vals, cols=(0, 1))
     print(f"Solve time: {wall:.3f}")
     print(f"Solve time per step: {wall / num_steps:.6f}")
 

@@ -94,11 +94,57 @@ def evaluate(mesh: BoxMesh, field: np.ndarray, points: np.ndarray
     return np.einsum("pijk,pi,pj,pk->p", vals, lx, ly, lz, optimize=True)
 
 
-def eval_plane(mesh: BoxMesh, field: np.ndarray, axis: int, coord: float,
-               n0: int, n1: int):
-    """Sample the field on a plane (the reference's periodic pressure-plane
-    snapshots, cuda/demo_nonlinear_bowl.py:144-159,662-681).  Returns
-    (points (n0*n1, 3), values (n0*n1,))."""
+class PointSampler:
+    """Repeated evaluation at a FIXED point set: cell location, Newton
+    inversion and Lagrange weights are computed ONCE (the role of the
+    reference's compute_eval_params, cuda/utils.py:117-154); each `sample`
+    is just a gather + weighted sum."""
+
+    def __init__(self, mesh: BoxMesh, points: np.ndarray):
+        self.mesh = mesh
+        self.points = np.asarray(points, dtype=np.float64)
+        pts = self.points
+        nc_arr = np.array(mesh.nc)
+        cells = locate_cells(mesh, pts)
+        for _ in range(4):
+            corners = mesh.cell_corners_flat[cells]
+            xi = _invert_trilinear(corners, pts)
+            out_lo = xi < -1e-10
+            out_hi = xi > 1 + 1e-10
+            if not (out_lo.any() or out_hi.any()):
+                break
+            cz = cells % nc_arr[2]
+            cy = (cells // nc_arr[2]) % nc_arr[1]
+            cx = cells // (nc_arr[1] * nc_arr[2])
+            cidx = np.stack([cx, cy, cz], axis=1)
+            cidx = np.clip(cidx - out_lo + out_hi, 0, nc_arr - 1)
+            cells = (cidx[:, 0] * nc_arr[1] * nc_arr[2]
+                     + cidx[:, 1] * nc_arr[2] + cidx[:, 2])
+        xi = np.clip(xi, 0.0, 1.0)
+        n = mesh.element.n
+        P = mesh.degree
+        nodes = mesh.element.nodes_1d
+        lx, _ = gll.lagrange_tabulate(nodes, xi[:, 0])
+        ly, _ = gll.lagrange_tabulate(nodes, xi[:, 1])
+        lz, _ = gll.lagrange_tabulate(nodes, xi[:, 2])
+        # per-point (n, n, n) tensor weights
+        self._w = np.einsum("pi,pj,pk->pijk", lx, ly, lz, optimize=True)
+        cz = cells % nc_arr[2]
+        cy = (cells // nc_arr[2]) % nc_arr[1]
+        cx = cells // (nc_arr[1] * nc_arr[2])
+        self._I = cx[:, None] * P + np.arange(n)[None, :]
+        self._J = cy[:, None] * P + np.arange(n)[None, :]
+        self._K = cz[:, None] * P + np.arange(n)[None, :]
+
+    def sample(self, field: np.ndarray) -> np.ndarray:
+        field = np.asarray(field).reshape(self.mesh.grid_shape)
+        vals = field[self._I[:, :, None, None], self._J[:, None, :, None],
+                     self._K[:, None, None, :]]
+        return np.einsum("pijk,pijk->p", vals, self._w, optimize=True)
+
+
+def plane_points(mesh: BoxMesh, axis: int, coord: float, n0: int, n1: int
+                 ) -> np.ndarray:
     lo, hi = np.array(mesh.lo), np.array(mesh.hi)
     free = [a for a in range(3) if a != axis]
     s0 = np.linspace(lo[free[0]], hi[free[0]], n0)
@@ -108,4 +154,14 @@ def eval_plane(mesh: BoxMesh, field: np.ndarray, axis: int, coord: float,
     pts[:, axis] = coord
     pts[:, free[0]] = A.ravel()
     pts[:, free[1]] = B.ravel()
+    return pts
+
+
+def eval_plane(mesh: BoxMesh, field: np.ndarray, axis: int, coord: float,
+               n0: int, n1: int):
+    """Sample the field on a plane (the reference's periodic pressure-plane
+    snapshots, cuda/demo_nonlinear_bowl.py:144-159,662-681).  Returns
+    (points (n0*n1, 3), values (n0*n1,)).  For repeated sampling build a
+    PointSampler once instead."""
+    pts = plane_points(mesh, axis, coord, n0, n1)
     return pts, evaluate(mesh, field, pts)

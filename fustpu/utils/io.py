@@ -56,11 +56,13 @@ def write_vtk_structured(path: str, mesh: BoxMesh,
 
 
 def save_point_cloud(path: str, points: np.ndarray, values: np.ndarray,
-                     cols=(0, 2)) -> str:
+                     cols=(0, 2), mode: str = "w") -> str:
     """Text dump `x,z,u` rows like the reference's pressure-field snapshots
-    (cuda/demo_nonlinear_bowl.py:662-681), but to a caller-chosen path."""
+    (cuda/demo_nonlinear_bowl.py:662-681), but to a caller-chosen path.
+    `mode='a'` appends (the reference's multi-rank accumulation pattern);
+    the default overwrites so re-runs don't interleave datasets."""
     data = np.column_stack([points[:, c] for c in cols] + [values])
-    with open(path, "a") as f:
+    with open(path, mode) as f:
         np.savetxt(f, data, fmt="%.8f", delimiter=",")
     return path
 

@@ -251,7 +251,8 @@ def test_heterogeneous_two_layer_physics():
 
 
 def test_tf_clamp_no_backward_integration():
-    """Steps past tf are no-ops (dt clamps to 0), never negative."""
+    """Steps past tf are no-ops (dt clamps to 0, never negative): running
+    extra steps beyond tf must leave the state bitwise unchanged."""
     mesh = build_box_mesh((2, 2, 2), 2)
     mat = Material(sound_speed=1.0, density=1.0)
     src = Source(frequency=0.5, amplitude=1.0)
@@ -259,5 +260,8 @@ def test_tf_clamp_no_backward_integration():
                             None, dtype=jnp.float64)
     dt = 1e-3
     tf = 5.5 * dt
-    final, _ = model.solve(model.init_state(), dt, 20, tf=tf)
-    assert np.isclose(float(final.t), tf, atol=1e-15)
+    s6, _ = model.solve(model.init_state(), dt, 6, tf=tf)
+    s20, _ = model.solve(model.init_state(), dt, 20, tf=tf)
+    assert abs(float(s20.t) - tf) < 1e-15 * 100
+    assert np.array_equal(np.asarray(s6.u), np.asarray(s20.u))
+    assert np.array_equal(np.asarray(s6.v), np.asarray(s20.v))
