@@ -42,16 +42,20 @@ class LinearWaveModel:
         source_delays=None,
         source_apodization=None,
         stiffness_impl: str = "auto",
+        pallas_precision=None,
     ):
         """`source_delays`: optional per-node delay profile tau(x) for a
         phased (focused) aperture — a callable(points (N,3)) -> tau (N,) or
         an (nf, n^2) array.  `source_apodization`: optional amplitude
         profile, same convention.  See fustpu.models.sources.
-        `stiffness_impl`: 'auto' | 'mm' | 'pallas'."""
+        `stiffness_impl`: 'auto' | 'mm' | 'pallas'.
+        `pallas_precision`: None (full f32) or "bf16x3" (~25%% faster
+        stiffness, ~3.6e-6 relative operator error)."""
         self.mesh = mesh
         self.material = material
         self.source = source
         self.dtype = dtype
+        self._pallas_precision = pallas_precision
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
@@ -143,7 +147,9 @@ class LinearWaveModel:
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 
-            b = ps.stiffness_apply_pallas(params["stiff"], u)
+            kw = ({} if self._pallas_precision is None
+                  else {"precision": self._pallas_precision})
+            b = ps.stiffness_apply_pallas(params["stiff"], u, **kw)
             b = self.c2_scalar * b if self.uniform else b
         elif self.uniform:
             b = self.c2_scalar * mm.stiffness_apply_mm(params["stiff"], u)

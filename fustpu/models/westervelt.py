@@ -45,6 +45,7 @@ class WesterveltModel:
         source_delays=None,
         source_apodization=None,
         stiffness_impl: str = "auto",
+        pallas_precision=None,
     ):
         """`source_delays` / `source_apodization`: optional per-node phased-
         aperture profiles (callable(points)->array or (nf, n^2) arrays) —
@@ -54,6 +55,7 @@ class WesterveltModel:
         self.material = material
         self.source = source
         self.dtype = dtype
+        self._pallas_precision = pallas_precision
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
@@ -178,14 +180,17 @@ class WesterveltModel:
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 
+            kw = ({} if self._pallas_precision is None
+                  else {"precision": self._pallas_precision})
             if self.uniform:
                 x = (self.c3_scalar * u_flat
                      + self.c4_scalar * v_flat).reshape(g)
-                b = ps.stiffness_apply_pallas(params["stiff"], x)
+                b = ps.stiffness_apply_pallas(params["stiff"], x, **kw)
             else:
                 op3, op4 = params["stiff"]
-                b = (ps.stiffness_apply_pallas(op3, u_flat.reshape(g))
-                     + ps.stiffness_apply_pallas(op4, v_flat.reshape(g)))
+                b = (ps.stiffness_apply_pallas(op3, u_flat.reshape(g), **kw)
+                     + ps.stiffness_apply_pallas(op4, v_flat.reshape(g),
+                                                 **kw))
         elif self.uniform:
             # both stiffness terms in ONE apply (linearity, scalar coeffs)
             x = (self.c3_scalar * u_flat + self.c4_scalar * v_flat).reshape(g)
