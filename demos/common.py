@@ -35,6 +35,10 @@ def demo_argparser(**defaults) -> argparse.ArgumentParser:
                    help="dump a pressure-plane point cloud every N steps "
                         "(reference's periodic snapshots, "
                         "cuda/demo_nonlinear_bowl.py:662-681)")
+    p.add_argument("--probe", type=float, nargs=3, action="append",
+                   default=None, metavar=("X", "Y", "Z"),
+                   help="record the pressure waveform at a point every step "
+                        "(hydrophone trace; repeatable)")
     p.add_argument("--progress-every", type=int, default=100)
     p.add_argument("--platform", choices=["default", "cpu"],
                    default="default",
@@ -80,13 +84,21 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     done = 0
     sampler = None
     wall = 0.0
+    probe = None
+    traces = []
+    if getattr(args, "probe", None):
+        pp = PointSampler(model.mesh, np.asarray(args.probe))
+        pfn = pp.jax_probe()
+        probe = lambda s: pfn(s.u)
     while done < num_steps:
         k = min(chunk, num_steps - done)
         with timing.timer("~ solve chunk"):
             t0 = time.perf_counter()
-            state, _ = model.solve(state, dt, k)
+            state, ys = model.solve(state, dt, k, probe=probe)
             _ = float(state.u[0, 0, 0])      # sync (axon: BUR is a no-op)
             wall += time.perf_counter() - t0
+        if probe is not None:
+            traces.append(np.asarray(ys))
         done += k
         if done % max(args.progress_every, 1) == 0 or done == num_steps:
             print(f"t: {float(state.t):.5e}, steps: {done}/{num_steps}, "
@@ -109,6 +121,14 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                     sampler.points, vals, cols=(0, 1))
     print(f"Solve time: {wall:.3f}")
     print(f"Solve time per step: {wall / num_steps:.6f}")
+
+    if probe is not None and args.output:
+        trace = np.concatenate(traces, axis=0)      # (num_steps, npts)
+        ts = (np.arange(1, num_steps + 1) * dt)[:, None]
+        path = f"{args.output}_{name}_probe.txt"
+        np.savetxt(path, np.hstack([ts, trace]), delimiter=",",
+                   header="t, p(probe_0), p(probe_1), ...")
+        print(f"wrote {path}")
 
     if args.output:
         with timing.timer("~ output (vtk)"):

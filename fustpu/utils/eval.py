@@ -142,6 +142,24 @@ class PointSampler:
                      self._K[:, None, None, :]]
         return np.einsum("pijk,pijk->p", vals, self._w, optimize=True)
 
+    def jax_probe(self):
+        """Traced sampler fn(field) -> (npts,) for use inside jitted scans
+        (per-step hydrophone traces via model.solve(probe=...))."""
+        import jax.numpy as jnp
+
+        I = jnp.asarray(self._I)
+        J = jnp.asarray(self._J)
+        K = jnp.asarray(self._K)
+        w = jnp.asarray(self._w)
+
+        def probe(field):
+            f = field.reshape(self.mesh.grid_shape)
+            vals = f[I[:, :, None, None], J[:, None, :, None],
+                     K[:, None, None, :]]
+            return jnp.einsum("pijk,pijk->p", vals, w.astype(f.dtype))
+
+        return probe
+
 
 def plane_points(mesh: BoxMesh, axis: int, coord: float, n0: int, n1: int
                  ) -> np.ndarray:
