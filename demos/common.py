@@ -90,18 +90,26 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
         pp = PointSampler(model.mesh, np.asarray(args.probe))
         pfn = pp.jax_probe()
         probe = lambda s: pfn(s.u)
-    while done < num_steps:
-        k = min(chunk, num_steps - done)
+    # A remainder chunk has a different scan length and would trigger a
+    # second multi-minute XLA compile; when the waste is small, pad it to a
+    # full chunk with tf-clamped no-op steps instead.
+    rem = num_steps % chunk
+    tf = float(num_steps) * dt
+    pad_last = rem and (chunk - rem) <= max(int(0.1 * num_steps), 2 * chunk)
+    total = num_steps + (chunk - rem if pad_last else 0)
+    while done < total:
+        k = min(chunk, total - done)
         with timing.timer("~ solve chunk"):
             t0 = time.perf_counter()
-            state, ys = model.solve(state, dt, k, probe=probe)
+            state, ys = model.solve(state, dt, k, tf=tf, probe=probe)
             _ = float(state.u[0, 0, 0])      # sync (axon: BUR is a no-op)
             wall += time.perf_counter() - t0
         if probe is not None:
             traces.append(np.asarray(ys))
         done += k
-        if done % max(args.progress_every, 1) == 0 or done == num_steps:
-            print(f"t: {float(state.t):.5e}, steps: {done}/{num_steps}, "
+        shown = min(done, num_steps)
+        if done % max(args.progress_every, 1) == 0 or done >= num_steps:
+            print(f"t: {float(state.t):.5e}, steps: {shown}/{num_steps}, "
                   f"u[0] = {float(state.u[0, 0, 0]):.6e}", flush=True)
         if args.checkpoint and args.checkpoint_every and \
                 done % args.checkpoint_every == 0:
@@ -123,7 +131,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     print(f"Solve time per step: {wall / num_steps:.6f}")
 
     if probe is not None and args.output:
-        trace = np.concatenate(traces, axis=0)      # (num_steps, npts)
+        trace = np.concatenate(traces, axis=0)[:num_steps]
         ts = (np.arange(1, num_steps + 1) * dt)[:, None]
         path = f"{args.output}_{name}_probe.txt"
         np.savetxt(path, np.hstack([ts, trace]), delimiter=",",
