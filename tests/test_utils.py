@@ -92,3 +92,20 @@ def test_timing_table(capsys):
     out = capsys.readouterr().out
     assert "~ section a" in out and "~ section b" in out
     assert timing.get_timings()["~ section a"].__len__() == 2
+
+
+def test_point_sampler_jax_probe_matches_numpy():
+    from fustpu.utils.eval import PointSampler
+
+    mesh = build_box_mesh((3, 3, 3), 3, hi=(2.0, 1.0, 1.5),
+                          perturb=0.1, seed=5)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform([0, 0, 0], [2.0, 1.0, 1.5], (20, 3))
+    f = rng.standard_normal(mesh.grid_shape)
+    ps = PointSampler(mesh, pts)
+    want = ps.sample(f)
+    got = np.asarray(ps.jax_probe()(jnp.asarray(f)))
+    assert np.allclose(got, want, rtol=1e-12)
+    # matches the one-shot evaluate too
+    from fustpu.utils.eval import evaluate
+    assert np.allclose(want, evaluate(mesh, f, pts), rtol=1e-12)
