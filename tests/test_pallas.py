@@ -1,6 +1,11 @@
 """Pallas fused stiffness kernel vs the (oracle-verified) matmul path,
 interpret mode on CPU (the reference keeps its jnp path as the
-interpret-mode test target per SURVEY.md §7.5)."""
+interpret-mode test target per SURVEY.md §7.5).
+
+Covers degrees P=2..6, both kernel precisions (full-f32 HIGHEST and the
+manual bf16x3 decomposition), odd cell counts, VMEM block-pick edge cases,
+and the mm fallback when no feasible tiling exists.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -13,20 +18,113 @@ from fustpu.ops import precompute as pre
 from fustpu.ops import spectral_mm as mm
 
 
-@pytest.mark.parametrize("P", [2, 4])
+def _mm_reference(mesh, P, coeff, x):
+    elem = HexElement(P)
+    _, G = pre.cell_geometry_factors(mesh)
+    op_mm = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                               coeff=coeff)
+    return np.asarray(mm.stiffness_apply_mm(op_mm, x)), G, elem
+
+
+def _run_pallas(mesh, P, coeff, x, precision):
+    elem = HexElement(P)
+    _, G = pre.cell_geometry_factors(mesh)
+    op_p = ps.build(mesh.nc, P, elem.deriv_1d, G, jnp.float64, coeff=coeff)
+    return np.asarray(ps.stiffness_apply_pallas(
+        op_p, x, interpret=True, precision=precision))
+
+
+@pytest.mark.parametrize("P", [2, 3, 4, 5, 6])
 def test_pallas_stiffness_matches_mm(P):
+    """Full-precision kernel == matmul formulation to roundoff (f64)."""
     mesh = build_box_mesh((4, 3, 5), P, hi=(1.0, 0.8, 1.3),
                           perturb=0.15, seed=7)
-    elem = HexElement(P)
-    detJ, G = pre.cell_geometry_factors(mesh)
     rng = np.random.default_rng(0)
     coeff = rng.uniform(0.5, 2.0, mesh.nc)
     x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
-
-    op_mm = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
-                               coeff=coeff)
-    y_ref = np.asarray(mm.stiffness_apply_mm(op_mm, x))
-    op_p = ps.build(mesh.nc, P, elem.deriv_1d, G, jnp.float64, coeff=coeff)
-    y = np.asarray(ps.stiffness_apply_pallas(op_p, x, interpret=True))
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x)
+    y = _run_pallas(mesh, P, coeff, x, ps._HI)
     err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("P", [2, 3, 4, 5, 6])
+def test_pallas_stiffness_bf16x3(P):
+    """The manual 3-term bf16 decomposition: the only dropped term is
+    lo*lo, whose relative magnitude is ~2^-18 = 3.8e-6; allow a small
+    accumulation factor on top."""
+    mesh = build_box_mesh((4, 3, 5), P, hi=(1.0, 0.8, 1.3),
+                          perturb=0.15, seed=7)
+    rng = np.random.default_rng(1)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x)
+    y = _run_pallas(mesh, P, coeff, x, "bf16x3")
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 2e-5, err
+    assert err > 0.0  # sanity: the decomposition is actually engaged
+
+
+@pytest.mark.parametrize("nc", [(3, 1, 2), (2, 7, 3), (5, 2, 2)])
+def test_pallas_odd_cell_counts(nc):
+    """Odd/prime cell counts exercise the block-pick fallbacks."""
+    P = 3
+    mesh = build_box_mesh(nc, P, perturb=0.1, seed=3)
+    rng = np.random.default_rng(2)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x)
+    y = _run_pallas(mesh, P, coeff, x, ps._HI)
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
+
+
+def test_pallas_fits_and_mm_fallback():
+    """When no VMEM-feasible tiling exists the model must fall back to the
+    matmul path and produce identical physics."""
+    import jax
+
+    from fustpu.config import Material, Source
+    from fustpu.models.discretization import resolve_stiffness_impl, \
+        Discretization
+    from fustpu.models.linear import LinearWaveModel
+
+    # a mesh the heuristic accepts
+    mesh_ok = build_box_mesh((4, 4, 4), 4)
+    assert Discretization(mesh_ok, jnp.float64).pallas_fits()
+
+    # a y/z extent far beyond VMEM for a single slab must be rejected
+    n = 5
+    assert ps.pallas_fits(n, ncy=4096, ncz=4096, gz=4096 * 4 + 1) is False
+
+    # fallback at the model level: impl='auto' off-TPU resolves to mm and
+    # the solution matches an explicit pallas run (interpret mode)
+    mesh = build_box_mesh((3, 3, 3), 3, hi=(0.01,) * 3)
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=1e6, amplitude=1e5)
+    kw = dict(dtype=jnp.float64)
+    m_mm = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                           mesh.all_boundary_facets(),
+                           stiffness_impl="mm", **kw)
+    assert resolve_stiffness_impl("auto", m_mm.disc) == "mm"  # CPU here
+    m_pl = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                           mesh.all_boundary_facets(),
+                           stiffness_impl="pallas", **kw)
+    m_pl._pallas_interpret = True
+    # route the pallas model through interpret mode
+    import fustpu.ops.pallas_stiffness as psm
+    orig = psm.stiffness_apply_pallas
+
+    def interp(op, x, interpret=False, precision=ps._HI):
+        return orig(op, x, interpret=True, precision=precision)
+
+    psm.stiffness_apply_pallas = interp
+    try:
+        dt, _ = m_mm.cfl_dt(0.5)
+        s1, _ = m_mm.solve(m_mm.init_state(), dt, 5)
+        s2, _ = m_pl.solve(m_pl.init_state(), dt, 5)
+    finally:
+        psm.stiffness_apply_pallas = orig
+    err = (np.linalg.norm(np.asarray(s1.u) - np.asarray(s2.u))
+           / max(np.linalg.norm(np.asarray(s1.u)), 1e-300))
+    assert err < 1e-11, err
