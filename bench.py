@@ -4,44 +4,94 @@ reference's time_operators harness (/root/reference/cuda/time_operators.py,
 P=4, 32^3, 10 reps) and BASELINE.md's north-star metric.
 
 Prints ONE JSON line.  `vs_baseline`: the reference publishes no numbers
-(BASELINE.md), so the ratio is against the speed-of-light bound for this
-chip — the HBM-bandwidth-bound throughput of the combined mass+stiffness
-apply assuming minimal traffic (read x, write y, stream detJ/G once), with
-v5e peak HBM bandwidth 819 GB/s.  vs_baseline = achieved / speed-of-light.
+(BASELINE.md), so the ratio is against the speed-of-light bound measured on
+THIS chip in THIS run — the HBM streaming bandwidth (data-dependent triad
+over a >VMEM working set) applied to the minimal-traffic model of the pair
+(read x, write y, stream the assembled mass diagonal and the 6-component G
+once).  vs_baseline = achieved / speed-of-light.
+
+Physicality checks (all printed as '#' comment lines to stderr):
+- implied GB/s per op = minimal traffic / measured time;
+- the stiffness implied bandwidth must not exceed the measured streaming
+  roofline (it reads HBM every apply);
+- the mass apply at the headline size is VMEM-resident (its 2x8.6 MB
+  working set fits on-chip across the timing chain), so its implied HBM
+  bandwidth legitimately exceeds the streaming roofline; to keep the claim
+  physical the mass op is re-timed on a >VMEM mesh and THAT rate is
+  asserted against the roofline.
 """
 
 import json
 import sys
 
-import jax
 import jax.numpy as jnp
 
-V5E_HBM_GB_S = 819.0
+
+def comment(msg):
+    print("#", msg, file=sys.stderr, flush=True)
 
 
 def main():
+    import numpy as np
+
+    from fustpu.mesh.box import build_box_mesh
+    from fustpu.ops import precompute as pre
+    from fustpu.ops import spectral_mm as mm
     from fustpu.utils import benchmarks as B
 
     nc, degree, dtype = 32, 4, jnp.float32
+
+    stream_gbs = B.measure_streaming_roofline()
+    mxu_tfs = B.measure_matmul_roofline()
+    comment(f"measured rooflines: HBM streaming {stream_gbs:.0f} GB/s, "
+            f"bf16 matmul {mxu_tfs:.0f} TFLOP/s")
+
     try:
         res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10)
     except Exception as e:  # never leave the driver without a metric
-        print(f"# pallas path failed ({type(e).__name__}: {e}); "
-              "falling back to mm", file=sys.stderr)
+        comment(f"pallas path failed ({type(e).__name__}: {e}); "
+                "falling back to mm")
         res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10,
                                 impl="mm")
+    ok = True
     for r in res:
-        print("#", r.row(), file=sys.stderr)
+        flag = ""
+        if r.hbm_gb_s > 1.05 * stream_gbs:
+            if r.name == "mass":
+                flag = "  [VMEM-resident at this size]"
+            else:
+                flag = "  [IMPLAUSIBLE: exceeds measured streaming roofline]"
+                ok = False
+        comment(r.row() + flag)
+
+    # the mass working set at 32^3 fits in VMEM across the timing chain;
+    # confirm the op is HBM-roofline-bound once the working set cannot fit
+    big = 72
+    mesh_big = build_box_mesh((big, big, big), degree)
+    detJ_big, _ = pre.cell_geometry_factors(mesh_big)
+    diag_big = jnp.asarray(
+        mm.mass_diagonal(mesh_big.nc, degree, detJ_big), dtype)
+    x_big = jnp.asarray(np.random.default_rng(0).standard_normal(
+        mesh_big.grid_shape), dtype)
+    t_big, _ = B.time_apply(lambda p, v: v * p, diag_big, x_big,
+                            chain=50, reps=5)
+    big_gbs = B.min_bytes("mass", mesh_big, dtype) / t_big / 1e9
+    comment(f"mass (>VMEM, {mesh_big.ndofs/1e6:.1f}M dofs): "
+            f"{t_big*1e3:.3f} ms, implied {big_gbs:.0f} GB/s")
+    if big_gbs > 1.05 * stream_gbs:
+        comment("IMPLAUSIBLE: >VMEM mass exceeds streaming roofline")
+        ok = False
+    comment(f"consistency_ok={ok}")
+
     total_t = sum(r.mean_s for r in res)
     ndofs = res[0].ndofs
     pair_dof_s = ndofs / total_t
 
-    # speed-of-light for the pair on this chip
-    import fustpu.mesh.box as box
-    mesh = box.build_box_mesh((nc, nc, nc), degree)
+    # speed-of-light for the pair on this chip, with the measured roofline
+    mesh = build_box_mesh((nc, nc, nc), degree)
     mbytes = (B.min_bytes("mass", mesh, dtype)
               + B.min_bytes("stiffness", mesh, dtype))
-    sol_pair_dof_s = ndofs / (mbytes / (V5E_HBM_GB_S * 1e9))
+    sol_pair_dof_s = ndofs / (mbytes / (stream_gbs * 1e9))
 
     print(json.dumps({
         "metric": "mass+stiffness apply throughput (P=4, 32^3 hex, f32)",

@@ -1,6 +1,8 @@
 """Shared demo driver: chunked solve with progress prints (the reference
 prints `t, step, u[0]` every 100 steps, numba-cpu/demo_linear_box.py:461),
-per-section timings, optional checkpointing and field output."""
+per-section timings, optional checkpointing and field output.  Drives
+single-device models and ShardedModel alike (the reference has one code
+path for 1..N ranks; so does this driver)."""
 
 from __future__ import annotations
 
@@ -76,8 +78,14 @@ def _gcd_chunk(args) -> int:
 def run_demo(model, dt: float, num_steps: int, args, name: str):
     """Chunked solve: one jitted scan per chunk, host progress in between.
     Diagnostics (checkpoints, snapshots) are excluded from the reported
-    solve wall-clock."""
+    solve wall-clock and are never emitted for padded (post-tf no-op)
+    steps.  Works for single-device models and ShardedModel (distributed
+    fields are collected on the host only for diagnostics/output)."""
     from fustpu.utils.eval import PointSampler, plane_points
+
+    sharded = hasattr(model, "collect")
+    to_host = (lambda a: model.collect(a)) if sharded \
+        else (lambda a: np.asarray(a))
 
     state = model.init_state()
     chunk = _gcd_chunk(args)
@@ -87,22 +95,25 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     probe = None
     traces = []
     if getattr(args, "probe", None):
-        pp = PointSampler(model.mesh, np.asarray(args.probe))
-        pfn = pp.jax_probe()
-        probe = lambda s: pfn(s.u)
-    # A remainder chunk has a different scan length and would trigger a
-    # second multi-minute XLA compile; when the waste is small, pad it to a
-    # full chunk with tf-clamped no-op steps instead.
+        pts = np.asarray(args.probe)
+        if sharded:
+            probe = model.probe_fn(pts)
+        else:
+            pfn = PointSampler(model.mesh, pts).jax_probe()
+            probe = lambda s: pfn(s.u)
+    # A remainder chunk would have a different scan length, triggering a
+    # second multi-minute XLA compile; padding it to a full chunk with
+    # tf-clamped no-op steps costs at most `chunk` cheap steps, which is
+    # always far less than a compile, so the remainder is always padded.
     rem = num_steps % chunk
     tf = float(num_steps) * dt
-    pad_last = rem and (chunk - rem) <= max(int(0.1 * num_steps), 2 * chunk)
-    total = num_steps + (chunk - rem if pad_last else 0)
+    total = num_steps + (chunk - rem if rem else 0)
     while done < total:
         k = min(chunk, total - done)
         with timing.timer("~ solve chunk"):
             t0 = time.perf_counter()
             state, ys = model.solve(state, dt, k, tf=tf, probe=probe)
-            _ = float(state.u[0, 0, 0])      # sync (axon: BUR is a no-op)
+            _ = float(jnp.ravel(state.u)[0])  # sync (axon: BUR is a no-op)
             wall += time.perf_counter() - t0
         if probe is not None:
             traces.append(np.asarray(ys))
@@ -110,12 +121,17 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
         shown = min(done, num_steps)
         if done % max(args.progress_every, 1) == 0 or done >= num_steps:
             print(f"t: {float(state.t):.5e}, steps: {shown}/{num_steps}, "
-                  f"u[0] = {float(state.u[0, 0, 0]):.6e}", flush=True)
-        if args.checkpoint and args.checkpoint_every and \
+                  f"u[0] = {float(jnp.ravel(state.u)[0]):.6e}", flush=True)
+        in_run = done <= num_steps      # no diagnostics for padded steps
+        if args.checkpoint and args.checkpoint_every and in_run and \
                 done % args.checkpoint_every == 0:
             with timing.timer("~ checkpoint"):
-                fio.save_checkpoint(f"{args.checkpoint}_{done}", state, done)
-        if args.output and args.snapshot_every and \
+                cstate = state._replace(
+                    u=to_host(state.u), v=to_host(state.v),
+                    ku=to_host(state.ku), kv=to_host(state.kv)) \
+                    if sharded else state
+                fio.save_checkpoint(f"{args.checkpoint}_{done}", cstate, done)
+        if args.output and args.snapshot_every and in_run and \
                 done % args.snapshot_every == 0:
             with timing.timer("~ snapshot (plane eval)"):
                 if sampler is None:
@@ -123,12 +139,15 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                     pts = plane_points(model.mesh, axis=2, coord=zc,
                                        n0=179, n1=179)
                     sampler = PointSampler(model.mesh, pts)
-                vals = sampler.sample(np.asarray(state.u))
+                vals = sampler.sample(to_host(state.u))
                 fio.save_point_cloud(
                     f"{args.output}_{name}_snap_{done}.txt",
                     sampler.points, vals, cols=(0, 1))
+    pad = total - num_steps
     print(f"Solve time: {wall:.3f}")
-    print(f"Solve time per step: {wall / num_steps:.6f}")
+    print(f"Solve time per step: {wall / total:.6f}"
+          + (f" (over {total} executed steps incl. {pad} padding)"
+             if pad else ""))
 
     if probe is not None and args.output:
         trace = np.concatenate(traces, axis=0)[:num_steps]
@@ -142,7 +161,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
         with timing.timer("~ output (vtk)"):
             path = fio.write_vtk_structured(
                 f"{args.output}_{name}", model.mesh,
-                {"u": np.asarray(state.u), "v": np.asarray(state.v)})
+                {"u": to_host(state.u), "v": to_host(state.v)})
         print(f"wrote {path}")
     timing.list_timings()
     return state

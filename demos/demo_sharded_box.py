@@ -57,9 +57,9 @@ def main():
     smodel = ShardedModel(model, grid)
     print(f"device grid {S}, dofs {mesh.ndofs}, impl {smodel.impl}")
     dt, _ = model.cfl_dt(0.4)
-    out = smodel.solve(smodel.init_state(), dt, args.steps)
-    u = smodel.collect(out[0])
-    print(f"steps={args.steps}, t={float(np.asarray(out[4])):.3e}, "
+    out, _ = smodel.solve(smodel.init_state(), dt, args.steps)
+    u = smodel.collect(out.u)
+    print(f"steps={args.steps}, t={float(np.asarray(out.t)):.3e}, "
           f"|u|max={np.abs(u).max():.4e}, finite={np.all(np.isfinite(u))}")
 
 

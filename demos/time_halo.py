@@ -65,11 +65,11 @@ def main():
         try:
             sm = ShardedModel(model, grid)
             st = sm.init_state()
-            out = sm.solve(st, dt, args.steps)
-            float(np.asarray(out[4]))
+            out, _ = sm.solve(st, dt, args.steps)
+            float(np.asarray(out.t))
             t0 = time.perf_counter()
-            out = sm.solve(st, dt, args.steps)
-            float(np.asarray(out[4]))
+            out, _ = sm.solve(st, dt, args.steps)
+            float(np.asarray(out.t))
             return (time.perf_counter() - t0) / args.steps
         finally:
             if disable_halo:

@@ -25,12 +25,15 @@ import numpy as np
 
 from fustpu.config import Material, Source
 from fustpu.mesh.box import BoxMesh
-from fustpu.models import sources, timestepping
+from fustpu.models import sources
+from fustpu.models.base import WaveModelBase
 from fustpu.models.discretization import Discretization, resolve_stiffness_impl
 from fustpu.ops import spectral_mm as mm
 
 
-class LinearWaveModel:
+class LinearWaveModel(WaveModelBase):
+    DEFAULT_CFL = 0.65
+
     def __init__(
         self,
         mesh: BoxMesh,
@@ -49,8 +52,9 @@ class LinearWaveModel:
         an (nf, n^2) array.  `source_apodization`: optional amplitude
         profile, same convention.  See fustpu.models.sources.
         `stiffness_impl`: 'auto' | 'mm' | 'pallas'.
-        `pallas_precision`: None (full f32) or "bf16x3" (~25%% faster
-        stiffness, ~3.6e-6 relative operator error)."""
+        `pallas_precision`: None = the kernel's validated default (bf16x3
+        for f32 fields, full precision for f64); pass
+        jax.lax.Precision.HIGHEST to force the full-f32 kernel."""
         self.mesh = mesh
         self.material = material
         self.source = source
@@ -158,54 +162,3 @@ class LinearWaveModel:
                                       coeff_e=params["c2_e"])
         return b.reshape(-1)
 
-    def rhs(self, t, u, v):
-        """Grid-shaped public entry point."""
-        kv = self._rhs(self.params, t, u.reshape(-1), v.reshape(-1))
-        return kv.reshape(self.mesh.grid_shape)
-
-    # ------------------------------------------------------------------
-    def init_state(self, t0: float = 0.0, u0=None, v0=None
-                   ) -> timestepping.RKState:
-        z = jnp.zeros(self.mesh.grid_shape, self.dtype)
-        u0 = z if u0 is None else jnp.asarray(u0, self.dtype).reshape(z.shape)
-        v0 = z if v0 is None else jnp.asarray(v0, self.dtype).reshape(z.shape)
-        return timestepping.init_state(u0, v0, t0)
-
-    def _flat_state(self, s):
-        r = lambda a: a.reshape(-1)
-        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
-
-    def _grid_state(self, s):
-        g = self.mesh.grid_shape
-        r = lambda a: a.reshape(g)
-        return timestepping.RKState(r(s.u), r(s.v), r(s.ku), r(s.kv), s.t)
-
-    def step(self, state, dt, tf=None):
-        s = timestepping.rk4_step(self._rhs, self.params,
-                                  self._flat_state(state), dt, tf)
-        return self._grid_state(s)
-
-    def solve(self, state, dt: float, num_steps: int, tf=None, probe=None):
-        """State fields are (gx, gy, gz) at the API; the scan runs on flat
-        vectors internally (lane-padding on odd grid dims costs ~2x on every
-        elementwise pass; flat vectors tile perfectly).  Probes observe a
-        3D view."""
-        key = (num_steps, tf is not None, probe)
-        if key not in self._solver_cache:
-            wrapped = (None if probe is None
-                       else (lambda s: probe(self._grid_state(s))))
-            self._solver_cache[key] = timestepping.make_solver(
-                self._rhs, num_steps, wrapped, clamp_tf=tf is not None)
-        dt_ = jnp.asarray(float(dt), self.dtype)
-        tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
-        out, ys = self._solver_cache[key](self.params,
-                                          self._flat_state(state), dt_, tf_)
-        return self._grid_state(out), ys
-
-    def cfl_dt(self, cfl: float = 0.65) -> tuple[float, int]:
-        """dt = CFL h / (c P^2), snapped to an integer number of steps per
-        source period (reference numba-cpu/demo_linear_box.py:94-100)."""
-        c_max = float(np.max(self.material.sound_speed))
-        dt = cfl * self.mesh.hmin() / (c_max * self.mesh.degree**2)
-        spp = int(self.source.period / dt) + 1
-        return self.source.period / spp, spp

@@ -71,14 +71,27 @@ def make_solver(rhs: Callable, num_steps: int,
                 probe: Callable[[RKState], jax.Array] | None = None,
                 clamp_tf: bool = False):
     """Build a jitted solver fn(params, state, dt, tf) -> (state, ys)
-    running `num_steps` RK4 steps under lax.scan."""
+    running `num_steps` RK4 steps under lax.scan.
+
+    The step time is recomputed as t = t0 + k*dt from an integer step
+    index each iteration (the scan runs over arange) instead of being
+    accumulated as t += dt in the compute dtype: accumulating f32 adds a
+    deterministic per-step rounding that grows linearly (a systematic
+    source-phase error of up to a few % of the period over ~1e4 steps);
+    the reference avoids it by stepping t on the host in float64."""
 
     @jax.jit
     def run(params, state: RKState, dt, tf):
-        def body(s, _):
+        t0 = state.t
+
+        def body(s, k):
+            t = t0 + k.astype(t0.dtype) * dt
+            if clamp_tf:
+                t = jnp.minimum(t, tf)   # no-op steps past tf stay at tf
+            s = s._replace(t=t)
             s = rk4_step(rhs, params, s, dt, tf if clamp_tf else None)
             return s, (probe(s) if probe is not None else None)
 
-        return jax.lax.scan(body, state, None, length=num_steps)
+        return jax.lax.scan(body, state, jnp.arange(num_steps))
 
     return run

@@ -1,23 +1,36 @@
-"""Fused Pallas TPU kernel for the sum-factorised stiffness apply.
+"""Fully-fused Pallas TPU kernel for the sum-factorised stiffness apply.
 
-Motivation: the XLA matmul formulation (fustpu.ops.spectral_mm) is ~12
-full-field HBM passes (~1.6 ms for P=4, 32^3, f32, HIGHEST).  This kernel
-processes one (x-slab, y-block) tile of cells per grid step entirely in
-VMEM: z-window expansion, all three derivative contractions, the G metric
-transform, reverse contractions, and the z overlap-add — one HBM read of
-the tile + its G block, one write.  The x/y window expansion and
-overlap-add stay outside as cheap slicing passes (their trailing dims are
-large, so they are layout-friendly), which also makes tiles independent:
-no overlap between Pallas blocks, and VMEM use scales down with the
-y-block count (P=6 fits too).
+One apply is ONE pass: the kernel reads the node grid and the geometry
+factors from HBM and writes the node-grid result — window expansion, all
+three derivative contractions, the G metric transform, reverse
+contractions, and the overlap-add fold all happen in VMEM.  (Round-1 of
+this kernel materialised the x/y-expanded field and a pre-fold output in
+HBM — roughly four extra full-field passes per apply.)
 
-The role of the reference's shared-memory CUDA kernel
-(/root/reference/cuda/operators.py:73-192), re-thought for a VMEM+MXU
-machine: the cell batch is a tile of (ncy/NYB x ncz) cells, the z-direction
-(lane axis) contractions are 2D MXU matmuls, and the x/y directions unroll
-over planes / sublane cell blocks with the 1D derivative matrix baked into
-the kernel as compile-time scalars (pure VPU multiply-adds — matmul FLOPs
-are ~18x under f32 emulation, so keeping them off the MXU is a win).
+Structure (the role of the reference's one-block-per-cell shared-memory
+CUDA kernel, /root/reference/cuda/operators.py:73-192, re-thought for a
+VMEM+MXU machine):
+
+- grid (ncx + 1, n): the outer dimension walks x-slabs of cells in order;
+  the inner dimension phases the geometry stream one x-node-plane at a
+  time so the G block stays small.  Both dimensions are sequential
+  ("arbitrary") — slab i+1 depends on slab i through the overlap carry.
+- per slab, the full (ey, ez) = (ncy*n, ncz*n) expanded y-z extent is
+  resident in VMEM; y and z contractions are 2D MXU matmuls against the
+  window / block-diagonal derivative matrices, the x (cross-plane)
+  contraction is static-scalar VPU arithmetic with the 1D derivative
+  matrix baked in as compile-time constants.
+- the x-direction overlap-add between consecutive slabs is carried in a
+  VMEM scratch plane (sequential grid), so output rows are written exactly
+  once; a final flush step (grid index ncx) writes the carry as the last
+  node plane.  The output is padded to (ncx+1)*P rows; callers slice
+  [:gx], which XLA fuses into consumers.
+
+Precision: matmuls run either at f32 HIGHEST (Mosaic emulates f32 on the
+bf16 MXU at ~18x FLOP cost) or as a manual bf16x3 decomposition
+(a@b = ah@bh + ah@bl + al@bh, dropping only the ~2^-18 lo*lo term).  The
+0/1 window matrices are exactly representable in bf16, so their products
+need only two terms.
 """
 
 from __future__ import annotations
@@ -41,215 +54,234 @@ class PallasStiffness:
     derivative matrix as STATIC aux data (baked into the kernel as
     compile-time scalars)."""
 
-    def __init__(self, G, Wz, Dez, D_host: tuple):
-        self.G = G            # (ncx, 6, n, ey, ez)
-        self.Wz = Wz          # (ez, gz)
+    def __init__(self, G, Wy, WzT, Dey, Dez, D_host: tuple):
+        self.G = G            # (ncx, n, 6, ey, ez)
+        self.Wy = Wy          # (ey, gy) 0/1 window
+        self.WzT = WzT        # (gz, ez) 0/1 window, transposed
+        self.Dey = Dey        # (ey, ey) block-diag D
         self.Dez = Dez        # (ez, ez) block-diag D
         self.D_host = D_host  # tuple-of-tuples of floats (hashable)
 
     def tree_flatten(self):
-        return (self.G, self.Wz, self.Dez), self.D_host
+        return (self.G, self.Wy, self.WzT, self.Dey, self.Dez), self.D_host
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, D_host=aux)
 
 
-def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
-          coeff: np.ndarray | None = None) -> PallasStiffness:
-    """Same inputs as spectral_mm.build_stiffness; G rearranged per x-slab."""
-    n = P + 1
+def pack_G(G_cells: np.ndarray, nc, n: int,
+           coeff: np.ndarray | None = None) -> np.ndarray:
+    """(cells, n^3, 6) geometry factors -> (ncx, n, 6, ey, ez) kernel
+    layout (per x-slab, per x-node-plane), with an optional per-cell
+    coefficient folded in."""
     ncx, ncy, ncz = nc
     Ge = mm.to_expanded_layout(G_cells, nc, n)        # (ex, ey, ez, 6)
     if coeff is not None:
         Ge = Ge * mm.expand_cell_field(np.asarray(coeff), n)[..., None]
     Ge = Ge.reshape(ncx, n, ncy * n, ncz * n, 6)
-    Ge = np.ascontiguousarray(Ge.transpose(0, 4, 1, 2, 3))
+    return np.ascontiguousarray(Ge.transpose(0, 1, 4, 2, 3))
+
+
+def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
+          coeff: np.ndarray | None = None) -> PallasStiffness:
+    """Same inputs as spectral_mm.build_stiffness."""
+    n = P + 1
+    _, ncy, ncz = nc
     return PallasStiffness(
-        G=jnp.asarray(Ge, dtype),
-        Wz=jnp.asarray(mm.window_matrix(ncz, P), dtype),
+        G=jnp.asarray(pack_G(G_cells, nc, n, coeff), dtype),
+        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
+        WzT=jnp.asarray(mm.window_matrix(ncz, P).T, dtype),
+        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
         Dez=jnp.asarray(mm.deriv_block_matrix(ncz, D_1d), dtype),
         D_host=tuple(map(tuple, np.asarray(D_1d, np.float64))),
     )
 
 
-def _mk_kernel(n: int, D: tuple, precision):
+def _mk_matmul(precision, f32):
+    """2D dot with contraction dims; bf16x3 drops only the lo*lo term and
+    skips the lo term entirely for operands flagged exact-in-bf16 (the 0/1
+    window matrices)."""
+
+    def split(a):
+        hi = a.astype(jnp.bfloat16).astype(f32)
+        return hi, a - hi
+
+    def matmul(a, b, dims, a_exact=False, b_exact=False):
+        dn = (dims, ((), ()))
+        if precision == "bf16x3":
+            d = lambda p, q: jax.lax.dot_general(
+                p, q, dn, preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT)
+            ah, al = (a, None) if a_exact else split(a)
+            bh, bl = (b, None) if b_exact else split(b)
+            out = d(ah, bh)
+            if bl is not None:
+                out = out + d(ah, bl)
+            if al is not None:
+                out = out + d(al, bh)
+            return out
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+                                   precision=precision)
+
+    return matmul
+
+
+def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
     """Kernel specialised for degree (n = P+1) with D as static scalars."""
 
-    def kernel(x_ref, G_ref, Wz_ref, Dez_ref, o_ref):
+    def kernel(*refs):
+        x_refs = refs[:n]                      # n x-node planes (1, gy, gz)
+        G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc, xc_sc \
+            = refs[n:]
+        i = pl.program_id(0)
+        s = pl.program_id(1)
         f32 = o_ref.dtype
-        Wz, Dez = Wz_ref[...], Dez_ref[...]
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
 
-        def _dn(tb):
-            return (((1,), (1 if tb else 0,)), ((), ()))
+        @pl.when(jnp.logical_and(i < ncx, s == 0))
+        def _expand():
+            # u_p = Wy @ x_p @ Wz^T for every plane of the slab
+            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            for p in range(n):
+                t = matmul(Wy, x_refs[p][0], C10, a_exact=True)
+                u_sc[p] = matmul(t, WzT, C10, b_exact=True)
+            r_sc[...] = jnp.zeros(r_sc.shape, r_sc.dtype)
 
-        if precision == "bf16x3":
-            # manual 3-term bf16 decomposition: a@b = ah@bh + ah@bl + al@bh
-            # (~f32 accuracy at ~1/6 the cost of Mosaic's f32 emulation;
-            # Mosaic has no Precision.HIGH)
-            def _split(a):
-                hi = a.astype(jnp.bfloat16).astype(f32)
-                return hi, a - hi
+        # process x-node plane q = s with its geometry block (unrolled so
+        # the static D scalars and scratch slots are compile-time indexed)
+        for q in range(n):
+            @pl.when(jnp.logical_and(i < ncx, s == q))
+            def _plane(q=q):
+                Dey, Dez = Dey_ref[...], Dez_ref[...]
+                u_q = u_sc[q]
+                wx = None
+                for r in range(n):
+                    term = D[q][r] * u_sc[r]
+                    wx = term if wx is None else wx + term
+                wy = matmul(Dey, u_q, C10)
+                wz = matmul(u_q, Dez, ((1,), (1,)))
+                G = lambda m: G_ref[0, 0, m]
+                f0 = G(0) * wx + G(1) * wy + G(2) * wz
+                f1 = G(1) * wx + G(3) * wy + G(4) * wz
+                f2 = G(2) * wx + G(4) * wy + G(5) * wz
+                ryz = matmul(Dey, f1, ((0,), (0,))) + matmul(f2, Dez, C10)
+                for p in range(n):
+                    add = D[q][p] * f0 + (ryz if p == q else 0.0)
+                    r_sc[p] += add
 
-            Wzs = _split(Wz)
-            Dezs = _split(Dez)
-            mats = {id(Wz): Wzs, id(Dez): Dezs}
+        @pl.when(jnp.logical_and(i < ncx, s == n - 1))
+        def _fold():
+            # z-fold, y-fold, x overlap-add via the carry plane
+            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            for p in range(n):
+                z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
+                F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
+                if p == 0:
+                    # select, not multiply: the carry is uninitialised
+                    # (possibly NaN) at the first slab
+                    o_ref[0] = F + jnp.where(i > 0, xc_sc[...],
+                                             jnp.zeros(F.shape, f32))
+                elif p < P:
+                    o_ref[p] = F
+                else:
+                    xc_sc[...] = F
 
-            def matmul(a, b, tb=False):
-                dn = _dn(tb)
-                ah, al = _split(a)
-                bh, bl = mats[id(b)]
-                d = lambda p, q: jax.lax.dot_general(
-                    p, q, dn, preferred_element_type=f32,
-                    precision=jax.lax.Precision.DEFAULT)
-                return d(ah, bh) + d(ah, bl) + d(al, bh)
-        else:
-            def matmul(a, b, tb=False):
-                return jax.lax.dot_general(a, b, _dn(tb),
-                                           preferred_element_type=f32,
-                                           precision=precision)
-
-        def y_deriv(t, trans=False):          # within-cell D along sublanes
-            eyb, Z = t.shape
-            ncy = eyb // n
-            t3 = t.reshape(ncy, n, Z)
-            rows = []
-            for q in range(n):
-                acc = None
-                for j in range(n):
-                    d = D[j][q] if trans else D[q][j]
-                    term = d * t3[:, j]
-                    acc = term if acc is None else acc + term
-                rows.append(acc)
-            return jnp.stack(rows, axis=1).reshape(eyb, Z)
-
-        # expand z per plane: u_i (ey_b, ez) = x_i (ey_b, gz) @ Wz^T
-        u = [matmul(x_ref[0, i], Wz, tb=True) for i in range(n)]
-
-        r = [None] * n
-        # x-contraction across planes with static D scalars (VPU)
-        wx = [sum(D[q][i] * u[i] for i in range(n)) for q in range(n)]
-        for i in range(n):
-            wy = y_deriv(u[i])
-            wz = matmul(u[i], Dez, tb=True)
-            G0 = G_ref[0, 0, i]
-            G1 = G_ref[0, 1, i]
-            G2 = G_ref[0, 2, i]
-            G3 = G_ref[0, 3, i]
-            G4 = G_ref[0, 4, i]
-            G5 = G_ref[0, 5, i]
-            f1 = G1 * wx[i] + G3 * wy + G4 * wz
-            f2 = G2 * wx[i] + G4 * wy + G5 * wz
-            # store f0 for the cross-plane reverse x-contraction
-            u[i] = G0 * wx[i] + G1 * wy + G2 * wz   # reuse u as f0 storage
-            r[i] = y_deriv(f1, trans=True) + matmul(f2, Dez)
-        for i in range(n):
-            rx = sum(D[q][i] * u[q] for q in range(n))
-            # fold z: (.) @ Wz   -> (ey_b, gz)
-            o_ref[0, i] = matmul(r[i] + rx, Wz)
+        @pl.when(jnp.logical_and(i == ncx, s == n - 1))
+        def _flush():
+            o_ref[0] = xc_sc[...]
+            for p in range(1, P):
+                o_ref[p] = jnp.zeros_like(xc_sc)
 
     return kernel
 
 
-def _win_axis2(t, P):
-    """(A, B, g, Z) -> (A, B, nc*n, Z) window expansion along axis 2."""
-    A, B, g, Z = t.shape
-    nc = (g - 1) // P
-    a = t[:, :, : g - 1].reshape(A, B, nc, P, Z)
-    b = t[:, :, 1:].reshape(A, B, nc, P, Z)[:, :, :, P - 1: P]
-    return jnp.concatenate([a, b], axis=3).reshape(A, B, nc * (P + 1), Z)
+def _pad(d: int, m: int) -> int:
+    return -(-d // m) * m
 
 
-def _fold_axis2(t, P):
-    """(A, B, nc*n, Z) -> (A, B, g, Z) overlap-add along axis 2."""
-    A, B, e, Z = t.shape
-    n = P + 1
-    nc = e // n
-    t5 = t.reshape(A, B, nc, n, Z)
-    main = t5[:, :, :, :P].reshape(A, B, nc * P, Z)
-    main = jnp.concatenate(
-        [main, jnp.zeros((A, B, 1, Z), t.dtype)], axis=2)
-    ends = jnp.pad(t5[:, :, :, P][:, :, :, None],
-                   ((0, 0), (0, 0), (0, 0), (P - 1, 0), (0, 0)))
-    shifted = jnp.concatenate(
-        [jnp.zeros((A, B, 1, Z), t.dtype),
-         ends.reshape(A, B, nc * P, Z)], axis=2)
-    return main + shifted
-
-
-def _pick_yblocks(n, ncy, ncz, gz, limit_bytes=9 * 2**20):
-    """Smallest y-block count (divisor of ncy) whose VMEM footprint fits:
-    double-buffered G + x/out blocks plus ~4n live (ey_b, ez) slices.
-    Mosaic additionally requires a block's second-to-last dim (ey_b here)
-    to be a multiple of 8 or the full dimension.  Returns None if no valid
-    block count fits (callers fall back to the XLA matmul path)."""
-    ez = ncz * n
-    ey = ncy * n
-    pad = lambda d: -(-d // 128) * 128
-    for nyb in [d for d in range(1, ncy + 1) if ncy % d == 0]:
-        ey_b = (ncy // nyb) * n
-        if ey_b != ey and ey_b % 8:
-            continue
-        slab = ey_b * pad(ez) * 4
-        io = ey_b * pad(gz) * 4
-        need = 2 * (6 * n * slab + 2 * n * io) + 4 * n * slab
-        if need < limit_bytes:
-            return nyb
-    return None
+def _vmem_bytes(n, ncy, ncz, gy, gz, itemsize=4) -> int:
+    """Estimated VMEM footprint of the fused kernel (scratch + double-
+    buffered blocks + live temporaries)."""
+    ey, ez = ncy * n, ncz * n
+    ezp, gzp = _pad(ez, 128), _pad(gz, 128)
+    eyp, gyp = _pad(ey, 8), _pad(gy, 8)
+    slab = eyp * ezp * itemsize
+    plane_io = gyp * gzp * itemsize
+    u = n * slab
+    racc = n * slab
+    g_blk = 2 * 6 * slab                       # double-buffered
+    x_in = 2 * n * plane_io                    # n unit planes, double-buffered
+    out = 2 * (n - 1) * plane_io
+    xc = plane_io
+    mats = 2 * (eyp * gyp + gzp * ezp + eyp * eyp + ezp * ezp) * itemsize
+    temps = 8 * slab                           # wx/wy/wz/f*/splits
+    return u + racc + g_blk + x_in + out + xc + mats + temps
 
 
 def pallas_fits(n, ncy, ncz, gz) -> bool:
-    return _pick_yblocks(n, ncy, ncz, gz) is not None
+    P = n - 1
+    gy = ncy * P + 1
+    return _vmem_bytes(n, ncy, ncz, gy, gz) < 14 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def stiffness_apply_pallas(op: PallasStiffness, x: jax.Array,
                            interpret: bool = False,
-                           precision=_HI) -> jax.Array:
-    """y_grid = A_stiff(x_grid) with the fused tile kernel.  `precision`
-    controls the in-kernel z-direction matmuls (the x/y contractions are
-    always exact static-scalar arithmetic): HIGHEST = full f32 (default)."""
-    ncx, _, n, ey, ez = op.G.shape
+                           precision="auto") -> jax.Array:
+    """y_grid = A_stiff(x_grid) in one fused pass.  `precision` controls
+    the in-kernel y/z matmuls (the cross-plane x contraction is always
+    exact static-scalar arithmetic).
+
+    "auto" = "bf16x3" for f32/bf16 fields, HIGHEST for f64.  bf16x3 is the
+    validated f32 default: operator rel-err ~1e-5 vs f64 across P=2..6,
+    1000-step Westervelt energy ratio 1.0000003 and waveform rel-err
+    1.7e-5 vs the full-f32 kernel, at ~2.3x the speed.  Precision.HIGHEST
+    gives full f32 via Mosaic's ~18x-cost emulation."""
+    if precision == "auto":
+        precision = _HI if x.dtype == jnp.float64 else "bf16x3"
+    ncx, n, _, ey, ez = op.G.shape
     gx, gy, gz = x.shape
     P = n - 1
-    ncy = ey // n
-    nyb = _pick_yblocks(n, ncy, ncz=ez // n, gz=gz)
-    if nyb is None:
+    ncy, ncz = ey // n, ez // n
+    if not pallas_fits(n, ncy, ncz, gz):
         raise ValueError(
-            "no VMEM-feasible y-block count for this mesh; use the mm path")
-    ey_b = ey // nyb
+            "no VMEM-feasible tiling for this mesh; use the mm path")
 
-    # expand along x then y by slicing (cheap: trailing dims are large)
-    a = x[: gx - 1].reshape(ncx, P, gy, gz)
-    b = x[1:].reshape(ncx, P, gy, gz)[:, P - 1: P]
-    xe = jnp.concatenate([a, b], axis=1)          # (ncx, n, gy, gz)
-    xe = _win_axis2(xe, P)                        # (ncx, n, ey, gz)
+    def x_spec(p):
+        return pl.BlockSpec(
+            (1, gy, gz),
+            lambda i, s, p=p: (jnp.minimum(i * P + p, gx - 1), 0, 0),
+            memory_space=pltpu.VMEM)
 
+    def g_index(i, s):
+        return (jnp.minimum(i, ncx - 1),
+                jnp.where(i == ncx, n - 1, s), 0, 0, 0)
+
+    kernel = _mk_kernel(n, P, ncx, op.D_host, precision)
     vmem = pltpu.VMEM
+    dtype = x.dtype
     out = pl.pallas_call(
-        _mk_kernel(n, op.D_host, precision),
-        grid=(ncx, nyb),
-        in_specs=[
-            pl.BlockSpec((1, n, ey_b, gz), lambda i, j: (i, 0, j, 0),
-                         memory_space=vmem),
-            pl.BlockSpec((1, 6, n, ey_b, ez),
-                         lambda i, j: (i, 0, 0, j, 0), memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),
+        kernel,
+        grid=(ncx + 1, n),
+        in_specs=[x_spec(p) for p in range(n)] + [
+            pl.BlockSpec((1, 1, 6, ey, ez), g_index, memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),   # Wy
+            pl.BlockSpec(memory_space=vmem),   # WzT
+            pl.BlockSpec(memory_space=vmem),   # Dey
+            pl.BlockSpec(memory_space=vmem),   # Dez
         ],
-        out_specs=pl.BlockSpec((1, n, ey_b, gz), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((P, gy, gz), lambda i, s: (i, 0, 0),
                                memory_space=vmem),
-        out_shape=jax.ShapeDtypeStruct((ncx, n, ey, gz), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(((ncx + 1) * P, gy, gz), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, ey, ez), dtype),    # u planes
+            pltpu.VMEM((n, ey, ez), dtype),    # reverse accumulators
+            pltpu.VMEM((gy, gz), dtype),       # x overlap carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(xe, op.G, op.Wz, op.Dez)
-
-    # fold along y then x (overlap-add by slicing)
-    out = _fold_axis2(out, P)                     # (ncx, n, gy, gz)
-    main = out[:, :P].reshape(ncx * P, gy, gz)
-    main = jnp.concatenate(
-        [main, jnp.zeros((1, gy, gz), out.dtype)], axis=0)
-    ends = jnp.pad(out[:, P][:, None], ((0, 0), (P - 1, 0), (0, 0), (0, 0)))
-    shifted = jnp.concatenate(
-        [jnp.zeros((1, gy, gz), out.dtype),
-         ends.reshape(ncx * P, gy, gz)], axis=0)
-    return main + shifted
+    )(*([x] * n), op.G, op.Wy, op.WzT, op.Dey, op.Dez)
+    return out[:gx]

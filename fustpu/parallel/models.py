@@ -21,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from fustpu.config import RK4_A, RK4_B, RK4_C
-from fustpu.models import sources
+from fustpu.models import sources, timestepping
 from fustpu.models.westervelt import WesterveltModel
 from fustpu.ops import spectral_mm as mm
 from fustpu.parallel import sharding as sh
@@ -46,11 +45,11 @@ def split_expanded_field(arr: np.ndarray, nc, S, n: int) -> np.ndarray:
 
 
 def _split_pallas_G(Gp: np.ndarray, S) -> np.ndarray:
-    """Pallas-layout G (ncx, 6, n, ey, ez) -> (Sx, Sy, Sz, ncx_l, 6, n,
+    """Pallas-layout G (ncx, n, 6, ey, ez) -> (Sx, Sy, Sz, ncx_l, n, 6,
     ley, lez) device blocks."""
-    ncx, six, n, ey, ez = Gp.shape
+    ncx, n, six, ey, ez = Gp.shape
     lx, ly, lz = ncx // S[0], ey // S[1], ez // S[2]
-    a = Gp.reshape(S[0], lx, six, n, S[1], ly, S[2], lz)
+    a = Gp.reshape(S[0], lx, n, six, S[1], ly, S[2], lz)
     return np.ascontiguousarray(a.transpose(0, 4, 6, 1, 2, 3, 5, 7))
 
 
@@ -106,7 +105,10 @@ class ShardedModel:
             # per-device fused-kernel operator(s); G split into device tiles
             self._D_host = tuple(map(tuple,
                                      np.asarray(disc._D_host, np.float64)))
-            repl["Wz"] = repl_put(mm.window_matrix(self.lc[2], Pd))
+            repl["Wy"] = repl_put(mm.window_matrix(self.lc[1], Pd))
+            repl["WzT"] = repl_put(mm.window_matrix(self.lc[2], Pd).T)
+            repl["Dey"] = repl_put(
+                mm.deriv_block_matrix(self.lc[1], disc._D_host))
             repl["Dez"] = repl_put(
                 mm.deriv_block_matrix(self.lc[2], disc._D_host))
             if model.uniform:
@@ -174,11 +176,16 @@ class ShardedModel:
             from fustpu.ops import pallas_stiffness as ps
 
             op = ps.PallasStiffness(G=ctx["dist"][f"Gp{op_idx}"],
-                                    Wz=ctx["repl"]["Wz"],
+                                    Wy=ctx["repl"]["Wy"],
+                                    WzT=ctx["repl"]["WzT"],
+                                    Dey=ctx["repl"]["Dey"],
                                     Dez=ctx["repl"]["Dez"],
                                     D_host=self._D_host)
+            kw = {}
+            if getattr(self.model, "_pallas_precision", None) is not None:
+                kw["precision"] = self.model._pallas_precision
             return ps.stiffness_apply_pallas(
-                op, x, interpret=self._pallas_interpret)
+                op, x, interpret=self._pallas_interpret, **kw)
         op = mm.MMStiffness(W=ctx["repl"]["W"], Dt=ctx["repl"]["Dt"],
                             G=ctx["dist"]["G"])
         return mm.stiffness_apply_mm(op, x, coeff_e=coeff_e)
@@ -226,25 +233,10 @@ class ShardedModel:
             b = b + v * d["fvec"]
         return b / m
 
-    def _local_step(self, ctx, u, v, ku, kv, t, dt, tf):
-        dt = jnp.clip(jnp.asarray(tf, u.dtype) - t, 0.0,
-                      jnp.asarray(dt, u.dtype))
-        u0, v0 = u, v
-        for i in range(4):
-            a_i, b_i, c_i = (u.dtype.type(RK4_A[i]), u.dtype.type(RK4_B[i]),
-                             u.dtype.type(RK4_C[i]))
-            un = u0 + a_i * dt * ku
-            vn = v0 + a_i * dt * kv
-            tn = t + c_i * dt
-            ku = vn
-            kv = self._local_rhs(ctx, tn, un, vn)
-            u = u + b_i * dt * ku
-            v = v + b_i * dt * kv
-        return u, v, ku, kv, t + dt
-
     # ---------------- public API ------------------------------------------
-    def init_state(self, t0: float = 0.0, u0=None, v0=None):
-        """Distributed (u, v, ku, kv, t)."""
+    def init_state(self, t0: float = 0.0, u0=None, v0=None
+                   ) -> timestepping.RKState:
+        """Distributed RKState (leading (Sx, Sy, Sz) device axes)."""
         nc, S, Pd = self.mesh.nc, self.S, self.mesh.degree
 
         def dist_field(f):
@@ -254,20 +246,54 @@ class ShardedModel:
                 np.asarray(f).reshape(self.mesh.grid_shape), nc, S, Pd),
                 self.dtype)
 
-        u = dist_field(u0)
-        v = dist_field(v0)
-        ku = dist_field(None)
-        kv = dist_field(None)
         t = jax.device_put(jnp.asarray(t0, self.dtype),
                            NamedSharding(self.grid.mesh, P()))
-        return (u, v, ku, kv, t)
+        return timestepping.RKState(
+            u=dist_field(u0), v=dist_field(v0), ku=dist_field(None),
+            kv=dist_field(None), t=t)
 
-    def solve(self, state, dt: float, num_steps: int, tf: float = np.inf):
+    def probe_fn(self, points):
+        """Traced per-step sampler for `solve(probe=...)`: each point's
+        (n,n,n) interpolation window lives inside one cell, hence on one
+        device block; non-owning devices contribute zero and a psum over
+        the grid axes replicates the full trace (the distributed analogue
+        of the reference's compute_eval_params + Function.eval,
+        /root/reference/cuda/utils.py:117-154)."""
+        from fustpu.utils.eval import PointSampler
+
+        smp = PointSampler(self.mesh, points)
+        Pd = self.mesh.degree
+        lgc = [c * Pd for c in self.lc]          # block stride per axis
+        block = [idx[:, 0] // g for idx, g in
+                 zip((smp._I, smp._J, smp._K), lgc)]
+        Il, Jl, Kl = [jnp.asarray(idx - (b * g)[:, None]) for idx, b, g in
+                      zip((smp._I, smp._J, smp._K), block, lgc)]
+        bi, bj, bk = [jnp.asarray(b) for b in block]
+        w = jnp.asarray(smp._w)
+
+        def probe(s: timestepping.RKState):
+            f = s.u
+            own = ((bi == jax.lax.axis_index("x"))
+                   & (bj == jax.lax.axis_index("y"))
+                   & (bk == jax.lax.axis_index("z")))
+            vals = f[Il[:, :, None, None], Jl[:, None, :, None],
+                     Kl[:, None, None, :]]
+            p = jnp.einsum("pijk,pijk->p", vals, w.astype(f.dtype))
+            p = jnp.where(own, p, 0.0)
+            return jax.lax.psum(p, sh.AXES)
+
+        return probe
+
+    def solve(self, state: timestepping.RKState, dt: float, num_steps: int,
+              tf=None, probe=None):
         """Run num_steps RK4 steps; the whole scan executes inside one
-        shard_map (one XLA program, collectives over ICI)."""
-        key = ("solve", num_steps)
+        shard_map (one XLA program, collectives over ICI).  Same API as
+        the single-device models: returns (RKState, ys); `probe` (built by
+        `probe_fn`) records per-step traces, replicated on every device."""
+        key = ("solve", num_steps, tf is not None, probe)
         if key not in self._solve_cache:
             vec = P(*sh.AXES)
+            clamp_tf = tf is not None
 
             def fn(ctx, u, v, ku, kv, t, dt_, tf_):
                 # strip the leading (1,1,1) device-block axes (distributed
@@ -275,28 +301,43 @@ class ShardedModel:
                 sq = lambda a: a.reshape(a.shape[3:])
                 ctx = {"dist": jax.tree.map(sq, ctx["dist"]),
                        "repl": ctx["repl"]}
-                u, v, ku, kv = sq(u), sq(v), sq(ku), sq(kv)
+                s = timestepping.RKState(sq(u), sq(v), sq(ku), sq(kv), t)
+                t0 = t
 
-                def body(carry, _):
-                    return self._local_step(ctx, *carry, dt_, tf_), None
+                def body(s, k):
+                    tk = t0 + k.astype(t0.dtype) * dt_
+                    if clamp_tf:
+                        tk = jnp.minimum(tk, tf_)
+                    s = s._replace(t=tk)
+                    s = timestepping.rk4_step(
+                        self._local_rhs, ctx, s, dt_,
+                        tf_ if clamp_tf else None)
+                    return s, (probe(s) if probe is not None else None)
 
-                (u, v, ku, kv, t), _ = jax.lax.scan(
-                    body, (u, v, ku, kv, t), None, length=num_steps)
+                s, ys = jax.lax.scan(body, s, jnp.arange(num_steps))
                 ex = lambda a: a.reshape((1, 1, 1) + a.shape)
-                return ex(u), ex(v), ex(ku), ex(kv), t
+                return (ex(s.u), ex(s.v), ex(s.ku), ex(s.kv), s.t), ys
 
             mapped = shard_map(
                 fn, mesh=self.grid.mesh,
                 in_specs=(self.ctx_spec, vec, vec, vec, vec, P(), P(), P()),
-                out_specs=(vec, vec, vec, vec, P()),
+                out_specs=((vec, vec, vec, vec, P()), P()),
                 check_vma=False)
             self._solve_cache[key] = jax.jit(
                 lambda ctx, st, dt_, tf_: mapped(ctx, *st, dt_, tf_))
         dt_ = jnp.asarray(float(dt), self.dtype)
-        tf_ = jnp.asarray(min(float(tf), np.finfo(np.float32).max),
-                          self.dtype)
-        u, v, ku, kv, t = self._solve_cache[key](self.ctx, state, dt_, tf_)
-        return (u, v, ku, kv, t)
+        tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
+        (u, v, ku, kv, t), ys = self._solve_cache[key](
+            self.ctx, tuple(state), dt_, tf_)
+        return timestepping.RKState(u, v, ku, kv, t), ys
+
+    def step(self, state: timestepping.RKState, dt, tf=None
+             ) -> timestepping.RKState:
+        s, _ = self.solve(state, dt, 1, tf=tf)
+        return s
+
+    def cfl_dt(self, cfl: float | None = None) -> tuple[float, int]:
+        return self.model.cfl_dt(cfl)
 
     def collect(self, dist_field) -> np.ndarray:
         """Distributed node field -> global (gx, gy, gz) numpy array."""

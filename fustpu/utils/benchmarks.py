@@ -86,6 +86,49 @@ def sync_baseline(reps: int = 10) -> float:
     return m
 
 
+def measure_streaming_roofline(mbytes_per_array: int = 256,
+                               iters: int = 10) -> float:
+    """Measured HBM streaming bandwidth (GB/s): a data-dependent triad
+    c = c*d + e over arrays far larger than VMEM, chained under one scan.
+    Per iteration traffic = 3 reads + 1 write of each element."""
+    m = mbytes_per_array * 2**20 // 4
+    c = jnp.zeros((m,), jnp.float32)
+    d = jnp.full((m,), np.float32(0.5))
+    e = jnp.full((m,), np.float32(1e-3))
+
+    @jax.jit
+    def run(c, d, e):
+        return jax.lax.scan(lambda a, _: (a * d + e, None), c, None,
+                            length=iters)[0]
+
+    base = sync_baseline()
+    mean, _ = _time(run, c, d, e, reps=3)
+    mean = max(mean - base, 1e-9)
+    return 4 * m * 4 * iters / mean / 1e9
+
+
+def measure_matmul_roofline(dim: int = 4096, iters: int = 20,
+                            dtype=jnp.bfloat16) -> float:
+    """Measured matmul throughput (TFLOP/s) via a chained A @ C."""
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((dim, dim)) * 1e-2, dtype)
+    c = jnp.asarray(rng.standard_normal((dim, dim)) * 1e-2, dtype)
+
+    @jax.jit
+    def run(A, c):
+        def body(acc, _):
+            acc = jnp.dot(A, acc,
+                          preferred_element_type=jnp.float32).astype(dtype)
+            return acc, None
+
+        return jax.lax.scan(body, c, None, length=iters)[0]
+
+    base = sync_baseline()
+    mean, _ = _time(run, A, c, reps=3)
+    mean = max(mean - base, 1e-9)
+    return 2 * dim**3 * iters / mean / 1e12
+
+
 def _chain(fn, k: int):
     """k dependent applies of fn(params, x) inside one jit (lax.scan).
     The operators are linear in x, so XLA cannot algebraically collapse the

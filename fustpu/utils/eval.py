@@ -47,33 +47,53 @@ def _invert_trilinear(corners: np.ndarray, pts: np.ndarray,
     return xi
 
 
-def evaluate(mesh: BoxMesh, field: np.ndarray, points: np.ndarray
-             ) -> np.ndarray:
-    """Evaluate a node-grid field (gx, gy, gz) at physical points (npts, 3).
-    """
+def locate(mesh: BoxMesh, points: np.ndarray, tol: float = 1e-10
+           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Resolve owning cells and reference coordinates for physical points.
+
+    Newton + cell walk: the lattice guess can be off by several cells on
+    mapped/perturbed geometry (e.g. a conformally-mapped bowl cap sags
+    multiple cell heights), so the walk runs until the reference
+    coordinates converge into [0,1], bounded by the grid diameter — the
+    role of the reference's bounding-box-tree candidate search
+    (cuda/utils.py:117-154).  Returns (cells, xi, ok); `ok` is False for
+    points whose reference coordinates never converged (outside the
+    mapped domain, or a fold in the geometry) — callers must NOT silently
+    evaluate those."""
     pts = np.asarray(points, dtype=np.float64)
-    field = np.asarray(field).reshape(mesh.grid_shape)
     nc_arr = np.array(mesh.nc)
     cells = locate_cells(mesh, pts)
-    # Newton + cell walk: on perturbed meshes the lattice guess can land in
-    # a neighbouring cell (reference coords leave [0,1]); hop and re-invert
-    # (the role of the reference's bounding-box-tree candidate search,
-    # cuda/utils.py:117-154).
-    for _ in range(4):
+    max_hops = int(nc_arr.sum()) + 2           # grid diameter bound
+    xi = np.full((pts.shape[0], 3), 0.5)
+    for _ in range(max_hops):
         corners = mesh.cell_corners_flat[cells]
         xi = _invert_trilinear(corners, pts)
-        out_lo = xi < -1e-10
-        out_hi = xi > 1 + 1e-10
+        out_lo = xi < -tol
+        out_hi = xi > 1 + tol
         if not (out_lo.any() or out_hi.any()):
             break
         cz = cells % nc_arr[2]
         cy = (cells // nc_arr[2]) % nc_arr[1]
         cx = cells // (nc_arr[1] * nc_arr[2])
         cidx = np.stack([cx, cy, cz], axis=1)
-        cidx = np.clip(cidx - out_lo + out_hi, 0, nc_arr - 1)
+        moved = np.clip(cidx - out_lo + out_hi, 0, nc_arr - 1)
+        if np.array_equal(moved, cidx):        # stuck at the boundary
+            break
+        cidx = moved
         cells = cidx[:, 0] * nc_arr[1] * nc_arr[2] + cidx[:, 1] * nc_arr[2] \
             + cidx[:, 2]
-    xi = np.clip(xi, 0.0, 1.0)
+    ok = np.all((xi >= -tol) & (xi <= 1 + tol), axis=1)
+    return cells, np.clip(xi, 0.0, 1.0), ok
+
+
+def evaluate(mesh: BoxMesh, field: np.ndarray, points: np.ndarray
+             ) -> np.ndarray:
+    """Evaluate a node-grid field (gx, gy, gz) at physical points (npts, 3).
+    Points that cannot be resolved to a cell (outside the mapped domain)
+    evaluate to NaN instead of a silently-wrong nearby value."""
+    pts = np.asarray(points, dtype=np.float64)
+    field = np.asarray(field).reshape(mesh.grid_shape)
+    cells, xi, ok = locate(mesh, pts)
 
     n = mesh.element.n
     P = mesh.degree
@@ -91,7 +111,9 @@ def evaluate(mesh: BoxMesh, field: np.ndarray, points: np.ndarray
     J = cy[:, None] * P + np.arange(n)[None, :]
     K = cz[:, None] * P + np.arange(n)[None, :]
     vals = field[I[:, :, None, None], J[:, None, :, None], K[:, None, None, :]]
-    return np.einsum("pijk,pi,pj,pk->p", vals, lx, ly, lz, optimize=True)
+    out = np.einsum("pijk,pi,pj,pk->p", vals, lx, ly, lz, optimize=True)
+    out[~ok] = np.nan
+    return out
 
 
 class PointSampler:
@@ -105,22 +127,13 @@ class PointSampler:
         self.points = np.asarray(points, dtype=np.float64)
         pts = self.points
         nc_arr = np.array(mesh.nc)
-        cells = locate_cells(mesh, pts)
-        for _ in range(4):
-            corners = mesh.cell_corners_flat[cells]
-            xi = _invert_trilinear(corners, pts)
-            out_lo = xi < -1e-10
-            out_hi = xi > 1 + 1e-10
-            if not (out_lo.any() or out_hi.any()):
-                break
-            cz = cells % nc_arr[2]
-            cy = (cells // nc_arr[2]) % nc_arr[1]
-            cx = cells // (nc_arr[1] * nc_arr[2])
-            cidx = np.stack([cx, cy, cz], axis=1)
-            cidx = np.clip(cidx - out_lo + out_hi, 0, nc_arr - 1)
-            cells = (cidx[:, 0] * nc_arr[1] * nc_arr[2]
-                     + cidx[:, 1] * nc_arr[2] + cidx[:, 2])
-        xi = np.clip(xi, 0.0, 1.0)
+        cells, xi, ok = locate(mesh, pts)
+        if not ok.all():
+            bad = np.flatnonzero(~ok)
+            raise ValueError(
+                f"{bad.size} probe point(s) could not be resolved to a "
+                f"cell (outside the mapped domain?): indices {bad[:8]}, "
+                f"first point {pts[bad[0]]}")
         n = mesh.element.n
         P = mesh.degree
         nodes = mesh.element.nodes_1d

@@ -48,7 +48,8 @@ def test_sharded_solve_matches_single(S, model_cls):
     u_ref = np.asarray(final.u)
 
     dstate = smodel.init_state()
-    du, dv, *_ = smodel.solve(dstate, dt, nsteps)
+    ds, _ = smodel.solve(dstate, dt, nsteps)
+    du = ds.u
     u_dist = smodel.collect(du)
 
     err = np.linalg.norm(u_dist - u_ref) / np.linalg.norm(u_ref)
@@ -66,8 +67,8 @@ def test_halo_sum_plane_consistency():
     grid = sh.DeviceGrid.create((2, 2, 1))
     smodel = ShardedModel(model, grid)
     dt, _ = model.cfl_dt(0.4)
-    du, dv, dku, dkv, t = smodel.solve(smodel.init_state(), dt, 3)
-    kv = np.asarray(dkv)
+    ds, _ = smodel.solve(smodel.init_state(), dt, 3)
+    kv = np.asarray(ds.kv)
     assert np.array_equal(kv[0, 0, 0][-1, :, :], kv[1, 0, 0][0, :, :])
     assert np.array_equal(kv[0, 0, 0][:, -1, :], kv[0, 1, 0][:, 0, :])
 
@@ -82,8 +83,32 @@ def test_sharded_pallas_matches_single():
     dt, _ = model.cfl_dt(0.4)
     nsteps = 3
     final, _ = model.solve(model.init_state(), dt, nsteps)
-    du, *_ = smodel.solve(smodel.init_state(), dt, nsteps)
-    u = smodel.collect(du)
+    ds, _ = smodel.solve(smodel.init_state(), dt, nsteps)
+    u = smodel.collect(ds.u)
     err = (np.linalg.norm(u - np.asarray(final.u))
            / np.linalg.norm(np.asarray(final.u)))
+    assert err < 1e-12, err
+
+
+def test_sharded_probe_matches_single():
+    """Per-step hydrophone traces recorded inside the sharded scan match
+    the single-device traces to roundoff (each probe's interpolation
+    window is owned by one device; psum replicates)."""
+    from fustpu.utils.eval import PointSampler
+
+    model, *_ = _build(WesterveltModel, nc=(4, 4, 2), degree=3)
+    grid = sh.DeviceGrid.create((2, 2, 2))
+    smodel = ShardedModel(model, grid)
+    dt, _ = model.cfl_dt(0.4)
+    L = 0.006
+    pts = np.array([[0.31 * L, 0.52 * L, 0.5 * L],
+                    [0.87 * L, 0.13 * L, 0.77 * L]])
+    pfn = PointSampler(model.mesh, pts).jax_probe()
+    _, ys = model.solve(model.init_state(), dt, 5,
+                        probe=lambda s: pfn(s.u))
+    _, dys = smodel.solve(smodel.init_state(), dt, 5,
+                          probe=smodel.probe_fn(pts))
+    ys, dys = np.asarray(ys), np.asarray(dys)
+    assert ys.shape == dys.shape == (5, 2)
+    err = np.linalg.norm(ys - dys) / max(np.linalg.norm(ys), 1e-300)
     assert err < 1e-12, err

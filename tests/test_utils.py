@@ -109,3 +109,46 @@ def test_point_sampler_jax_probe_matches_numpy():
     # matches the one-shot evaluate too
     from fustpu.utils.eval import evaluate
     assert np.allclose(want, evaluate(mesh, f, pts), rtol=1e-12)
+
+
+def test_eval_mapped_mesh_far_from_lattice_guess():
+    """On a strongly sheared mapped mesh the unmapped-lattice cell guess is
+    wrong by multiple cells; the converged walk must still find the owner
+    and reproduce a polynomial exactly (VERDICT: silent clipping fixed)."""
+    from fustpu.mesh.box import build_mapped_mesh
+
+    # shear x by up to 4 cells' worth across the y extent
+    shear = lambda p: np.stack(
+        [p[:, 0] + 0.45 * p[:, 1], p[:, 1], p[:, 2]], axis=1)
+    mesh = build_mapped_mesh((8, 8, 2), 2, shear)
+    xyz = mesh.node_coords
+    f = xyz[..., 0] ** 2 - xyz[..., 1] * xyz[..., 2]
+    rng = np.random.default_rng(3)
+    # points inside the mapped (sheared) domain, expressed physically
+    yy = rng.uniform(0.05, 0.95, 40)
+    xx = rng.uniform(0.05, 0.95, 40) + 0.45 * yy
+    zz = rng.uniform(0.05, 0.95, 40)
+    pts = np.stack([xx, yy, zz], axis=1)
+    got = fev.evaluate(mesh, f, pts)
+    want = pts[:, 0] ** 2 - pts[:, 1] * pts[:, 2]
+    assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_eval_outside_point_fails_loudly():
+    """Points outside the mapped domain must evaluate to NaN, and
+    PointSampler must refuse them outright."""
+    from fustpu.mesh.box import build_mapped_mesh
+
+    shear = lambda p: np.stack(
+        [p[:, 0] + 0.45 * p[:, 1], p[:, 1], p[:, 2]], axis=1)
+    mesh = build_mapped_mesh((8, 8, 2), 2, shear)
+    f = mesh.node_coords[..., 0]
+    # physically outside the sheared domain (left of the slanted face)
+    pts = np.array([[0.05, 0.9, 0.5], [-1.0, 0.5, 0.5]])
+    vals = fev.evaluate(mesh, f, pts)
+    assert np.isnan(vals).all()
+    try:
+        fev.PointSampler(mesh, pts)
+        assert False, "PointSampler accepted out-of-domain points"
+    except ValueError as e:
+        assert "resolved" in str(e)
