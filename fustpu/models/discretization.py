@@ -44,12 +44,17 @@ class FacetBlock(NamedTuple):
 
 
 class Discretization:
-    """Geometry factors + facet machinery for one mesh, one dtype."""
+    """Geometry factors + facet machinery for one mesh, one dtype.
 
-    def __init__(self, mesh: BoxMesh, dtype=jnp.float32):
+    Works for structured BoxMesh (node-grid fast paths) and
+    UnstructuredHexMesh (explicit-dofmap indexed path) alike; the mesh
+    kind selects which stiffness implementations are available."""
+
+    def __init__(self, mesh, dtype=jnp.float32):
         self.mesh = mesh
         self.dtype = dtype
         self.P = mesh.degree
+        self.structured = hasattr(mesh, "nc")
         elem = mesh.element
         detJ, G = pre.cell_geometry_factors(mesh)          # f64 host
         self._detJ_host = detJ                             # (cells, n^3)
@@ -80,6 +85,15 @@ class Discretization:
         _, ncy, ncz = self.mesh.nc
         gz = ncz * self.P + 1
         return ps.pallas_fits(n, ncy, ncz, gz)
+
+    @functools.cached_property
+    def indexed_op(self) -> tuple:
+        """(G, dofmap, D) device arrays for the explicit-dofmap stiffness
+        (fustpu.ops.operators.stiffness_apply_indexed) — the path for
+        unstructured meshes."""
+        return (jnp.asarray(self._G_host, self.dtype),
+                jnp.asarray(self.mesh.dofmap),
+                jnp.asarray(self._D_host, self.dtype))
 
     # legacy/structured-layout device arrays (tests, generic API)
     @functools.cached_property
@@ -116,6 +130,14 @@ class Discretization:
         field, float64 on host (the steady LHS of the reference,
         cuda/demo_nonlinear_bowl.py:459-469, but reusable for every mass
         term since applies are elementwise)."""
+        if not self.structured:
+            vals = self._detJ_host
+            if cell_coeff is not None:
+                vals = vals * np.asarray(
+                    cell_coeff, np.float64).reshape(-1)[:, None]
+            y = np.zeros(self.mesh.ndofs)
+            np.add.at(y, self.mesh.dofmap.ravel(), vals.ravel())
+            return y
         coeff = None if cell_coeff is None else np.asarray(
             cell_coeff).reshape(self.mesh.nc)
         return mm.mass_diagonal(self.mesh.nc, self.P, self._detJ_host, coeff)
@@ -147,7 +169,10 @@ class Discretization:
 
 def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
     """'auto' picks the fused Pallas kernel on TPU backends when the slab
-    fits VMEM, else the XLA matmul formulation."""
+    fits VMEM, else the XLA matmul formulation; unstructured meshes use
+    the explicit-dofmap indexed path."""
+    if not disc.structured:
+        return "indexed"
     if impl != "auto":
         return impl
     try:

@@ -63,7 +63,8 @@ class LinearWaveModel(WaveModelBase):
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
-        c, rho, _, _ = material.cell_fields(mesh.nc)
+        cshape = mesh.nc if disc.structured else (mesh.num_cells,)
+        c, rho, _, _ = material.cell_fields(cshape)
         self.uniform = material.is_uniform
         # steady diagonal LHS: mass diag with coeff 1/(rho c^2), f64 host
         # (all diagonal vectors are stored FLAT: elementwise ops on flat
@@ -73,8 +74,12 @@ class LinearWaveModel(WaveModelBase):
         # stiffness coefficient -1/rho: a scalar for uniform media (fused
         # into the apply), an expanded per-cell field otherwise
         self.impl = resolve_stiffness_impl(stiffness_impl, disc)
-        self.c2_scalar = self.c2_e = None
-        if self.uniform:
+        self.c2_scalar = self.c2_e = self.c2_cells = None
+        if self.impl == "indexed":
+            # unstructured: explicit dofmap, per-cell coefficient array
+            self.c2_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
+            self._stiff_op = disc.indexed_op
+        elif self.uniform:
             self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
             self._stiff_op = (disc.pallas_op() if self.impl == "pallas"
                               else disc.mm_op)
@@ -129,6 +134,8 @@ class LinearWaveModel(WaveModelBase):
         p = {"m": self.m, "s_cos": self.s_cos, "stiff": self._stiff_op}
         if self.c2_e is not None:
             p["c2_e"] = self.c2_e
+        if self.c2_cells is not None:
+            p["c2_c"] = self.c2_cells
         if self.s_sin is not None:
             p["s_sin"] = self.s_sin
         if self.fvec_abs is not None:
@@ -147,6 +154,12 @@ class LinearWaveModel(WaveModelBase):
         return b / params["m"]
 
     def _apply_stiffness(self, params, u_flat):
+        if self.impl == "indexed":
+            from fustpu.ops import operators as ops
+
+            G, dofmap, D = params["stiff"]
+            return ops.stiffness_apply_indexed(
+                u_flat, G, params["c2_c"], dofmap, D, self.mesh.ndofs)
         u = u_flat.reshape(self.mesh.grid_shape)
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps

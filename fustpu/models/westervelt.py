@@ -62,10 +62,11 @@ class WesterveltModel(WaveModelBase):
         disc = Discretization(mesh, dtype)
         self.disc = disc
 
-        c, rho, beta, _ = material.cell_fields(mesh.nc)
+        cshape = mesh.nc if disc.structured else (mesh.num_cells,)
+        c, rho, beta, _ = material.cell_fields(cshape)
         delta = np.broadcast_to(np.asarray(
             material.diffusivity_of_sound(source.angular_frequency),
-            np.float64), mesh.nc)
+            np.float64), cshape)
         self.delta = delta if np.ptp(delta) else float(delta.flat[0])
         self.uniform = material.is_uniform
 
@@ -73,8 +74,13 @@ class WesterveltModel(WaveModelBase):
         nl = 2.0 * beta / (rho * rho * c**4)
         self.impl = resolve_stiffness_impl(stiffness_impl, disc)
         self.c3_scalar = self.c4_scalar = None
-        self.c3_e = self.c4_e = None
-        if self.uniform:
+        self.c3_e = self.c4_e = self.c3_cells = self.c4_cells = None
+        if self.impl == "indexed":
+            self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
+            self.c4_cells = jnp.asarray(
+                (-delta / (rho * c * c)).reshape(-1), dtype)
+            self._stiff_op = disc.indexed_op
+        elif self.uniform:
             self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
             self.c4_scalar = dtype(-float(delta.flat[0])
                                    / float((rho * c * c).flat[0]))
@@ -155,6 +161,8 @@ class WesterveltModel(WaveModelBase):
              "s2_cos": self.s2_cos, "stiff": self._stiff_op}
         if self.c3_e is not None:
             p["c3_e"], p["c4_e"] = self.c3_e, self.c4_e
+        if self.c3_cells is not None:
+            p["c3_c"], p["c4_c"] = self.c3_cells, self.c4_cells
         if self.s1_sin is not None:
             p["s1_sin"], p["s2_sin"] = self.s1_sin, self.s2_sin
         if self.fvec_abs is not None:
@@ -179,6 +187,15 @@ class WesterveltModel(WaveModelBase):
         return b / m
 
     def _apply_stiffness(self, params, u_flat, v_flat):
+        if self.impl == "indexed":
+            from fustpu.ops import operators as ops
+
+            G, dofmap, D = params["stiff"]
+            nd = self.mesh.ndofs
+            return (ops.stiffness_apply_indexed(
+                        u_flat, G, params["c3_c"], dofmap, D, nd)
+                    + ops.stiffness_apply_indexed(
+                        v_flat, G, params["c4_c"], dofmap, D, nd))
         g = self.mesh.grid_shape
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps

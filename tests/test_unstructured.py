@@ -1,0 +1,141 @@
+"""Unstructured hex meshes + Gmsh .msh I/O: dofmap continuity, operator
+correctness vs the dense oracle, cross-validation against the structured
+fast path, and file-format round trips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fustpu.config import Material, Source
+from fustpu.mesh import msh_io
+from fustpu.mesh.box import build_box_mesh
+from fustpu.mesh.unstructured import UnstructuredHexMesh, from_box
+from fustpu.models.linear import LinearWaveModel
+from fustpu.models.westervelt import WesterveltModel
+from fustpu.ops import operators as ops
+from fustpu.ops import precompute as pre
+from fustpu.oracle import assemble as oracle
+
+
+def _shuffled_box_umesh(nc=(3, 2, 2), P=3, perturb=0.12, seed=9):
+    mesh = build_box_mesh(nc, P, hi=(1.0, 0.7, 0.9), perturb=perturb,
+                          seed=seed)
+    return mesh, from_box(mesh, shuffle_seed=11)
+
+
+def test_dofmap_continuity_and_count():
+    """Coordinate-dedup numbering must reproduce the structured DOF count
+    (shared faces merged exactly once) regardless of cell order and
+    orientation."""
+    mesh, umesh = _shuffled_box_umesh()
+    assert umesh.ndofs == mesh.ndofs
+    # every cell's dofs are distinct
+    for c in range(umesh.num_cells):
+        assert np.unique(umesh.dofmap[c]).size == umesh.dofmap.shape[1]
+
+
+def test_unstructured_stiffness_vs_oracle():
+    """Indexed operators on the shuffled/rotated mesh vs the dense oracle
+    assembled on the SAME mesh object — 1e-12 (the reference's gate)."""
+    mesh, umesh = _shuffled_box_umesh()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(umesh.ndofs)
+    coeff = rng.uniform(0.5, 2.0, umesh.num_cells)
+
+    _, G = pre.cell_geometry_factors(umesh)
+    D = umesh.element.deriv_1d
+    y = np.asarray(ops.stiffness_apply_indexed(
+        jnp.asarray(x), jnp.asarray(G), jnp.asarray(coeff),
+        jnp.asarray(umesh.dofmap), jnp.asarray(D), umesh.ndofs))
+
+    mats = oracle.element_stiffness_matrices(umesh)
+    y_ref = oracle.apply_elementwise(mats, umesh.dofmap, coeff, x,
+                                     umesh.ndofs)
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("model_cls", [LinearWaveModel, WesterveltModel])
+def test_unstructured_solve_matches_structured(model_cls):
+    """The indexed-path model on an unstructured re-expression of a box
+    (shuffled cells, rotated orientations) must reproduce the structured
+    fast path: same physics, different dof numbering and code path."""
+    mesh, umesh = _shuffled_box_umesh(nc=(3, 3, 3), P=2, perturb=0.0)
+    mat = Material(sound_speed=1500.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=1e6, amplitude=1e5)
+    # source on x=0, absorbing everywhere (geometric selection on the
+    # unstructured mesh; structured uses the plane helpers)
+    ext = umesh.boundary_facets()
+    cen = umesh.facet_centroids(ext)
+    src_u = ext[cen[:, 0] < 1e-9]
+    m_s = model_cls(mesh, mat, src, mesh.boundary_facets("x-"),
+                    mesh.all_boundary_facets(), dtype=jnp.float64,
+                    stiffness_impl="mm")
+    m_u = model_cls(umesh, mat, src, src_u, ext, dtype=jnp.float64)
+    assert m_u.impl == "indexed"
+    dt, _ = m_s.cfl_dt(0.4)
+    s_s, _ = m_s.solve(m_s.init_state(), dt, 6)
+    s_u, _ = m_u.solve(m_u.init_state(), dt, 6)
+    # compare on physical coordinates: map structured grid dofs to
+    # unstructured numbering via coordinates
+    u_s = np.asarray(s_s.u).reshape(-1)
+    u_u = np.asarray(s_u.u)
+    pts_s = mesh.node_coords.reshape(-1, 3)
+    pts_u = umesh.node_coords
+    # match by quantised coordinates
+    key = lambda p: (np.round(p * 1e9)).astype(np.int64)
+    lut = {tuple(k): i for i, k in enumerate(key(pts_u))}
+    perm = np.array([lut[tuple(k)] for k in key(pts_s)])
+    err = (np.linalg.norm(u_u[perm] - u_s)
+           / max(np.linalg.norm(u_s), 1e-300))
+    assert err < 1e-11, err
+
+
+def test_msh_roundtrip(tmp_path):
+    """write_msh -> read_msh preserves geometry, connectivity and facet
+    tags (matched through corner sets)."""
+    mesh, umesh = _shuffled_box_umesh(nc=(2, 2, 2), P=2)
+    ext = umesh.boundary_facets()
+    cen = umesh.facet_centroids(ext)
+    src_set = ext[cen[:, 0] < 1e-9]
+    other = ext[cen[:, 0] >= 1e-9]
+    from fustpu.mesh.unstructured import _FACET_CORNERS
+
+    def quads(pairs, tag):
+        out = []
+        for cell, lf in pairs:
+            out.append((tag, [int(umesh.cells[cell][c])
+                              for c in _FACET_CORNERS[lf]]))
+        return out
+
+    path = msh_io.write_msh(str(tmp_path / "box"), umesh.vertices,
+                            umesh.cells,
+                            quads(src_set, 1) + quads(other, 2))
+    back = msh_io.read_msh(path, degree=2)
+    assert back.num_cells == umesh.num_cells
+    assert back.ndofs == umesh.ndofs
+    assert np.allclose(back.vertices[back.cells],
+                       umesh.vertices[umesh.cells])
+    got1 = back.boundary_facets(1)
+    assert got1.shape == src_set.shape
+    # same physical facets: compare centroid sets
+    c_got = np.sort(back.facet_centroids(got1), axis=0)
+    c_want = np.sort(umesh.facet_centroids(src_set), axis=0)
+    assert np.allclose(c_got, c_want)
+
+
+def test_unstructured_evaluate():
+    """Point evaluation on the unstructured mesh: polynomial-exact inside,
+    NaN outside."""
+    mesh, umesh = _shuffled_box_umesh(nc=(3, 2, 2), P=3, perturb=0.1)
+    xyz = umesh.node_coords
+    f = xyz[:, 0] ** 3 - 2 * xyz[:, 1] ** 2 * xyz[:, 2] + 0.5 * xyz[:, 2]
+    rng = np.random.default_rng(1)
+    pts = rng.uniform([0, 0, 0], [1.0, 0.7, 0.9], (30, 3))
+    got = umesh.evaluate(f, pts)
+    want = (pts[:, 0] ** 3 - 2 * pts[:, 1] ** 2 * pts[:, 2]
+            + 0.5 * pts[:, 2])
+    assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
+    out = umesh.evaluate(f, np.array([[2.0, 0.5, 0.5]]))
+    assert np.isnan(out).all()
