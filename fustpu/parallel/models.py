@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from fustpu.models import sources, timestepping
 from fustpu.models.westervelt import WesterveltModel
@@ -98,8 +98,7 @@ class ShardedModel:
                                       or "tpu" in str(dev).lower())
 
         def repl_put(a):
-            return jax.device_put(jnp.asarray(a, dtype),
-                                  NamedSharding(grid.mesh, P()))
+            return grid.replicate(a, dtype)
 
         if self.impl == "pallas":
             # per-device fused-kernel operator(s); G split into device tiles
@@ -246,8 +245,7 @@ class ShardedModel:
                 np.asarray(f).reshape(self.mesh.grid_shape), nc, S, Pd),
                 self.dtype)
 
-        t = jax.device_put(jnp.asarray(t0, self.dtype),
-                           NamedSharding(self.grid.mesh, P()))
+        t = self.grid.replicate(np.asarray(t0, jnp.dtype(self.dtype)))
         return timestepping.RKState(
             u=dist_field(u0), v=dist_field(v0), ku=dist_field(None),
             kv=dist_field(None), t=t)
@@ -340,6 +338,13 @@ class ShardedModel:
         return self.model.cfl_dt(cfl)
 
     def collect(self, dist_field) -> np.ndarray:
-        """Distributed node field -> global (gx, gy, gz) numpy array."""
+        """Distributed node field -> global (gx, gy, gz) numpy array.
+        Multi-process: gathers non-addressable shards over the process
+        group first."""
+        if not dist_field.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            dist_field = multihost_utils.process_allgather(
+                dist_field, tiled=True)
         return sh.merge_node_field(np.asarray(dist_field), self.mesh.nc,
                                    self.S, self.mesh.degree)

@@ -1,0 +1,172 @@
+"""Multi-host (multi-process) distribution over DCN + ICI.
+
+The reference runs on any number of MPI ranks across nodes
+(/root/reference/cuda/scatterer.py:104-277, CUDA-aware Isend/Irecv).  The
+JAX-native equivalent: `jax.distributed` forms the process group, every
+process runs the same SPMD program, and the SAME shard_map solve works
+unchanged — XLA routes the halo ppermute over ICI within a host and over
+DCN across hosts.  What multi-host changes is only (a) initialization,
+(b) how global arrays are materialised (per-process addressable shards),
+and (c) device ordering: the device grid must keep intra-host (ICI) axes
+innermost so cross-host traffic rides the partition axis with the fewest
+exchanged planes.
+
+Run `python -m fustpu.parallel.multihost --nprocs 2 --devices-per-proc 4`
+to self-spawn a 2-process x 4-virtual-CPU-device check (the CI analogue of
+`mpirun -n 2`); each worker asserts its local shards of a sharded solve
+match the single-device solution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize(coordinator: str, num_processes: int, process_id: int):
+    """Join the jax.distributed process group (the local device count is
+    set by the platform / XLA_FLAGS before import)."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def dcn_device_grid(shape: tuple[int, int, int], dcn_axis: int = 0):
+    """DeviceGrid over all processes' devices with the process (DCN)
+    dimension spanning `dcn_axis` blocks-of-hosts and ICI axes innermost:
+    devices are ordered (process, local) so a contiguous reshape keeps
+    each host's devices adjacent along the leading axis."""
+    import jax
+
+    from fustpu.parallel.sharding import DeviceGrid
+
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = int(np.prod(shape))
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    if dcn_axis != 0:
+        order = [dcn_axis] + [a for a in range(3) if a != dcn_axis]
+        perm_shape = tuple(shape[a] for a in order)
+        arr = np.asarray(devs[:n]).reshape(perm_shape)
+        arr = np.moveaxis(arr, [0, 1, 2],
+                          [order.index(a) for a in range(3)])
+    else:
+        arr = np.asarray(devs[:n]).reshape(shape)
+    from jax.sharding import Mesh
+
+    from fustpu.parallel.sharding import AXES
+
+    return DeviceGrid(shape=tuple(shape), mesh=Mesh(arr, AXES))
+
+
+# ---------------------------------------------------------------------------
+# Self-contained multi-process correctness check (CPU, CI-friendly)
+# ---------------------------------------------------------------------------
+
+def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
+            grid_shape: tuple[int, int, int]) -> None:
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                                 f"{devices}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    initialize(coordinator, nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+
+    import jax.numpy as jnp
+
+    from fustpu.config import Material, Source
+    from fustpu.mesh.box import build_box_mesh
+    from fustpu.models.westervelt import WesterveltModel
+    from fustpu.parallel import sharding as sh
+    from fustpu.parallel.models import ShardedModel
+
+    mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    L = 0.006
+    mesh = build_box_mesh((8, 4, 2), 3, hi=(L, L, L))
+    model = WesterveltModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            mesh.all_boundary_facets(), dtype=jnp.float64,
+                            stiffness_impl="mm")
+    grid = dcn_device_grid(grid_shape)
+    smodel = ShardedModel(model, grid)
+    dt, _ = model.cfl_dt(0.4)
+    nsteps = 4
+
+    final, _ = model.solve(model.init_state(), dt, nsteps)
+    u_ref = np.asarray(final.u)
+
+    ds, _ = smodel.solve(smodel.init_state(), dt, nsteps)
+    # compare this process's addressable shards against the reference
+    Pd = mesh.degree
+    lc = smodel.lc
+    checked = 0
+    for db in ds.u.addressable_shards:
+        i, j, k = (int(x.start or 0) if isinstance(x, slice) else int(x)
+                   for x in db.index[:3])
+        blk = np.asarray(db.data).reshape(db.data.shape[-3:])
+        ref = u_ref[i * lc[0] * Pd: i * lc[0] * Pd + blk.shape[0],
+                    j * lc[1] * Pd: j * lc[1] * Pd + blk.shape[1],
+                    k * lc[2] * Pd: k * lc[2] * Pd + blk.shape[2]]
+        err = np.linalg.norm(blk - ref) / max(np.linalg.norm(ref), 1e-300)
+        assert err < 1e-12, (pid, db.index, err)
+        checked += 1
+    assert checked > 0
+    print(f"multihost worker {pid}/{nprocs} OK "
+          f"({checked} local shards verified)", flush=True)
+
+
+def run_multiprocess_check(nprocs: int = 2, devices_per_proc: int = 4,
+                           grid_shape=(4, 2, 1), timeout: int = 300) -> None:
+    """Spawn `nprocs` worker processes on this machine (virtual CPU
+    devices) and verify sharded == single across the process group —
+    the `mpirun -n k` laptop test of the reference, without MPI."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "fustpu.parallel.multihost",
+             "--coordinator", coord, "--nprocs", str(nprocs),
+             "--pid", str(pid), "--devices-per-proc",
+             str(devices_per_proc),
+             "--grid", ",".join(map(str, grid_shape))],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(nprocs)
+    ]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost worker {pid} failed:\n{out[-3000:]}")
+        assert f"worker {pid}/{nprocs} OK" in out, out[-2000:]
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--grid", default="4,2,1")
+    a = ap.parse_args()
+    _worker(a.coordinator, a.nprocs, a.pid, a.devices_per_proc,
+            tuple(int(x) for x in a.grid.split(",")))
+
+
+if __name__ == "__main__":
+    _main()

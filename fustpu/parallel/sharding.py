@@ -60,10 +60,21 @@ class DeviceGrid:
         return P(*AXES, *([None] * trailing_none[0] if trailing_none else []))
 
     def put(self, stacked: np.ndarray, dtype=None) -> jax.Array:
-        """Place a host array with leading (Sx, Sy, Sz) axes onto the grid."""
+        """Place a host array with leading (Sx, Sy, Sz) axes onto the grid.
+        Multi-process safe: each process materialises only its addressable
+        shards (every process holds the full host array — setup data is
+        replicated host-side, like the reference's per-rank setup)."""
         sharding = NamedSharding(self.mesh, P(*AXES))
-        arr = jnp.asarray(stacked, dtype)
-        return jax.device_put(arr, sharding)
+        arr = np.asarray(stacked, dtype and jnp.dtype(dtype))
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+
+    def replicate(self, arr, dtype=None) -> jax.Array:
+        """Fully-replicated global array (multi-process safe)."""
+        sharding = NamedSharding(self.mesh, P())
+        arr = np.asarray(arr, dtype and jnp.dtype(dtype))
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
 
 
 # ---------------------------------------------------------------------------

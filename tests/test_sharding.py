@@ -112,3 +112,13 @@ def test_sharded_probe_matches_single():
     assert ys.shape == dys.shape == (5, 2)
     err = np.linalg.norm(ys - dys) / max(np.linalg.norm(ys), 1e-300)
     assert err < 1e-12, err
+
+
+def test_multihost_two_processes():
+    """2 jax.distributed processes x 4 virtual CPU devices: sharded
+    Westervelt == single-device across the process group (the reference's
+    `mpirun -n k` test, without MPI; SURVEY §7 step 7)."""
+    from fustpu.parallel.multihost import run_multiprocess_check
+
+    run_multiprocess_check(nprocs=2, devices_per_proc=4,
+                           grid_shape=(4, 2, 1))
