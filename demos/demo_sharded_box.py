@@ -2,33 +2,37 @@
 reference's `mpirun -n k python demo_nonlinear_box.py` (domain decomposition
 over MPI ranks; here a jax.sharding.Mesh with halo exchange over ICI).
 
+Driven by the SAME demo driver as the single-device demos (one code path
+for 1..N devices, like the reference's rank-agnostic scripts): progress,
+probes, checkpoints, snapshots and VTK output all work on the distributed
+state.
+
 On a CPU host this runs on virtual devices (functional check); on a real
 TPU slice the same code scales over chips.
 
     python demos/demo_sharded_box.py [--devices 8] [--grid 2 2 2]
                                      [--elements 16] [--degree 4]
+                                     [--probe X Y Z] [--output pfx] ...
 """
 
-import argparse
 import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from demos.common import demo_argparser, pick_dtype, run_demo  # noqa: E402
+
 
 def main():
-    p = argparse.ArgumentParser()
+    p = demo_argparser(degree=4, elements=16)
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--grid", type=int, nargs=3, default=None,
                    help="device grid (Sx Sy Sz); default (devices, 1, 1)")
-    p.add_argument("--elements", type=int, default=16)
-    p.add_argument("--degree", type=int, default=4)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--platform", choices=["default", "cpu"], default="cpu")
     args = p.parse_args()
 
-    if args.platform == "cpu":
+    if args.platform != "default":
         os.environ.setdefault(
             "XLA_FLAGS",
             f"--xla_force_host_platform_device_count={args.devices}")
@@ -36,7 +40,8 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    import numpy as np
+        if args.dtype == "f64":
+            jax.config.update("jax_enable_x64", True)
 
     from fustpu.config import Material, Source
     from fustpu.mesh.box import build_box_mesh
@@ -45,22 +50,20 @@ def main():
     from fustpu.parallel.sharding import DeviceGrid
 
     S = tuple(args.grid) if args.grid else (args.devices, 1, 1)
-    ne = args.elements
+    ne = args.elements or 16
     L = 0.01
     mesh = build_box_mesh((ne, ne, ne), args.degree, hi=(L, L, L))
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)
     src = Source(frequency=1.1e6, amplitude=1480.0 * 1000.0 * 0.3856)
     model = WesterveltModel(mesh, mat, src, mesh.boundary_facets("x-"),
-                            mesh.all_boundary_facets())
+                            mesh.all_boundary_facets(),
+                            dtype=pick_dtype(args.dtype))
     grid = DeviceGrid.create(S)
     smodel = ShardedModel(model, grid)
     print(f"device grid {S}, dofs {mesh.ndofs}, impl {smodel.impl}")
-    dt, _ = model.cfl_dt(0.4)
-    out, _ = smodel.solve(smodel.init_state(), dt, args.steps)
-    u = smodel.collect(out.u)
-    print(f"steps={args.steps}, t={float(np.asarray(out.t)):.3e}, "
-          f"|u|max={np.abs(u).max():.4e}, finite={np.all(np.isfinite(u))}")
+    dt, _ = smodel.cfl_dt(0.4)
+    run_demo(smodel, dt, args.steps, args, "sharded_box")
 
 
 if __name__ == "__main__":

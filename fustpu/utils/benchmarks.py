@@ -144,10 +144,18 @@ def _chain(fn, k: int):
 
 
 def time_apply(fn, params, x, chain: int = 50, reps: int = 5,
-               baseline: float | None = None) -> tuple[float, float]:
-    """fn(params, x) -> y, timed per apply."""
+               baseline: float | None = None, grow: bool = True
+               ) -> tuple[float, float]:
+    """fn(params, x) -> y, timed per apply.  With `grow` (default) the
+    chain length is increased (x8) until the total signal clears 10x the
+    dispatch round-trip — essential on this tunneled backend, where the
+    ~28 ms RTT swamps sub-millisecond chains and produces unphysical
+    numbers otherwise."""
     base = sync_baseline() if baseline is None else baseline
     mean, std = _time(_chain(fn, chain), params, x, reps=reps)
+    while grow and (mean - base) < 10 * base and chain < 100000:
+        chain *= 8
+        mean, std = _time(_chain(fn, chain), params, x, reps=reps)
     return max(mean - base, 1e-9) / chain, std / chain
 
 
@@ -188,10 +196,6 @@ def bench_operators(nc: int = 32, degree: int = 4, dtype=jnp.float32,
     for name, fn, p, k in [("mass", mass, diag, chain * 10),
                            ("stiffness", stiff, op, chain)]:
         mean, std = time_apply(fn, p, x, k, reps, base)
-        # grow the chain until the signal clears the RTT noise floor
-        while mean * k < 10 * base and k < 100000:
-            k *= 8
-            mean, std = time_apply(fn, p, x, k, reps, base)
         out.append(OpBenchResult(
             name=name, degree=degree, ncells=mesh.num_cells,
             ndofs=mesh.ndofs, mean_s=mean, std_s=std,

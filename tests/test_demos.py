@@ -47,3 +47,14 @@ def test_demo_nonlinear_bowl_cli(tmp_path):
 def test_other_demos_cli(script):
     out = run_demo(script)
     assert "Solve time per step" in out
+
+
+def test_demo_sharded_box_cli(tmp_path):
+    """The shared demo driver drives sharded models: probe + output."""
+    out = run_demo("demo_sharded_box.py", "--devices", "4", "--grid",
+                   "2", "2", "1", "--steps", "20", "--progress-every",
+                   "10", "--probe", "0.007", "0.005", "0.005",
+                   "--output", str(tmp_path / "s"))
+    assert "Solve time per step" in out
+    assert list(tmp_path.glob("s_sharded_box_probe.txt")), "probe missing"
+    assert list(tmp_path.glob("s_sharded_box.vtk")), "vtk missing"
