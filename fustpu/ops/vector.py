@@ -37,3 +37,13 @@ def pointwise_divide(a, b):
 def square(a):
     """a * a (Westervelt v^2 term, reference :261-275)."""
     return a * a
+
+
+def dot(x, y):
+    """Global dot product (single device)."""
+    return jnp.vdot(x, y)
+
+
+def norm(x):
+    """Global l2 norm (single device)."""
+    return jnp.sqrt(jnp.vdot(x, x).real)

@@ -171,3 +171,41 @@ def _add_plane(y, plane, axis, pos, active):
     new = cur + jnp.where(active, 1.0, 0.0).astype(y.dtype) * plane
     return jax.lax.dynamic_update_index_in_dim(
         y, new, pos, axis)
+
+
+# ---------------------------------------------------------------------------
+# Distributed reductions (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+def ownership_weights(local_shape, grid_shape, dtype=jnp.float32):
+    """Per-node multiplicity weights for the device-local block: nodes on a
+    cut plane are stored on BOTH neighbours, so global reductions must
+    weight them by 1/multiplicity (1/2 per partitioned axis they sit on —
+    1/4 on shared edges, 1/8 on shared corners).  Traced: uses
+    axis_index, so boundary devices keep weight 1 on the outer planes."""
+    w = jnp.ones(local_shape, dtype)
+    for ax, name in enumerate(AXES):
+        S = grid_shape[ax]
+        if S == 1:
+            continue
+        idx = jax.lax.axis_index(name)
+        lo = jnp.where(idx > 0, 0.5, 1.0).astype(dtype)
+        hi = jnp.where(idx < S - 1, 0.5, 1.0).astype(dtype)
+        ones = jnp.ones((local_shape[ax],), dtype)
+        prof = ones.at[0].set(lo).at[local_shape[ax] - 1].set(hi)
+        shape = [1, 1, 1]
+        shape[ax] = local_shape[ax]
+        w = w * prof.reshape(shape)
+    return w
+
+
+def global_dot(x, y, grid_shape):
+    """Distributed dot product of device-local node blocks (inside
+    shard_map): multiplicity-weighted local contraction + psum.  The
+    analogue of dolfinx la.inner_product over an IndexMap with ghosts."""
+    w = ownership_weights(x.shape, grid_shape, x.dtype)
+    return jax.lax.psum(jnp.sum(x * y * w), AXES)
+
+
+def global_norm(x, grid_shape):
+    return jnp.sqrt(global_dot(x, x, grid_shape))

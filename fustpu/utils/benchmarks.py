@@ -154,7 +154,12 @@ def time_apply(fn, params, x, chain: int = 50, reps: int = 5,
     base = sync_baseline() if baseline is None else baseline
     mean, std = _time(_chain(fn, chain), params, x, reps=reps)
     while grow and (mean - base) < 10 * base and chain < 100000:
-        chain *= 8
+        # jump straight to the needed length: every distinct scan length
+        # is a fresh (minutes-long) compile on this backend
+        per = (mean - base) / chain
+        factor = (64 if per <= 0
+                  else min(64, int(np.ceil(10 * base / (per * chain)))))
+        chain *= max(factor, 2)
         mean, std = _time(_chain(fn, chain), params, x, reps=reps)
     return max(mean - base, 1e-9) / chain, std / chain
 

@@ -96,3 +96,57 @@ def load_checkpoint(path: str):
         step = int(z["step"])
         meta = json.loads(str(z["meta"]))
     return arrays, step, meta
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpointing (async-capable, multi-host-aware, sharded restore)
+# ---------------------------------------------------------------------------
+
+class OrbaxCheckpointer:
+    """Async checkpoint/resume of RKState pytrees via orbax — for long
+    multi-host runs where the npz path (host gather + synchronous write)
+    would stall the solve.  Saves happen in a background thread; sharded
+    arrays are written per-shard without materialising the global field.
+    """
+
+    def __init__(self, directory: str, async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        handler = ocp.StandardCheckpointHandler()
+        self._ckptr = (ocp.AsyncCheckpointer(handler) if async_save
+                       else ocp.Checkpointer(handler))
+        self._ocp = ocp
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self._dir, f"step_{step:010d}")
+
+    def save(self, state, step: int) -> str:
+        """Enqueue (async) or perform a save of the state pytree."""
+        path = self._path(step)
+        self._ckptr.save(path, args=self._ocp.args.StandardSave(
+            tuple(state)), force=True)
+        return path
+
+    def wait(self):
+        """Block until in-flight async saves are durable."""
+        self._ckptr.wait_until_finished()
+
+    def steps(self) -> list[int]:
+        return sorted(int(d.split("_")[1]) for d in os.listdir(self._dir)
+                      if d.startswith("step_"))
+
+    def restore(self, step: int | None = None, like=None):
+        """Restore the state at `step` (default: latest).  Pass `like` (an
+        abstract/concrete state pytree) to restore with the original
+        shardings — required for multi-host restarts."""
+        if step is None:
+            step = self.steps()[-1]
+        if like is not None:
+            out = self._ckptr.restore(
+                self._path(step),
+                args=self._ocp.args.StandardRestore(tuple(like)))
+        else:
+            out = self._ckptr.restore(self._path(step))
+        return tuple(out), step

@@ -122,3 +122,34 @@ def test_multihost_two_processes():
 
     run_multiprocess_check(nprocs=2, devices_per_proc=4,
                            grid_shape=(4, 2, 1))
+
+
+def test_global_reductions_match_single():
+    """Distributed multiplicity-weighted dot/norm == the merged-field
+    value (shared cut planes counted exactly once)."""
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+    from jax.sharding import PartitionSpec as P
+
+    mesh = build_box_mesh((4, 4, 2), 3)
+    S = (2, 2, 2)
+    grid = sh.DeviceGrid.create(S)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(mesh.grid_shape)
+    y = rng.standard_normal(mesh.grid_shape)
+    dx = grid.put(sh.split_node_field(x, mesh.nc, S, 3), jnp.float64)
+    dy = grid.put(sh.split_node_field(y, mesh.nc, S, 3), jnp.float64)
+
+    def fn(a, b):
+        sq = lambda v: v.reshape(v.shape[3:])
+        return sh.global_dot(sq(a), sq(b), S)
+
+    mapped = jax.jit(shard_map(fn, mesh=grid.mesh,
+                               in_specs=(P(*sh.AXES), P(*sh.AXES)),
+                               out_specs=P(), check_vma=False))
+    got = float(mapped(dx, dy))
+    want = float(np.vdot(x, y))
+    assert abs(got - want) / abs(want) < 1e-12
