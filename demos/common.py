@@ -83,6 +83,13 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     fields are collected on the host only for diagnostics/output)."""
     from fustpu.utils.eval import PointSampler, plane_points
 
+    def make_sampler(mesh, pts):
+        if hasattr(mesh, "nc"):
+            return PointSampler(mesh, pts)
+        from fustpu.mesh.unstructured import UPointSampler
+
+        return UPointSampler(mesh, pts)
+
     sharded = hasattr(model, "collect")
     to_host = (lambda a: model.collect(a)) if sharded \
         else (lambda a: np.asarray(a))
@@ -99,7 +106,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
         if sharded:
             probe = model.probe_fn(pts)
         else:
-            pfn = PointSampler(model.mesh, pts).jax_probe()
+            pfn = make_sampler(model.mesh, pts).jax_probe()
             probe = lambda s: pfn(s.u)
     # A remainder chunk would have a different scan length, triggering a
     # second multi-minute XLA compile; padding it to a full chunk with
@@ -138,7 +145,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                     zc = (model.mesh.lo[2] + model.mesh.hi[2]) / 2
                     pts = plane_points(model.mesh, axis=2, coord=zc,
                                        n0=179, n1=179)
-                    sampler = PointSampler(model.mesh, pts)
+                    sampler = make_sampler(model.mesh, pts)
                 vals = sampler.sample(to_host(state.u))
                 fio.save_point_cloud(
                     f"{args.output}_{name}_snap_{done}.txt",
@@ -159,9 +166,15 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
 
     if args.output:
         with timing.timer("~ output (vtk)"):
-            path = fio.write_vtk_structured(
-                f"{args.output}_{name}", model.mesh,
-                {"u": to_host(state.u), "v": to_host(state.v)})
+            if hasattr(model.mesh, "nc"):
+                path = fio.write_vtk_structured(
+                    f"{args.output}_{name}", model.mesh,
+                    {"u": to_host(state.u), "v": to_host(state.v)})
+            else:  # unstructured: DOF point cloud
+                path = fio.save_point_cloud(
+                    f"{args.output}_{name}_dofs.txt",
+                    model.mesh.node_coords,
+                    np.asarray(state.u).reshape(-1), cols=(0, 1, 2))
         print(f"wrote {path}")
     timing.list_timings()
     return state

@@ -56,9 +56,19 @@ def bowl_mapping(focal_length, aperture_radius, yc, zc, Lx):
 
 def main():
     parser = demo_argparser(degree=6, periods=8.0)
-    parser.add_argument("--geometry", choices=["conformal", "phased"],
-                        default="conformal")
+    parser.add_argument("--geometry",
+                        choices=["conformal", "phased", "unstructured"],
+                        default="conformal",
+                        help="unstructured = export the body-fitted bowl "
+                             "mesh to a tagged Gmsh .msh file, re-import "
+                             "it, and run on the explicit-dofmap path "
+                             "(the reference's workflow)")
+    parser.add_argument("--mesh", default="",
+                        help="pre-built tagged .msh (tag 1 = bowl cap, "
+                             "tag 2 = absorbing); implies unstructured")
     args = parser.parse_args()
+    if args.mesh:
+        args.geometry = "unstructured"
     apply_platform(args)
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)
@@ -75,33 +85,56 @@ def main():
     nex = args.elements or int(epw * domain_length / wavelength)
     net = max(8, int(round(nex * Lt / domain_length / 8)) * 8)  # multiple of 8 keeps the fused kernel eligible
     yc = zc = Lt / 2
-    if args.geometry == "conformal":
+    focus = np.array([focal_length, yc, zc])
+    in_aperture = lambda c: ((c[:, 1] - yc) ** 2
+                             + (c[:, 2] - zc) ** 2) < aperture_radius**2
+    if args.geometry == "phased":
+        mesh = build_box_mesh((nex, net, net), args.degree,
+                              hi=(domain_length, Lt, Lt))
+    else:
         mesh = build_mapped_mesh(
             (nex, net, net), args.degree,
             bowl_mapping(focal_length, aperture_radius, yc, zc,
                          domain_length),
             hi=(domain_length, Lt, Lt))
+    if args.geometry == "unstructured":
+        # export the body-fitted bowl as a tagged Gmsh mesh and re-import
+        # it: the reference's XDMF read_mesh/read_meshtags workflow
+        # (cuda/demo_nonlinear_bowl.py:98-105) through the .msh pipeline
+        from fustpu.mesh import msh_io
+
+        if args.mesh:
+            mesh_file = args.mesh
+        else:
+            cap = mesh.boundary_facets("x-", predicate=in_aperture)
+            rest = [mesh.boundary_facets(p) for p in
+                    ["x+", "y-", "y+", "z-", "z+"]]
+            other = np.concatenate(
+                [mesh.boundary_facets(
+                    "x-", predicate=lambda c: ~in_aperture(c))] + rest)
+            mesh_file = msh_io.export_box_msh(
+                mesh, {1: cap, 2: other},
+                (args.output or "/tmp/bowl") + "_mesh")
+        mesh = msh_io.read_msh(mesh_file, degree=args.degree)
+        aperture = mesh.boundary_facets(1)
+        absorbing = mesh.boundary_facets(2)
+        print(f"mesh: {mesh_file} ({mesh.num_cells} hex cells, imported)")
     else:
-        mesh = build_box_mesh((nex, net, net), args.degree,
-                              hi=(domain_length, Lt, Lt))
-    print(f"mesh {mesh.nc}, degree {args.degree}, {args.geometry} bowl, "
+        aperture = mesh.boundary_facets("x-", predicate=in_aperture)
+        absorbing = mesh.all_boundary_facets()
+    print(f"degree {args.degree}, {args.geometry} bowl, "
           f"Number of degrees-of-freedom: {mesh.ndofs}")
 
-    focus = np.array([focal_length, yc, zc])
-    aperture = mesh.boundary_facets(
-        "x-", predicate=lambda c: ((c[:, 1] - yc) ** 2
-                                   + (c[:, 2] - zc) ** 2)
-        < aperture_radius**2)
     if len(aperture) == 0:
         raise SystemExit("aperture selected no facets — increase --elements "
                          "so facet centroids resolve the 16 mm radius")
     print(f"aperture facets: {len(aperture)}")
 
-    delays = (None if args.geometry == "conformal" else
+    delays = (None if args.geometry != "phased" else
               (lambda pts: sources.focus_delays(pts, focus,
                                                 mat.sound_speed)))
     model = WesterveltModel(
-        mesh, mat, src, aperture, mesh.all_boundary_facets(),
+        mesh, mat, src, aperture, absorbing,
         dtype=pick_dtype(args.dtype), source_delays=delays)
     dt, _ = model.cfl_dt(0.4)
     tf = domain_length / mat.sound_speed + args.periods / src.frequency
@@ -112,13 +145,19 @@ def main():
     if args.output:
         # axial pressure plane snapshot (reference 357 x 179 grid,
         # cuda/demo_nonlinear_bowl.py:136-141)
-        pts, vals = fev.eval_plane(mesh, np.asarray(state.u), axis=2,
-                                   coord=zc, n0=357, n1=179)
+        structured = hasattr(mesh, "nc")
+        if structured:
+            pts, vals = fev.eval_plane(mesh, np.asarray(state.u), axis=2,
+                                       coord=zc, n0=357, n1=179)
+        else:
+            pts = fev.plane_points(mesh, axis=2, coord=zc, n0=357, n1=179)
+            vals = mesh.evaluate(np.asarray(state.u), pts)
         p = fio.save_point_cloud(f"{args.output}_pressure_plane.txt",
                                  pts, vals, cols=(0, 1))
         print(f"wrote {p}")
-        focal_p = fev.evaluate(mesh, np.asarray(state.u),
-                               focus[None, :])[0]
+        ev = (lambda f, q: fev.evaluate(mesh, f, q)) if structured \
+            else mesh.evaluate
+        focal_p = ev(np.asarray(state.u), focus[None, :])[0]
         print(f"pressure at focus: {focal_p:.1f} Pa")
 
 

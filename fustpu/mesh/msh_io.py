@@ -143,6 +143,24 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
         facet_tag_map=_facets_from_quads(cells, quads_l))
 
 
+def export_box_msh(box_mesh, tag_map: dict, path: str) -> str:
+    """Export a (possibly mapped/perturbed) BoxMesh as a tagged .msh file:
+    `tag_map` maps tag -> (nf, 2) (cell, local_facet) arrays in the box
+    mesh's own conventions.  Round-tripping a body-fitted mapped box
+    through this writer + read_msh reproduces the reference's workflow of
+    importing a Gmsh-built transducer mesh
+    (cuda/demo_nonlinear_bowl.py:98-105)."""
+    from fustpu.mesh.unstructured import from_box
+
+    umesh = from_box(box_mesh)          # unshuffled: same cell ordering
+    quads = []
+    for tag, pairs in tag_map.items():
+        for cell, lf in np.asarray(pairs):
+            verts = [int(umesh.cells[cell][c]) for c in _FACET_CORNERS[lf]]
+            quads.append((int(tag), verts))
+    return write_msh(path, umesh.vertices, umesh.cells, quads)
+
+
 def write_msh(path: str, vertices: np.ndarray, cells: np.ndarray,
               tagged_quads: list | None = None) -> str:
     """Write an ASCII Gmsh v2.2 file.  `tagged_quads`: list of

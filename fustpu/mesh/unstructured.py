@@ -71,6 +71,15 @@ class UnstructuredHexMesh:
     def ndofs(self) -> int:
         return self._numbering[1]
 
+    @functools.cached_property
+    def lo(self) -> tuple:
+        """Bounding-box corner (plane/snapshot helpers)."""
+        return tuple(self.vertices.min(axis=0))
+
+    @functools.cached_property
+    def hi(self) -> tuple:
+        return tuple(self.vertices.max(axis=0))
+
     # ----- geometry ------------------------------------------------------
     @functools.cached_property
     def cell_corners_flat(self) -> np.ndarray:

@@ -139,3 +139,51 @@ def test_unstructured_evaluate():
     assert np.allclose(got, want, rtol=1e-10, atol=1e-10)
     out = umesh.evaluate(f, np.array([[2.0, 0.5, 0.5]]))
     assert np.isnan(out).all()
+
+
+def test_mapped_bowl_export_import_matches_structured(tmp_path):
+    """The flagship workflow: a body-fitted (mapped) bowl mesh exported to
+    a tagged .msh, re-imported, and solved on the indexed path must match
+    the structured solve on the same geometry (curved cells + tags through
+    the full import pipeline)."""
+    from demos.demo_nonlinear_bowl import bowl_mapping
+    from fustpu.mesh.box import build_mapped_mesh
+
+    Lx, Lt = 0.02, 0.012
+    yc = zc = Lt / 2
+    mesh = build_mapped_mesh(
+        (4, 3, 3), 2, bowl_mapping(0.035, 0.004, yc, zc, Lx),
+        hi=(Lx, Lt, Lt))
+    in_ap = lambda c: ((c[:, 1] - yc) ** 2
+                       + (c[:, 2] - zc) ** 2) < 0.004**2
+    cap = mesh.boundary_facets("x-", predicate=in_ap)
+    rest = [mesh.boundary_facets(p) for p in
+            ["x+", "y-", "y+", "z-", "z+"]]
+    other = np.concatenate(
+        [mesh.boundary_facets("x-", predicate=lambda c: ~in_ap(c))] + rest)
+    assert len(cap) > 0
+    path = msh_io.export_box_msh(mesh, {1: cap, 2: other},
+                                 str(tmp_path / "bowl"))
+    umesh = msh_io.read_msh(path, degree=2)
+    assert umesh.ndofs == mesh.ndofs
+
+    mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1e5)
+    m_s = WesterveltModel(mesh, mat, src, cap,
+                          np.concatenate([cap, other]), dtype=jnp.float64,
+                          stiffness_impl="mm")
+    m_u = WesterveltModel(umesh, mat, src, umesh.boundary_facets(1),
+                          umesh.boundary_facets(), dtype=jnp.float64)
+    dt, _ = m_s.cfl_dt(0.4)
+    s_s, _ = m_s.solve(m_s.init_state(), dt, 5)
+    s_u, _ = m_u.solve(m_u.init_state(), dt, 5)
+    key = lambda p: (np.round(p / np.linalg.norm(
+        np.array(mesh.hi)) * 1e9)).astype(np.int64)
+    lut = {tuple(k): i for i, k in enumerate(key(umesh.node_coords))}
+    perm = np.array([lut[tuple(k)]
+                     for k in key(mesh.node_coords.reshape(-1, 3))])
+    u_s = np.asarray(s_s.u).reshape(-1)
+    u_u = np.asarray(s_u.u)[perm]
+    err = np.linalg.norm(u_u - u_s) / max(np.linalg.norm(u_s), 1e-300)
+    assert err < 1e-11, err
