@@ -68,7 +68,7 @@ def main():
     # confirm the op is HBM-roofline-bound once the working set cannot fit
     big = 72
     mesh_big = build_box_mesh((big, big, big), degree)
-    detJ_big, _ = pre.cell_geometry_factors(mesh_big)
+    detJ_big = pre.cell_detJ(mesh_big)
     diag_big = jnp.asarray(
         mm.mass_diagonal(mesh_big.nc, degree, detJ_big), dtype)
     x_big = jnp.asarray(np.random.default_rng(0).standard_normal(

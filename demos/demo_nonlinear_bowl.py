@@ -91,7 +91,7 @@ def main():
     if args.geometry == "phased":
         mesh = build_box_mesh((nex, net, net), args.degree,
                               hi=(domain_length, Lt, Lt))
-    else:
+    elif not args.mesh:   # a supplied .msh needs no generated geometry
         mesh = build_mapped_mesh(
             (nex, net, net), args.degree,
             bowl_mapping(focal_length, aperture_radius, yc, zc,

@@ -42,8 +42,12 @@ def run(precision, steps=1000):
 
 
 def main():
+    import jax
+
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    u_hi, v_hi, tr_hi, dt = run(None, steps)          # full f32
+    # explicit HIGHEST: None would resolve to the kernel's "auto" default
+    # (= bf16x3 for f32) and compare bf16x3 against itself
+    u_hi, v_hi, tr_hi, dt = run(jax.lax.Precision.HIGHEST, steps)
     u_lo, v_lo, tr_lo, _ = run("bf16x3", steps)
     rel = lambda a, b: (np.linalg.norm(a - b)
                         / max(np.linalg.norm(b), 1e-300))

@@ -37,7 +37,7 @@ def main():
         p, v.reshape(g), precision="bf16x3").reshape(-1)
     variants = [
         ("pallas HIGHEST", op_p,
-         lambda p, v: ps.stiffness_apply_pallas(p, v)),
+         lambda p, v: ps.stiffness_apply_pallas(p, v, precision=ps._HI)),
         ("pallas bf16x3", op_p,
          lambda p, v: ps.stiffness_apply_pallas(p, v, precision="bf16x3")),
         ("pallas bf16x1*", op_p,   # ablation only: single-term, inaccurate

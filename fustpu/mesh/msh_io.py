@@ -126,7 +126,12 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
                 if etype == _HEX_TYPE:
                     hexes.append(verts)
                 elif etype == _QUAD_TYPE:
-                    quads.append((surf_tag.get(ent_id, ent_id), verts))
+                    if ent_id not in surf_tag:
+                        raise ValueError(
+                            f"{path}: surface entity {ent_id} carries "
+                            "quads but no physical tag — tag boundary "
+                            "surfaces with physical groups in Gmsh")
+                    quads.append((surf_tag[ent_id], verts))
             k += 1 + ne
 
     if not hexes:
@@ -183,7 +188,6 @@ def write_msh(path: str, vertices: np.ndarray, cells: np.ndarray,
             vs = " ".join(str(int(v) + 1) for v in verts)
             f.write(f"{eid} {_QUAD_TYPE} 2 {int(tag)} {int(tag)} {vs}\n")
             eid += 1
-        inv = np.argsort(_GMSH_HEX)      # our corner id -> gmsh node slot
         for cell in np.asarray(cells):
             gm = [int(cell[_GMSH_HEX[k]]) + 1 for k in range(8)]
             f.write(f"{eid} {_HEX_TYPE} 2 1 1 " +

@@ -103,16 +103,43 @@ class UnstructuredHexMesh:
 
     @functools.cached_property
     def _numbering(self) -> tuple[np.ndarray, int]:
-        """(dofmap (ncells, n^3) int32, ndofs) via coordinate
-        quantisation."""
+        """(dofmap (ncells, n^3) int32, ndofs) by merging coincident
+        per-cell node coordinates.
+
+        A single rounded grid can SPLIT a shared node whose two roundoff-
+        different coordinates straddle a bin boundary (silent C0 break).
+        Robust merge instead: points are grouped on all 8 half-bin-offset
+        grids and the groupings are unioned — for any pair within b/4 per
+        axis there exists an offset combination that straddles no boundary
+        on any axis, so the pair is guaranteed to merge; pairs farther
+        than ~b*sqrt(3) apart (true distinct nodes are many orders beyond)
+        can never merge."""
         pts = self._cell_nodes_phys.reshape(-1, 3)
         lo, hi = pts.min(axis=0), pts.max(axis=0)
         diag = float(np.linalg.norm(hi - lo)) or 1.0
-        q = np.round((pts - lo) / (diag * 1e-9)).astype(np.int64)
-        _, first, inverse = np.unique(q, axis=0, return_index=True,
-                                      return_inverse=True)
+        b = diag * 1e-9
+        scaled = (pts - lo) / b
+        labels = np.arange(pts.shape[0], dtype=np.int64)
+        for _ in range(10):           # label propagation to a fixpoint
+            # (monotone decreasing labels: converges; clusters are
+            # roundoff-sized so 2-3 sweeps suffice in practice)
+            changed = False
+            for off in range(8):
+                shift = np.array([(off >> a) & 1 for a in range(3)]) * 0.5
+                q = np.floor(scaled + shift).astype(np.int64)
+                _, inv = np.unique(q, axis=0, return_inverse=True)
+                gmin = np.full(inv.max() + 1, labels.max() + 1,
+                               dtype=np.int64)
+                np.minimum.at(gmin, inv, labels)
+                new = gmin[inv]
+                if not np.array_equal(new, labels):
+                    labels = new
+                    changed = True
+            if not changed:
+                break
+        _, inverse = np.unique(labels, return_inverse=True)
         dofmap = inverse.reshape(self.num_cells, -1).astype(np.int32)
-        return dofmap, int(first.size)
+        return dofmap, int(inverse.max()) + 1
 
     @functools.cached_property
     def dofmap(self) -> np.ndarray:

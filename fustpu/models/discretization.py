@@ -77,8 +77,8 @@ class Discretization:
                         self.dtype, coeff=coeff)
 
     def pallas_fits(self) -> bool:
-        """Whether a (x-slab, y-block) tile fits VMEM (see
-        pallas_stiffness._pick_yblocks)."""
+        """Whether the fused kernel's single-slab working set fits VMEM
+        (pallas_stiffness._vmem_bytes / pallas_fits)."""
         from fustpu.ops import pallas_stiffness as ps
 
         n = self.P + 1

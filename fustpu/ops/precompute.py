@@ -69,6 +69,22 @@ def cell_geometry_factors(mesh: BoxMesh, use_native: bool = True):
     return detJ, G
 
 
+def cell_detJ(mesh) -> np.ndarray:
+    """detJ only (cells, nq) — for mass-type setup where the 6-component
+    metric G (6x the memory, plus a batched inverse) is not needed."""
+    elem = mesh.element
+    _, grads = hex8_tabulate(elem.quad_points)
+    wts = elem.quad_weights
+    corners = mesh.cell_corners_flat
+    nc = corners.shape[0]
+    detJ = np.empty((nc, wts.size))
+    for s in range(0, nc, _CHUNK):
+        e = min(s + _CHUNK, nc)
+        J = _jacobians(corners[s:e], grads)
+        detJ[s:e] = np.abs(np.linalg.det(J)) * wts
+    return detJ
+
+
 def facet_geometry_factors(mesh: BoxMesh, boundary_data: np.ndarray,
                            use_native: bool = True):
     """detJ_f (nf, n^2): surface measure * weights at facet GLL points for

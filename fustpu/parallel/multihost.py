@@ -46,13 +46,15 @@ def dcn_device_grid(shape: tuple[int, int, int], dcn_axis: int = 0):
     if len(devs) < n:
         raise ValueError(f"need {n} devices, have {len(devs)}")
     if dcn_axis != 0:
+        # fill the DCN axis slowest: reshape with it leading, then move
+        # each source axis k (holding shape[order[k]]) to position order[k]
         order = [dcn_axis] + [a for a in range(3) if a != dcn_axis]
         perm_shape = tuple(shape[a] for a in order)
         arr = np.asarray(devs[:n]).reshape(perm_shape)
-        arr = np.moveaxis(arr, [0, 1, 2],
-                          [order.index(a) for a in range(3)])
+        arr = np.moveaxis(arr, [0, 1, 2], order)
     else:
         arr = np.asarray(devs[:n]).reshape(shape)
+    assert arr.shape == tuple(shape), (arr.shape, shape)
     from jax.sharding import Mesh
 
     from fustpu.parallel.sharding import AXES

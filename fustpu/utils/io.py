@@ -134,8 +134,13 @@ class OrbaxCheckpointer:
         self._ckptr.wait_until_finished()
 
     def steps(self) -> list[int]:
-        return sorted(int(d.split("_")[1]) for d in os.listdir(self._dir)
-                      if d.startswith("step_"))
+        """Completed checkpoints only (in-flight async saves leave
+        .orbax-checkpoint-tmp directories behind; never list those)."""
+        out = []
+        for d in os.listdir(self._dir):
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit():
+                out.append(int(d.split("_", 1)[1]))
+        return sorted(out)
 
     def restore(self, step: int | None = None, like=None):
         """Restore the state at `step` (default: latest).  Pass `like` (an

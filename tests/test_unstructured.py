@@ -187,3 +187,41 @@ def test_mapped_bowl_export_import_matches_structured(tmp_path):
     u_u = np.asarray(s_u.u)[perm]
     err = np.linalg.norm(u_u - u_s) / max(np.linalg.norm(u_s), 1e-300)
     assert err < 1e-11, err
+
+
+def test_dof_merge_survives_bin_straddle():
+    """Two cells sharing a face, with the second cell carrying its OWN
+    roundoff-perturbed copies of the shared corners, placed so the shared
+    nodes straddle a quantisation-bin boundary: the 8-offset-grid merge
+    must still unify them (a single rounded grid silently splits them)."""
+    diag_ref = np.sqrt(2.0**2 + 1 + 1)
+    b = diag_ref * 1e-9          # bin size used by the numbering (approx)
+    eps = 1e-3 * b
+
+    def two_cell_mesh(x_face):
+        verts = []
+        for x in (0.0, x_face - eps, x_face + eps, 2.0):
+            for y in (0.0, 1.0):
+                for z in (0.0, 1.0):
+                    verts.append((x, y, z))
+        verts = np.asarray(verts)
+        vid = lambda xi, yi, zi: xi * 4 + yi * 2 + zi
+        # corner id is 4a+2b+c with a = x-bit
+        cA = np.empty(8, np.int64)
+        cB = np.empty(8, np.int64)
+        for a in (0, 1):
+            for b2 in (0, 1):
+                for c in (0, 1):
+                    cA[4 * a + 2 * b2 + c] = vid(a, b2, c)
+                    cB[4 * a + 2 * b2 + c] = vid(2 + a, b2, c)
+        cells = np.stack([cA, cB])
+        return UnstructuredHexMesh(degree=2, vertices=verts, cells=cells,
+                                   facet_tag_map={})
+
+    # case 1: shared plane right AT a base-grid boundary (base splits,
+    # an offset grid merges); case 2: at a half-grid boundary
+    for k in (8.0, 7.5):
+        mesh = two_cell_mesh(k * b)
+        n = 3
+        expect = 2 * n**3 - n**2         # shared face merged exactly once
+        assert mesh.ndofs == expect, (k, mesh.ndofs, expect)
