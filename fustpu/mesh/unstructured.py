@@ -137,9 +137,17 @@ class UnstructuredHexMesh:
                     changed = True
             if not changed:
                 break
-        _, inverse = np.unique(labels, return_inverse=True)
-        dofmap = inverse.reshape(self.num_cells, -1).astype(np.int32)
-        return dofmap, int(inverse.max()) + 1
+        reps, inverse = np.unique(labels, return_inverse=True)
+        # Global ids in coordinate-lexicographic order (x, y, z
+        # ascending, z fastest): deterministic and gather-friendly
+        # locality.  The SORT grid is much coarser (1e-6 diag) than the
+        # merge grid so roundoff jitter cannot scramble the ordering.
+        qs = np.floor(scaled[reps] * 1e-3).astype(np.int64)
+        order = np.lexsort((scaled[reps][:, 2], qs[:, 1], qs[:, 0]))
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        dofmap = rank[inverse].reshape(self.num_cells, -1).astype(np.int32)
+        return dofmap, int(reps.size)
 
     @functools.cached_property
     def dofmap(self) -> np.ndarray:

@@ -225,3 +225,4 @@ def test_dof_merge_survives_bin_straddle():
         n = 3
         expect = 2 * n**3 - n**2         # shared face merged exactly once
         assert mesh.ndofs == expect, (k, mesh.ndofs, expect)
+
