@@ -30,22 +30,35 @@ _HEX_TYPE = 5    # gmsh element type: 8-node hexahedron
 _QUAD_TYPE = 3   # 4-node quadrangle
 
 
+def _rowview(a: np.ndarray) -> np.ndarray:
+    """Rows of an int array as a 1D sortable/searchable void view."""
+    a = np.ascontiguousarray(a.astype(np.int64))
+    return a.view([("", np.int64)] * a.shape[1]).ravel()
+
+
 def _facets_from_quads(cells: np.ndarray, quads: list) -> dict:
-    """Match tagged quads (vertex-id 4-tuples) to (cell, local_facet)."""
-    face_owner = {}
-    for ci in range(cells.shape[0]):
-        cell = cells[ci]
-        for lf, corners in enumerate(_FACET_CORNERS):
-            key = tuple(sorted(int(cell[c]) for c in corners))
-            face_owner.setdefault(key, (ci, lf))
+    """Match tagged quads (vertex-id 4-tuples) to (cell, local_facet) —
+    vectorised sorted-key search (a per-cell dict build is minutes at
+    production mesh sizes)."""
+    if not quads:
+        return {}
+    corners = np.asarray(_FACET_CORNERS)
+    keys = np.sort(np.asarray(cells)[:, corners], axis=-1).reshape(-1, 4)
+    order = np.lexsort(keys.T[::-1])
+    sk = _rowview(keys[order])
+    qarr = np.sort(np.asarray([v for _, v in quads], np.int64), axis=1)
+    qk = _rowview(qarr)
+    pos = np.searchsorted(sk, qk)
+    if np.any(pos >= sk.size) or np.any(sk[np.minimum(pos, sk.size - 1)]
+                                        != qk):
+        bad = int(np.argmax(sk[np.minimum(pos, sk.size - 1)] != qk))
+        raise ValueError(
+            f"tagged quad {tuple(qarr[bad])} does not match any hex face")
+    rows = order[pos]
+    pairs = np.stack([rows // 6, rows % 6], axis=1).astype(np.int32)
     tags: dict[int, list] = {}
-    for tag, verts in quads:
-        key = tuple(sorted(int(v) for v in verts))
-        own = face_owner.get(key)
-        if own is None:
-            raise ValueError(
-                f"tagged quad {key} does not match any hex face")
-        tags.setdefault(int(tag), []).append(own)
+    for (tag, _), pair in zip(quads, pairs):
+        tags.setdefault(int(tag), []).append(tuple(pair))
     return {t: np.asarray(sorted(v), np.int32) for t, v in tags.items()}
 
 

@@ -9,12 +9,13 @@ degree-P GLL dofmap, consumed by the indexed operator path
 (fustpu.ops.operators.{mass,stiffness}_apply_indexed).
 
 DOF numbering: every cell tabulates its (n,n,n) GLL node coordinates via
-the trilinear map; nodes are de-duplicated by quantised physical
-coordinate.  Two neighbouring cells restrict their trilinear maps to the
+the trilinear map; nodes are de-duplicated by tolerance clustering of the
+physical coordinates (three nested sorts, tol ~1e-9 of the bbox
+diagonal).  Two neighbouring cells restrict their trilinear maps to the
 same bilinear function on a shared face (same 4 corners), so shared nodes
-coincide up to roundoff and quantisation at ~1e-9 of the bbox diagonal
-merges them reliably (valid conforming meshes have node separations many
-orders of magnitude larger).  This replaces DOLFINx's topological entity
+coincide up to roundoff (~1e-15 of the bbox) and always merge; distinct
+nodes in valid conforming meshes are separated by many orders more than
+the tolerance and never do.  This replaces DOLFINx's topological entity
 numbering + basix TP dof-ordering permutation (cpp/common/permute.hpp:
 15-42) and is orientation-free by construction: cells may list their
 corners in any right-handed hex order.
@@ -106,48 +107,37 @@ class UnstructuredHexMesh:
         """(dofmap (ncells, n^3) int32, ndofs) by merging coincident
         per-cell node coordinates.
 
-        A single rounded grid can SPLIT a shared node whose two roundoff-
-        different coordinates straddle a bin boundary (silent C0 break).
-        Robust merge instead: points are grouped on all 8 half-bin-offset
-        grids and the groupings are unioned — for any pair within b/4 per
-        axis there exists an offset combination that straddles no boundary
-        on any axis, so the pair is guaranteed to merge; pairs farther
-        than ~b*sqrt(3) apart (true distinct nodes are many orders beyond)
-        can never merge."""
+        Tolerance clustering via three nested sorts (no quantisation
+        grid, hence no bin-boundary straddle that could silently split a
+        shared node): group where consecutive sorted x differ by <= tol,
+        then subgroup by y within x-groups, then by z.  Coincident nodes
+        (roundoff ~1e-15 of the bbox) always sort adjacent and merge;
+        distinct nodes are separated by many orders more than tol.
+        O(N log N); the resulting ids are coordinate-lexicographic
+        (x, y, z ascending — deterministic, gather-friendly locality)."""
         pts = self._cell_nodes_phys.reshape(-1, 3)
         lo, hi = pts.min(axis=0), pts.max(axis=0)
-        diag = float(np.linalg.norm(hi - lo)) or 1.0
-        b = diag * 1e-9
-        scaled = (pts - lo) / b
-        labels = np.arange(pts.shape[0], dtype=np.int64)
-        for _ in range(10):           # label propagation to a fixpoint
-            # (monotone decreasing labels: converges; clusters are
-            # roundoff-sized so 2-3 sweeps suffice in practice)
-            changed = False
-            for off in range(8):
-                shift = np.array([(off >> a) & 1 for a in range(3)]) * 0.5
-                q = np.floor(scaled + shift).astype(np.int64)
-                _, inv = np.unique(q, axis=0, return_inverse=True)
-                gmin = np.full(inv.max() + 1, labels.max() + 1,
-                               dtype=np.int64)
-                np.minimum.at(gmin, inv, labels)
-                new = gmin[inv]
-                if not np.array_equal(new, labels):
-                    labels = new
-                    changed = True
-            if not changed:
-                break
-        reps, inverse = np.unique(labels, return_inverse=True)
-        # Global ids in coordinate-lexicographic order (x, y, z
-        # ascending, z fastest): deterministic and gather-friendly
-        # locality.  The SORT grid is much coarser (1e-6 diag) than the
-        # merge grid so roundoff jitter cannot scramble the ordering.
-        qs = np.floor(scaled[reps] * 1e-3).astype(np.int64)
-        order = np.lexsort((scaled[reps][:, 2], qs[:, 1], qs[:, 0]))
-        rank = np.empty_like(order)
-        rank[order] = np.arange(order.size)
-        dofmap = rank[inverse].reshape(self.num_cells, -1).astype(np.int32)
-        return dofmap, int(reps.size)
+        tol = (float(np.linalg.norm(hi - lo)) or 1.0) * 1e-9
+        N = pts.shape[0]
+
+        order = np.argsort(pts[:, 0], kind="stable")
+        grp = np.empty(N, np.int64)
+        brk = np.empty(N, bool)
+        brk[0] = True
+        np.greater(np.diff(pts[order, 0]), tol, out=brk[1:])
+        np.cumsum(brk, out=grp)
+        for axis in (1, 2):
+            coord = pts[order, axis]
+            o2 = np.lexsort((coord, grp))
+            order = order[o2]
+            gs, cs = grp[o2], coord[o2]
+            brk[0] = True
+            brk[1:] = (gs[1:] != gs[:-1]) | (np.diff(cs) > tol)
+            np.cumsum(brk, out=grp)
+        inverse = np.empty(N, np.int64)
+        inverse[order] = grp - 1
+        dofmap = inverse.reshape(self.num_cells, -1).astype(np.int32)
+        return dofmap, int(grp[-1])
 
     @functools.cached_property
     def dofmap(self) -> np.ndarray:
@@ -169,33 +159,41 @@ class UnstructuredHexMesh:
         return self._exterior_facets
 
     @functools.cached_property
+    def _all_face_keys(self) -> np.ndarray:
+        """(ncells, 6, 4) sorted corner-vertex ids of every cell face."""
+        corners = np.asarray(_FACET_CORNERS)          # (6, 4)
+        keys = self.cells[:, corners]                 # (ncells, 6, 4)
+        return np.sort(keys, axis=-1)
+
+    @functools.cached_property
     def _exterior_facets(self) -> np.ndarray:
-        faces = {}
-        for ci in range(self.num_cells):
-            cell = self.cells[ci]
-            for lf, corners in enumerate(_FACET_CORNERS):
-                key = tuple(sorted(int(cell[c]) for c in corners))
-                faces.setdefault(key, []).append((ci, lf))
-        ext = [own[0] for own in faces.values() if len(own) == 1]
-        return np.asarray(sorted(ext), np.int32).reshape(-1, 2)
+        """Faces owned by exactly one cell, fully vectorised (a python
+        per-cell loop takes minutes at production scale)."""
+        keys = self._all_face_keys.reshape(-1, 4)
+        order = np.lexsort(keys.T[::-1])
+        sk = keys[order]
+        new = np.ones(sk.shape[0], bool)
+        new[1:] = np.any(sk[1:] != sk[:-1], axis=1)
+        grp = np.cumsum(new) - 1
+        counts = np.bincount(grp)
+        ext_rows = order[counts[grp] == 1]
+        cells, lf = ext_rows // 6, ext_rows % 6
+        pairs = np.stack([cells, lf], axis=1).astype(np.int32)
+        return pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
 
     def facet_dofmap(self, boundary_data: np.ndarray) -> np.ndarray:
         """(nf, n^2) global dofs of (cell, local_facet) pairs."""
-        elem = self.element
-        dm = self.dofmap
-        out = np.empty((boundary_data.shape[0], elem.nfacet_dofs),
-                       dtype=np.int32)
-        for idx, (cell, lf) in enumerate(boundary_data):
-            out[idx] = dm[cell][elem.all_facet_dofs[lf]]
-        return out
+        bd = np.asarray(boundary_data)
+        local = self.element.all_facet_dofs[bd[:, 1]]     # (nf, n^2)
+        return np.take_along_axis(self.dofmap[bd[:, 0]], local,
+                                  axis=1).astype(np.int32)
 
     def facet_centroids(self, boundary_data: np.ndarray) -> np.ndarray:
         """(nf, 3) corner-mean centroid of each facet (for predicates)."""
-        out = np.empty((boundary_data.shape[0], 3))
-        for i, (cell, lf) in enumerate(boundary_data):
-            ids = self.cells[cell][list(_FACET_CORNERS[lf])]
-            out[i] = self.vertices[ids].mean(axis=0)
-        return out
+        bd = np.asarray(boundary_data)
+        corners = np.asarray(_FACET_CORNERS)[bd[:, 1]]    # (nf, 4)
+        ids = np.take_along_axis(self.cells[bd[:, 0]], corners, axis=1)
+        return self.vertices[ids].mean(axis=1)
 
     # ----- point location / evaluation ------------------------------------
     def locate(self, points: np.ndarray, tol: float = 1e-10):
