@@ -41,10 +41,12 @@ def main():
 
     nc, degree, dtype = 32, 4, jnp.float32
 
-    stream_gbs = B.measure_streaming_roofline()
-    mxu_tfs = B.measure_matmul_roofline()
-    comment(f"measured rooflines: HBM streaming {stream_gbs:.0f} GB/s, "
-            f"bf16 matmul {mxu_tfs:.0f} TFLOP/s")
+    # take the best of repeated measurements: the roofline is a BOUND, and
+    # per-compile layout luck makes single runs read 15% low
+    stream_gbs = max(B.measure_streaming_roofline() for _ in range(5))
+    mxu_tfs = max(B.measure_matmul_roofline() for _ in range(3))
+    comment(f"measured rooflines (best of repeats): HBM streaming "
+            f"{stream_gbs:.0f} GB/s, bf16 matmul {mxu_tfs:.0f} TFLOP/s")
 
     try:
         res = B.bench_operators(nc=nc, degree=degree, dtype=dtype, reps=10)

@@ -87,10 +87,13 @@ def sync_baseline(reps: int = 10) -> float:
 
 
 def measure_streaming_roofline(mbytes_per_array: int = 256,
-                               iters: int = 10) -> float:
+                               iters: int = 300) -> float:
     """Measured HBM streaming bandwidth (GB/s): a data-dependent triad
     c = c*d + e over arrays far larger than VMEM, chained under one scan.
-    Per iteration traffic = 3 reads + 1 write of each element."""
+    Per iteration traffic = 3 reads + 1 write of each element.  The
+    default iteration count keeps the measurement ~3 s — far above the
+    ~28 ms dispatch RTT whose jitter otherwise swings the result by
+    +-20% run to run."""
     m = mbytes_per_array * 2**20 // 4
     c = jnp.zeros((m,), jnp.float32)
     d = jnp.full((m,), np.float32(0.5))
@@ -107,7 +110,7 @@ def measure_streaming_roofline(mbytes_per_array: int = 256,
     return 4 * m * 4 * iters / mean / 1e9
 
 
-def measure_matmul_roofline(dim: int = 4096, iters: int = 20,
+def measure_matmul_roofline(dim: int = 4096, iters: int = 500,
                             dtype=jnp.bfloat16) -> float:
     """Measured matmul throughput (TFLOP/s) via a chained A @ C."""
     rng = np.random.default_rng(0)
