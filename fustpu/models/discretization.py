@@ -68,23 +68,26 @@ class Discretization:
         return mm.build_stiffness(self.mesh.nc, self.P, self._D_host,
                                   self._G_host, self.dtype)
 
-    def pallas_op(self, coeff=None):
+    def pallas_op(self, coeff=None, force_parts: int = 0):
         """Fused-kernel stiffness operator (fustpu.ops.pallas_stiffness);
-        per-cell coefficients are folded into G at build time."""
+        per-cell coefficients are folded into G at build time.  Meshes
+        whose y-z extent exceeds the single-slab VMEM budget come back as
+        a y-partitioned operator (shared planes overlap-added in XLA)."""
         from fustpu.ops import pallas_stiffness as ps
 
-        return ps.build(self.mesh.nc, self.P, self._D_host, self._G_host,
-                        self.dtype, coeff=coeff)
+        return ps.build_auto(self.mesh.nc, self.P, self._D_host,
+                             self._G_host, self.dtype, coeff=coeff,
+                             force_parts=force_parts)
 
     def pallas_fits(self) -> bool:
-        """Whether the fused kernel's single-slab working set fits VMEM
-        (pallas_stiffness._vmem_bytes / pallas_fits)."""
+        """Whether the fused kernel applies to this mesh, possibly as a
+        y-partitioned operator (pallas_stiffness.pick_y_parts)."""
         from fustpu.ops import pallas_stiffness as ps
 
         n = self.P + 1
         _, ncy, ncz = self.mesh.nc
         gz = ncz * self.P + 1
-        return ps.pallas_fits(n, ncy, ncz, gz)
+        return ps.pick_y_parts(n, ncy, ncz, gz) is not None
 
     @functools.cached_property
     def indexed_op(self) -> tuple:

@@ -226,10 +226,93 @@ def pallas_fits(n, ncy, ncz, gz) -> bool:
     return _vmem_bytes(n, ncy, ncz, gy, gz) < 14 * 2**20
 
 
+def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16) -> list | None:
+    """Partition ncy into the fewest near-equal y-slabs whose single-slab
+    working sets fit VMEM (None if even ncy_j = 1 does not fit, e.g. an
+    oversized z extent).  Lets the fused kernel cover meshes whose full
+    y-z extent exceeds VMEM: the operator is cell-local, so the apply is
+    run per y-slab and the single shared plane overlap-added in XLA."""
+    for k in range(1, min(max_parts, ncy) + 1):
+        sizes = [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
+        if pallas_fits(n, max(sizes), ncz, gz):
+            return sizes
+    return None
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasStiffnessSplit:
+    """Y-slab-partitioned operator: a tuple of per-slab PallasStiffness
+    ops plus their (static) cell counts.  Applying runs the fused kernel
+    per slab and overlap-adds the shared planes (cells are partitioned,
+    so each contribution is computed exactly once)."""
+
+    def __init__(self, parts: tuple, y_sizes: tuple):
+        self.parts = tuple(parts)
+        self.y_sizes = tuple(y_sizes)
+
+    def tree_flatten(self):
+        return self.parts, self.y_sizes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, aux)
+
+
+def build_auto(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
+               coeff: np.ndarray | None = None, force_parts: int = 0):
+    """build(), or a PallasStiffnessSplit when the full y-z extent does
+    not fit VMEM (force_parts > 1 forces a split, for tests)."""
+    n = P + 1
+    ncx, ncy, ncz = nc
+    gz = ncz * P + 1
+    if force_parts > 1:
+        k = force_parts
+        sizes = [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
+    else:
+        sizes = pick_y_parts(n, ncy, ncz, gz)
+        if sizes is None:
+            raise ValueError("no VMEM-feasible y partition for this mesh")
+        if len(sizes) == 1:
+            return build(nc, P, D_1d, G_cells, dtype, coeff)
+    Gc = G_cells.reshape(ncx, ncy, ncz, *G_cells.shape[1:])
+    cf = (None if coeff is None
+          else np.asarray(coeff).reshape(ncx, ncy, ncz))
+    parts, off = [], 0
+    for s in sizes:
+        Gj = np.ascontiguousarray(
+            Gc[:, off:off + s]).reshape(ncx * s * ncz, *G_cells.shape[1:])
+        cj = None if cf is None else cf[:, off:off + s]
+        parts.append(build((ncx, s, ncz), P, D_1d, Gj, dtype, cj))
+        off += s
+    return PallasStiffnessSplit(tuple(parts), tuple(sizes))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
-def stiffness_apply_pallas(op: PallasStiffness, x: jax.Array,
+def stiffness_apply_pallas(op, x: jax.Array,
                            interpret: bool = False,
                            precision="auto") -> jax.Array:
+    """Dispatch: single fused-kernel apply, or per-y-slab applies with a
+    shared-plane overlap-add for PallasStiffnessSplit operators."""
+    if isinstance(op, PallasStiffnessSplit):
+        P = op.parts[0].G.shape[1] - 1
+        out, off = None, 0
+        for part, s in zip(op.parts, op.y_sizes):
+            xj = x[:, off * P:(off + s) * P + 1, :]
+            yj = _apply_single(part, xj, interpret, precision)
+            if out is None:
+                out = yj
+            else:
+                out = jnp.concatenate(
+                    [out[:, :-1], out[:, -1:] + yj[:, :1], yj[:, 1:]],
+                    axis=1)
+            off += s
+        return out
+    return _apply_single(op, x, interpret, precision)
+
+
+def _apply_single(op: PallasStiffness, x: jax.Array,
+                  interpret: bool = False,
+                  precision="auto") -> jax.Array:
     """y_grid = A_stiff(x_grid) in one fused pass.  `precision` controls
     the in-kernel y/z matmuls (the cross-plane x contraction is always
     exact static-scalar arithmetic).

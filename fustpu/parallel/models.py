@@ -123,9 +123,8 @@ class ShardedModel:
                     coeffs = [-1.0 / rho_f,
                               -delta_f / (rho_f * c_f * c_f)]
             for k, cf in enumerate(coeffs):
-                bop = disc.pallas_op(coeff=cf)
-                dist[f"Gp{k}"] = grid.put(_split_pallas_G(
-                    np.asarray(bop.G, np.float64), S), dtype)
+                Gp = ps.pack_G(disc._G_host, nc, n, coeff=cf)
+                dist[f"Gp{k}"] = grid.put(_split_pallas_G(Gp, S), dtype)
         else:
             # local (per-device) matmul-form matrices — same on every device
             repl["W"] = tuple(

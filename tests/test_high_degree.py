@@ -118,14 +118,20 @@ def test_pallas_fits_high_degree_table():
     """VMEM feasibility (recorded in BENCH_NOTES): the single-slab kernel
     fits up to y-z extents of ~24 cells at P=6..7, 16 at P=8..9, 12 at
     P=10; oversize extents are rejected and the mm fallback engages."""
-    table = {7: 16, 8: 16, 9: 16, 10: 12}
+    table = {7: 20, 8: 16, 9: 12, 10: 12}
     for P, nc in table.items():
         n = P + 1
         assert ps.pallas_fits(n, nc, nc, nc * P + 1), P
     assert not ps.pallas_fits(11, 20, 20, 20 * 10 + 1)   # P=10 oversize
-    # a 64x64 y-z extent at P=4 does not fit the single-slab kernel
+    # a 64x64 y-z extent at P=4 exceeds the single-slab budget but is
+    # covered by the y-partitioned operator (2+ slabs)
     assert not ps.pallas_fits(5, 64, 64, 64 * 4 + 1)
-    from fustpu.models.discretization import (Discretization,
-                                              resolve_stiffness_impl)
+    parts = ps.pick_y_parts(5, 64, 64, 64 * 4 + 1)
+    assert parts is not None and len(parts) >= 2 and sum(parts) == 64
+    # an oversized z extent cannot be y-partitioned away -> mm fallback
+    assert ps.pick_y_parts(5, 8, 4096, 4096 * 4 + 1) is None
+    from fustpu.models.discretization import Discretization
     big = build_box_mesh((4, 64, 64), 4)
-    assert resolve_stiffness_impl("auto", Discretization(big)) == "mm"
+    # eligible via the y-partitioned operator ('auto' still resolves to
+    # mm on the CPU test backend; TPU backends pick pallas)
+    assert Discretization(big).pallas_fits()

@@ -128,3 +128,28 @@ def test_pallas_fits_and_mm_fallback():
     err = (np.linalg.norm(np.asarray(s1.u) - np.asarray(s2.u))
            / max(np.linalg.norm(np.asarray(s1.u)), 1e-300))
     assert err < 1e-11, err
+
+
+def test_pallas_y_partitioned_matches_mm():
+    """The y-slab-partitioned operator (for meshes whose y-z extent
+    exceeds VMEM) must match the matmul path: cells are partitioned and
+    the shared planes overlap-added, so the result is exact."""
+    P = 3
+    mesh = build_box_mesh((3, 7, 4), P, hi=(1.0, 1.7, 1.1),
+                          perturb=0.12, seed=13)
+    elem = HexElement(P)
+    _, G = pre.cell_geometry_factors(mesh)
+    rng = np.random.default_rng(4)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    op_mm = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                               coeff=coeff)
+    y_ref = np.asarray(mm.stiffness_apply_mm(op_mm, x))
+    op_sp = ps.build_auto(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                          coeff=coeff, force_parts=3)
+    assert isinstance(op_sp, ps.PallasStiffnessSplit)
+    assert sum(op_sp.y_sizes) == mesh.nc[1]
+    y = np.asarray(ps.stiffness_apply_pallas(op_sp, x, interpret=True,
+                                             precision=ps._HI))
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
