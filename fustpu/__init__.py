@@ -12,7 +12,11 @@ A ground-up JAX/XLA/Pallas re-design of the capabilities of
   with windowed velocity sources and first-order absorbing boundaries.
 - Explicit RK4 time integration fully on device under ``jax.lax.scan``.
 - Multi-chip domain decomposition via ``jax.sharding.Mesh`` + ``shard_map``
-  with halo exchange over ICI (``lax.ppermute``) instead of MPI.
+  with halo exchange over ICI (``lax.ppermute``) instead of MPI; multi-host
+  process groups via ``jax.distributed`` (fustpu.parallel.multihost).
+- Unstructured conforming hex meshes imported from tagged Gmsh ``.msh``
+  files (fustpu.mesh.unstructured / msh_io), solved on the explicit-dofmap
+  indexed path.
 
 Unlike the reference (CUDA thread-per-dof kernels + atomics + MPI halo
 exchange), assembly here is deterministic: on structured box meshes the
@@ -30,3 +34,5 @@ from fustpu.models.linear import LinearWaveModel
 from fustpu.models.westervelt import WesterveltModel
 from fustpu.parallel.models import ShardedModel
 from fustpu.parallel.sharding import DeviceGrid
+from fustpu.mesh.msh_io import read_msh, write_msh
+from fustpu.mesh.unstructured import UnstructuredHexMesh
