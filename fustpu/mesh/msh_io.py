@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from fustpu.mesh.unstructured import _FACET_CORNERS, UnstructuredHexMesh
+from fustpu.mesh.unstructured import (_FACET_CORNERS, UnstructuredHexMesh,
+                                      face_keys)
 
 # gmsh node k -> our corner id 4a+2b+c
 _GMSH_HEX = [0b000, 0b100, 0b110, 0b010, 0b001, 0b101, 0b111, 0b011]
@@ -42,8 +43,7 @@ def _facets_from_quads(cells: np.ndarray, quads: list) -> dict:
     production mesh sizes)."""
     if not quads:
         return {}
-    corners = np.asarray(_FACET_CORNERS)
-    keys = np.sort(np.asarray(cells)[:, corners], axis=-1).reshape(-1, 4)
+    keys = face_keys(cells).reshape(-1, 4)
     order = np.lexsort(keys.T[::-1])
     sk = _rowview(keys[order])
     qarr = np.sort(np.asarray([v for _, v in quads], np.int64), axis=1)

@@ -43,6 +43,14 @@ for _axis, _side in FACETS:
     _FACET_CORNERS.append(tuple(ids))
 
 
+def face_keys(cells: np.ndarray) -> np.ndarray:
+    """(ncells, 6, 4) sorted corner-vertex ids of every cell face — the
+    canonical face identity used for exterior-facet extraction and for
+    matching tagged surface quads (fustpu.mesh.msh_io)."""
+    corners = np.asarray(_FACET_CORNERS)          # (6, 4)
+    return np.sort(np.asarray(cells)[:, corners], axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class UnstructuredHexMesh:
     """Conforming hex mesh: vertices (nv, 3), cells (ncells, 8) corner
@@ -160,10 +168,7 @@ class UnstructuredHexMesh:
 
     @functools.cached_property
     def _all_face_keys(self) -> np.ndarray:
-        """(ncells, 6, 4) sorted corner-vertex ids of every cell face."""
-        corners = np.asarray(_FACET_CORNERS)          # (6, 4)
-        keys = self.cells[:, corners]                 # (ncells, 6, 4)
-        return np.sort(keys, axis=-1)
+        return face_keys(self.cells)
 
     @functools.cached_property
     def _exterior_facets(self) -> np.ndarray:

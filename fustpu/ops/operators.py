@@ -111,13 +111,6 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
     n = D.shape[0]
     cells = dofmap.shape[0]
     u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
-    y = _indexed_contractions(u, G, coeff, D)
-    return scatter_add_dofs(y.reshape(cells, -1), dofmap, ndofs)
-
-
-def _indexed_contractions(u: jax.Array, G: jax.Array, coeff: jax.Array,
-                          D: jax.Array) -> jax.Array:
-    cells, n = u.shape[0], u.shape[1]
     wx = jnp.einsum("qi,cijk->cqjk", D, u, precision=_PRECISION)
     wy = jnp.einsum("qj,cijk->ciqk", D, u, precision=_PRECISION)
     wz = jnp.einsum("qk,cijk->cijq", D, u, precision=_PRECISION)
@@ -129,4 +122,4 @@ def _indexed_contractions(u: jax.Array, G: jax.Array, coeff: jax.Array,
     y = jnp.einsum("qi,cqjk->cijk", D, f0, precision=_PRECISION)
     y = y + jnp.einsum("qj,ciqk->cijk", D, f1, precision=_PRECISION)
     y = y + jnp.einsum("qk,cijq->cijk", D, f2, precision=_PRECISION)
-    return y
+    return scatter_add_dofs(y.reshape(cells, -1), dofmap, ndofs)

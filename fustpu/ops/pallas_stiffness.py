@@ -226,6 +226,11 @@ def pallas_fits(n, ncy, ncz, gz) -> bool:
     return _vmem_bytes(n, ncy, ncz, gy, gz) < 14 * 2**20
 
 
+def _slab_sizes(ncy: int, k: int) -> list:
+    """Near-equal partition of ncy cells into k y-slabs."""
+    return [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
+
+
 def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16) -> list | None:
     """Partition ncy into the fewest near-equal y-slabs whose single-slab
     working sets fit VMEM (None if even ncy_j = 1 does not fit, e.g. an
@@ -233,7 +238,7 @@ def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16) -> list | None:
     y-z extent exceeds VMEM: the operator is cell-local, so the apply is
     run per y-slab and the single shared plane overlap-added in XLA."""
     for k in range(1, min(max_parts, ncy) + 1):
-        sizes = [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
+        sizes = _slab_sizes(ncy, k)
         if pallas_fits(n, max(sizes), ncz, gz):
             return sizes
     return None
@@ -266,8 +271,7 @@ def build_auto(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
     ncx, ncy, ncz = nc
     gz = ncz * P + 1
     if force_parts > 1:
-        k = force_parts
-        sizes = [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
+        sizes = _slab_sizes(ncy, min(force_parts, ncy))
     else:
         sizes = pick_y_parts(n, ncy, ncz, gz)
         if sizes is None:
@@ -295,18 +299,18 @@ def stiffness_apply_pallas(op, x: jax.Array,
     shared-plane overlap-add for PallasStiffnessSplit operators."""
     if isinstance(op, PallasStiffnessSplit):
         P = op.parts[0].G.shape[1] - 1
-        out, off = None, 0
+        ys, off = [], 0
         for part, s in zip(op.parts, op.y_sizes):
-            xj = x[:, off * P:(off + s) * P + 1, :]
-            yj = _apply_single(part, xj, interpret, precision)
-            if out is None:
-                out = yj
-            else:
-                out = jnp.concatenate(
-                    [out[:, :-1], out[:, -1:] + yj[:, :1], yj[:, 1:]],
-                    axis=1)
+            ys.append(_apply_single(part, x[:, off * P:(off + s) * P + 1],
+                                    interpret, precision))
             off += s
-        return out
+        # one concatenate: interior of each slab + summed shared planes
+        pieces = [ys[0][:, :-1]]
+        for a, b in zip(ys[:-1], ys[1:]):
+            pieces.append(a[:, -1:] + b[:, :1])
+            pieces.append(b[:, 1:-1])
+        pieces[-1] = ys[-1][:, 1:]
+        return jnp.concatenate(pieces, axis=1)
     return _apply_single(op, x, interpret, precision)
 
 

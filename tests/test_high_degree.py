@@ -116,9 +116,10 @@ def test_pallas_high_degree(P):
 
 def test_pallas_fits_high_degree_table():
     """VMEM feasibility (recorded in BENCH_NOTES): the single-slab kernel
-    fits up to y-z extents of ~24 cells at P=6..7, 16 at P=8..9, 12 at
-    P=10; oversize extents are rejected and the mm fallback engages."""
-    table = {7: 20, 8: 16, 9: 12, 10: 12}
+    fits y-z extents up to ~20 cells at P=7, 16 at P=8..9, 12 at P=10;
+    larger y extents take the y-partitioned operator, and only an
+    oversized z extent falls back to the matmul path."""
+    table = {7: 20, 8: 16, 9: 16, 10: 12}
     for P, nc in table.items():
         n = P + 1
         assert ps.pallas_fits(n, nc, nc, nc * P + 1), P

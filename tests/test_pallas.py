@@ -153,3 +153,23 @@ def test_pallas_y_partitioned_matches_mm():
                                              precision=ps._HI))
     err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-12, err
+
+
+def test_build_auto_force_parts_clamped():
+    """force_parts beyond ncy must clamp (a zero-size slab would crash at
+    apply time)."""
+    P = 2
+    mesh = build_box_mesh((2, 3, 2), P)
+    _, G = pre.cell_geometry_factors(mesh)
+    elem = HexElement(P)
+    op = ps.build_auto(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                       force_parts=7)
+    assert sum(op.y_sizes) == 3 and min(op.y_sizes) >= 1
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        mesh.grid_shape), jnp.float64)
+    y = ps.stiffness_apply_pallas(op, x, interpret=True, precision=ps._HI)
+    op_mm = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64)
+    y_ref = mm.stiffness_apply_mm(op_mm, x)
+    err = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
+           / np.linalg.norm(np.asarray(y_ref)))
+    assert err < 1e-12, err
