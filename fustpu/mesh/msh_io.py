@@ -69,17 +69,20 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
         lines = f.read().splitlines()
     i = 0
 
-    def section(name):
+    def section(name, required=False):
         nonlocal i
         while i < len(lines) and lines[i].strip() != f"${name}":
             i += 1
         if i == len(lines):
+            i = 0  # reset so later section() lookups scan from the top
+            if required:
+                raise ValueError(f"{path}: missing ${name} section")
             return None
         i += 1
         start = i
         while lines[i].strip() != f"$End{name}":
             i += 1
-        body, i2 = lines[start:i], i + 1
+        body = lines[start:i]
         i = 0  # reset for next section search from the top
         return body
 
@@ -91,12 +94,12 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
     node_ids, coords = [], []
     quads, hexes = [], []     # (tag, verts) / verts
     if version < 4.0:
-        body = section("Nodes")
+        body = section("Nodes", required=True)
         for ln in body[1:]:
             parts = ln.split()
             node_ids.append(int(parts[0]))
             coords.append([float(x) for x in parts[1:4]])
-        body = section("Elements")
+        body = section("Elements", required=True)
         for ln in body[1:]:
             parts = [int(x) for x in ln.split()]
             etype, ntags = parts[1], parts[2]
@@ -107,7 +110,7 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
             elif etype == _QUAD_TYPE:
                 quads.append((tags[0] if tags else 0, verts))
     else:
-        body = section("Nodes")
+        body = section("Nodes", required=True)
         k = 1
         while k < len(body):
             _, _, _, nn = (int(x) for x in body[k].split())
@@ -129,7 +132,7 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
                 nphys = int(parts[7])
                 if nphys:
                     surf_tag[ent_id] = int(parts[8])
-        body = section("Elements")
+        body = section("Elements", required=True)
         k = 1
         while k < len(body):
             dim, ent_id, etype, ne = (int(x) for x in body[k].split())

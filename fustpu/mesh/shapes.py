@@ -39,7 +39,11 @@ def _butterfly_2d(a: float, m: int, mr: int):
         for j in range(m):
             quads.append((pid(cs[i], cs[j]), pid(cs[i + 1], cs[j]),
                           pid(cs[i + 1], cs[j + 1]), pid(cs[i], cs[j + 1])))
-    # sectors: east, north, west, south by rotation
+    # sectors: east, north, west, south by rotation.  Rim points (rho=1)
+    # use the SAME canonical polar expression as the annulus ring
+    # (_rim_point) so shared vertices are byte-identical — a second float
+    # path straddling the dedup precision would split the rim vertex and
+    # make the mesh non-conforming.
     for sector in range(4):
         rot = sector * np.pi / 2.0
         cr, sr = np.cos(rot), np.sin(rot)
@@ -47,6 +51,10 @@ def _butterfly_2d(a: float, m: int, mr: int):
             for j in range(m):
                 corner = []
                 for dl, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                    if l + dl == mr:                     # on the rim
+                        k_rim = (sector * m + j + dj) % (4 * m)
+                        corner.append(pid(*_rim_point(a, k_rim, 4 * m)))
+                        continue
                     t = -1.0 + 2.0 * (j + dj) / m
                     rho = (l + dl) / mr
                     ex, ey = s, s * t                    # core edge point
@@ -58,6 +66,41 @@ def _butterfly_2d(a: float, m: int, mr: int):
                 # rotation by 90 deg preserves CCW orientation
                 quads.append(tuple(corner))
     return index, pts, quads, pid
+
+
+def _rim_point(r: float, k: int, ntheta: int) -> tuple:
+    """THE canonical expression for ring points (single angle -> cos/sin):
+    every construction site computes ring coordinates through this one
+    function so coincident vertices are byte-identical."""
+    th = -np.pi / 4.0 + 2.0 * np.pi * (k % ntheta) / ntheta
+    return float(r * np.cos(th)), float(r * np.sin(th))
+
+
+def _merge_close_points(pts: np.ndarray, quads: list, tol: float):
+    """Safety net behind the exact-key dedup of _butterfly_2d: cluster
+    points closer than `tol` (nested stable sorts, as in
+    UnstructuredHexMesh._numbering) and remap quad indices.  Guards
+    against any remaining last-ulp duplicate splitting the mesh."""
+    pts = np.asarray(pts, np.float64)
+    N = pts.shape[0]
+    order = np.argsort(pts[:, 0], kind="stable")
+    grp = np.empty(N, np.int64)
+    brk = np.empty(N, bool)
+    brk[0] = True
+    brk[1:] = np.diff(pts[order, 0]) > tol
+    np.cumsum(brk, out=grp)
+    coord = pts[order, 1]
+    o2 = np.lexsort((coord, grp))
+    order = order[o2]
+    gs, cs = grp[o2], coord[o2]
+    brk[0] = True
+    brk[1:] = (gs[1:] != gs[:-1]) | (np.diff(cs) > tol)
+    np.cumsum(brk, out=grp)
+    remap = np.empty(N, np.int64)
+    remap[order] = grp - 1
+    uniq = np.empty((int(grp[-1]), 2))
+    uniq[remap] = pts
+    return uniq, [tuple(int(remap[p]) for p in q) for q in quads]
 
 
 def cylinder_mesh(radius: float, length: float, piston_radius: float,
@@ -73,18 +116,19 @@ def cylinder_mesh(radius: float, length: float, piston_radius: float,
     index, pts2, quads, pid = _butterfly_2d(a, m, mr)
     n_disk = len(quads)
     # annulus a -> R on 4m equally spaced angles matching the butterfly rim
+    # (ring points go through _rim_point — the same expression the sector
+    # rim used, so the shared a-radius ring dedups exactly)
     ntheta = 4 * m
-    th0 = -np.pi / 4.0
     radii = np.linspace(a, R, nr_ann + 1)
     for i in range(nr_ann):
         for k in range(ntheta):
             corner = []
             for di, dk in ((0, 0), (1, 0), (1, 1), (0, 1)):
-                r = radii[i + di]
-                th = th0 + 2.0 * np.pi * ((k + dk) % ntheta) / ntheta
-                corner.append(pid(r * np.cos(th), r * np.sin(th)))
+                corner.append(pid(*_rim_point(radii[i + di], k + dk, ntheta)))
             quads.append(tuple(corner))
-    pts2 = np.asarray(pts2)
+    # tolerance-merge as a safety net (exact-key dedup can split last-ulp
+    # duplicates; ADVICE r2)
+    pts2, quads = _merge_close_points(pts2, quads, tol=1e-9 * R)
 
     zs = np.linspace(0.0, float(length), nz + 1)
     nv2 = pts2.shape[0]

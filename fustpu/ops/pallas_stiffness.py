@@ -276,8 +276,10 @@ def build_auto(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
         sizes = pick_y_parts(n, ncy, ncz, gz)
         if sizes is None:
             raise ValueError("no VMEM-feasible y partition for this mesh")
-        if len(sizes) == 1:
-            return build(nc, P, D_1d, G_cells, dtype, coeff)
+    if len(sizes) == 1:
+        # a single-part "split" is just the plain operator (the split
+        # apply's concat logic assumes >= 2 slabs)
+        return build(nc, P, D_1d, G_cells, dtype, coeff)
     Gc = G_cells.reshape(ncx, ncy, ncz, *G_cells.shape[1:])
     cf = (None if coeff is None
           else np.asarray(coeff).reshape(ncx, ncy, ncz))

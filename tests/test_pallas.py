@@ -173,3 +173,24 @@ def test_build_auto_force_parts_clamped():
     err = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
            / np.linalg.norm(np.asarray(y_ref)))
     assert err < 1e-12, err
+
+
+def test_build_auto_force_parts_single_slab():
+    """force_parts > 1 with ncy == 1 must degrade to the plain operator:
+    the split apply's concat logic assumes >= 2 slabs (ADVICE r2)."""
+    P = 2
+    mesh = build_box_mesh((3, 1, 2), P)
+    _, G = pre.cell_geometry_factors(mesh)
+    elem = HexElement(P)
+    op = ps.build_auto(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                       force_parts=4)
+    assert isinstance(op, ps.PallasStiffness)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        mesh.grid_shape), jnp.float64)
+    y = ps.stiffness_apply_pallas(op, x, interpret=True, precision=ps._HI)
+    assert y.shape == mesh.grid_shape
+    op_mm = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64)
+    y_ref = mm.stiffness_apply_mm(op_mm, x)
+    err = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
+           / np.linalg.norm(np.asarray(y_ref)))
+    assert err < 1e-12, err

@@ -226,3 +226,52 @@ def test_dof_merge_survives_bin_straddle():
         expect = 2 * n**3 - n**2         # shared face merged exactly once
         assert mesh.ndofs == expect, (k, mesh.ndofs, expect)
 
+
+
+def test_msh_missing_sections_raise(tmp_path):
+    """A .msh missing a required section must raise a clear ValueError,
+    and a v4.1 file without $Entities (legal when there are no physical
+    groups) must still parse (ADVICE r2: the scan index was left at EOF
+    after a missed lookup, corrupting every later section() call)."""
+    import pytest
+
+    bad = tmp_path / "bad.msh"
+    bad.write_text("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n"
+                   "$Nodes\n1 1 1 1\n$EndNodes\n")
+    # $Nodes present but malformed aside, $Elements absent entirely
+    with pytest.raises(ValueError, match=r"missing \$Elements"):
+        msh_io.read_msh(str(bad), degree=2)
+
+    # v4.1 without $Entities: single untagged hex, must parse
+    ok = tmp_path / "ok.msh"
+    verts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+             (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    lines = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat",
+             "$Nodes", "1 8 1 8", "3 1 0 8"]
+    lines += [str(j + 1) for j in range(8)]
+    lines += [f"{x} {y} {z}" for x, y, z in verts]
+    lines += ["$EndNodes", "$Elements", "1 1 1 1", "3 1 5 1",
+              "1 1 2 3 4 5 6 7 8", "$EndElements"]
+    ok.write_text("\n".join(lines) + "\n")
+    mesh = msh_io.read_msh(str(ok), degree=2)
+    assert mesh.num_cells == 1 and mesh.ndofs == 27
+
+
+def test_cylinder_mesh_conforming():
+    """The O-grid cylinder must be vertex-conforming: every interior face
+    shared by exactly 2 cells, rim vertices not split by float noise
+    (ADVICE r2), and the tagged quads must all match hex faces."""
+    from fustpu.mesh.shapes import cylinder_mesh
+
+    # m=5 gives odd sector counts (more rim-angle float expressions)
+    v, c, t = cylinder_mesh(0.015, 0.03, 0.010, m=5, mr=2, nr_ann=2, nz=4)
+    from fustpu.mesh.unstructured import face_keys
+
+    keys = face_keys(c).reshape(-1, 4)
+    uniq, counts = np.unique(keys, axis=0, return_counts=True)
+    assert counts.max() == 2          # conforming: no face shared 3+ ways
+    n_ext = int((counts == 1).sum())
+    # exterior = 2 caps + wall: (25 + 2*20 + 2*20)*2 + wall 20*4
+    mesh = msh_io.read_msh(msh_io.write_msh("/tmp/_cyl_conf", v, c, t), 2)
+    assert len(mesh.boundary_facets()) == n_ext
+    assert set(mesh.facet_tag_map) == {1, 2}
