@@ -63,7 +63,10 @@ def main():
 
     model = LinearWaveModel(mesh, mat, src, piston, absorbing,
                             dtype=pick_dtype(args.dtype))
-    assert model.impl == "indexed"
+    # cylinder imports are prismatic -> the factorized fast path; the
+    # per-element indexed path remains the generic fallback
+    print(f"stiffness impl: {model.impl}")
+    assert model.impl in ("extruded", "indexed")
     dt, spp = model.cfl_dt()
     tf = LENGTH / mat.sound_speed + args.periods / src.frequency
     nsteps = int(tf / dt) + 1
@@ -78,20 +81,25 @@ def main():
     state = model.init_state()
     chunk = max(args.progress_every, 100)
     total = -(-nsteps // chunk) * chunk        # pad to equal-length scans
-    traces, done, wall = [], 0, 0.0
+    traces, done, wall, walls = [], 0, 0.0, []
     while done < total:
         t0 = time.perf_counter()
         state, ys = model.solve(state, dt, chunk, tf=nsteps * dt,
                                 probe=probe)
         _ = float(jnp.ravel(state.u)[0])
-        wall += time.perf_counter() - t0
+        walls.append(time.perf_counter() - t0)
+        wall += walls[-1]
         traces.append(np.asarray(ys))
         done += chunk
         print(f"t: {float(state.t):.5e}, steps: {min(done, nsteps)}"
               f"/{nsteps}, u[0] = {float(jnp.ravel(state.u)[0]):.4e}",
               flush=True)
     print(f"Solve time: {wall:.3f}")
-    print(f"Solve time per step: {wall / total:.6f}")
+    print(f"Solve time per step: {wall / total:.6f} (incl first-chunk "
+          "compile)")
+    if len(walls) > 1:
+        steady = sum(walls[1:]) / (len(walls) - 1) / chunk
+        print(f"Solve time per step (steady): {steady:.6f}")
 
     # steady-state on-axis amplitude over the final source period
     tr = np.concatenate(traces, axis=0)[:nsteps]

@@ -62,9 +62,16 @@ def _facets_from_quads(cells: np.ndarray, quads: list) -> dict:
     return {t: np.asarray(sorted(v), np.int32) for t, v in tags.items()}
 
 
-def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
+def read_msh(path: str, degree: int,
+             detect_extrusion: bool = True) -> UnstructuredHexMesh:
     """Parse an ASCII .msh file (v2.2 or v4.1) into an
-    UnstructuredHexMesh with degree-P GLL dofs."""
+    UnstructuredHexMesh with degree-P GLL dofs.
+
+    When the mesh topology is a z-extrusion (every practical
+    piston/column mesh), the returned object is the ExtrudedHexMesh
+    subclass, which the models route to the factorized fast stiffness
+    path (fustpu.mesh.extruded); pass detect_extrusion=False to force
+    the generic per-element representation."""
     with open(path) as f:
         lines = f.read().splitlines()
     i = 0
@@ -159,9 +166,16 @@ def read_msh(path: str, degree: int) -> UnstructuredHexMesh:
         for k_g, our in enumerate(_GMSH_HEX):
             cells[ci, our] = remap[h[k_g]]
     quads_l = [(t, [remap[v] for v in vs]) for t, vs in quads]
-    return UnstructuredHexMesh(
+    mesh = UnstructuredHexMesh(
         degree=degree, vertices=verts, cells=cells,
         facet_tag_map=_facets_from_quads(cells, quads_l))
+    if detect_extrusion:
+        from fustpu.mesh.extruded import as_extruded
+
+        ex = as_extruded(mesh)
+        if ex is not None:
+            return ex
+    return mesh
 
 
 def export_box_msh(box_mesh, tag_map: dict, path: str) -> str:

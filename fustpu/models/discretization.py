@@ -68,16 +68,21 @@ class Discretization:
         return mm.build_stiffness(self.mesh.nc, self.P, self._D_host,
                                   self._G_host, self.dtype)
 
-    def pallas_op(self, coeff=None, force_parts: int = 0):
+    def pallas_op(self, coeff=None, force_parts: int = 0,
+                  corner: bool = False):
         """Fused-kernel stiffness operator (fustpu.ops.pallas_stiffness);
         per-cell coefficients are folded into G at build time.  Meshes
         whose y-z extent exceeds the single-slab VMEM budget come back as
-        a y-partitioned operator (shared planes overlap-added in XLA)."""
+        a y-partitioned operator (shared planes overlap-added in XLA).
+        `corner` selects the corner-streamed kernel: ~20x less geometry
+        memory (37 floats/cell vs 6/quad-point) at ~1.6x the apply cost —
+        the memory-capacity mode for very large single-chip meshes."""
         from fustpu.ops import pallas_stiffness as ps
 
-        return ps.build_auto(self.mesh.nc, self.P, self._D_host,
-                             self._G_host, self.dtype, coeff=coeff,
-                             force_parts=force_parts)
+        return ps.build_auto(
+            self.mesh.nc, self.P, self._D_host, self._G_host, self.dtype,
+            coeff=coeff, force_parts=force_parts,
+            corners=self.mesh.cell_corners_flat if corner else None)
 
     def pallas_fits(self) -> bool:
         """Whether the fused kernel applies to this mesh, possibly as a
@@ -88,6 +93,18 @@ class Discretization:
         _, ncy, ncz = self.mesh.nc
         gz = ncz * self.P + 1
         return ps.pick_y_parts(n, ncy, ncz, gz) is not None
+
+    @functools.cached_property
+    def extruded_op(self):
+        """Factorized stiffness operator for prismatic-topology meshes
+        (fustpu.mesh.extruded.ExtrudedHexMesh): row gather/scatter with
+        the structured z axis on the lanes — the production path for
+        imported piston-class meshes (~the speed class of the structured
+        paths, vs ~10x off for the per-element indexed path)."""
+        from fustpu.ops import operators as ops
+
+        return ops.build_extruded_stiffness(self.mesh, self._G_host,
+                                            self._D_host, self.dtype)
 
     @functools.cached_property
     def indexed_op(self) -> tuple:
@@ -175,8 +192,13 @@ class Discretization:
 def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
     """'auto' picks the fused Pallas kernel on TPU backends when the slab
     fits VMEM, else the XLA matmul formulation; unstructured meshes use
-    the explicit-dofmap indexed path."""
+    the factorized extruded path when the topology is prismatic, the
+    explicit-dofmap indexed path otherwise."""
     if not disc.structured:
+        from fustpu.mesh.extruded import ExtrudedHexMesh
+
+        if isinstance(disc.mesh, ExtrudedHexMesh) and impl != "indexed":
+            return "extruded"
         return "indexed"
     if impl != "auto":
         return impl

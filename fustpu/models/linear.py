@@ -51,7 +51,8 @@ class LinearWaveModel(WaveModelBase):
         phased (focused) aperture — a callable(points (N,3)) -> tau (N,) or
         an (nf, n^2) array.  `source_apodization`: optional amplitude
         profile, same convention.  See fustpu.models.sources.
-        `stiffness_impl`: 'auto' | 'mm' | 'pallas'.
+        `stiffness_impl`: 'auto' | 'mm' | 'pallas' | 'pallas_corner'
+        (corner = fused kernel in 20x-less-geometry-memory mode).
         `pallas_precision`: None = the kernel's validated default (bf16x3
         for f32 fields, full precision for f64); pass
         jax.lax.Precision.HIGHEST to force the full-f32 kernel."""
@@ -73,23 +74,38 @@ class LinearWaveModel(WaveModelBase):
         self.m = to_flat(disc.mass_diag_host(1.0 / (rho * c * c)))
         # stiffness coefficient -1/rho: a scalar for uniform media (fused
         # into the apply), an expanded per-cell field otherwise
-        self.impl = resolve_stiffness_impl(stiffness_impl, disc)
-        self.c2_scalar = self.c2_e = self.c2_cells = None
-        if self.impl == "indexed":
+        impl = resolve_stiffness_impl(stiffness_impl, disc)
+        # 'pallas_corner' = fused kernel in memory-capacity mode
+        self._corner = impl == "pallas_corner"
+        self.impl = "pallas" if self._corner else impl
+        self.c2_scalar = self.c2_e = self.c2_cells = self.c2_x = None
+        if self.impl == "extruded":
+            # prismatic imported mesh: factorized row-gather path
+            from fustpu.ops import operators as ops
+
+            self._stiff_op = disc.extruded_op
+            if self.uniform:
+                self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
+            else:
+                self.c2_x = ops.expand_coeff_extruded(
+                    mesh, np.broadcast_to(-1.0 / rho,
+                                          (mesh.num_cells,)), dtype)
+        elif self.impl == "indexed":
             # unstructured: explicit dofmap, per-cell coefficient array
             self.c2_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self._stiff_op = disc.indexed_op
         elif self.uniform:
             self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
-            self._stiff_op = (disc.pallas_op() if self.impl == "pallas"
-                              else disc.mm_op)
+            self._stiff_op = (disc.pallas_op(corner=self._corner)
+                              if self.impl == "pallas" else disc.mm_op)
         else:
             # heterogeneous: expanded coefficient field (also consumed by
             # the sharded wrapper, which runs the mm path per device)
             self.c2_e = jnp.asarray(
                 mm.expand_cell_field(-1.0 / rho, mesh.degree + 1), dtype)
-            self._stiff_op = (disc.pallas_op(coeff=-1.0 / rho)
-                              if self.impl == "pallas" else disc.mm_op)
+            self._stiff_op = (
+                disc.pallas_op(coeff=-1.0 / rho, corner=self._corner)
+                if self.impl == "pallas" else disc.mm_op)
 
         # source boundary: the g(t) facet term reduces to precomputed
         # diagonal vector(s): one for a plain aperture, a cos/sin pair for a
@@ -136,6 +152,8 @@ class LinearWaveModel(WaveModelBase):
             p["c2_e"] = self.c2_e
         if self.c2_cells is not None:
             p["c2_c"] = self.c2_cells
+        if self.c2_x is not None:
+            p["c2_x"] = self.c2_x
         if self.s_sin is not None:
             p["s_sin"] = self.s_sin
         if self.fvec_abs is not None:
@@ -154,6 +172,13 @@ class LinearWaveModel(WaveModelBase):
         return b / params["m"]
 
     def _apply_stiffness(self, params, u_flat):
+        if self.impl == "extruded":
+            from fustpu.ops import operators as ops
+
+            b = ops.stiffness_apply_extruded(
+                u_flat, params["stiff"], self.mesh.ndofs,
+                coeff_e=params.get("c2_x"))
+            return self.c2_scalar * b if self.uniform else b
         if self.impl == "indexed":
             from fustpu.ops import operators as ops
 

@@ -72,10 +72,29 @@ class WesterveltModel(WaveModelBase):
 
         # cell coefficients (cuda/demo_nonlinear_bowl.py:357-362)
         nl = 2.0 * beta / (rho * rho * c**4)
-        self.impl = resolve_stiffness_impl(stiffness_impl, disc)
+        impl = resolve_stiffness_impl(stiffness_impl, disc)
+        # 'pallas_corner' = fused kernel in memory-capacity mode
+        self._corner = impl == "pallas_corner"
+        self.impl = "pallas" if self._corner else impl
         self.c3_scalar = self.c4_scalar = None
         self.c3_e = self.c4_e = self.c3_cells = self.c4_cells = None
-        if self.impl == "indexed":
+        self.c3_x = self.c4_x = None
+        if self.impl == "extruded":
+            from fustpu.ops import operators as ops
+
+            self._stiff_op = disc.extruded_op
+            if self.uniform:
+                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
+                self.c4_scalar = dtype(-float(delta.flat[0])
+                                       / float((rho * c * c).flat[0]))
+            else:
+                nc_ = (mesh.num_cells,)
+                self.c3_x = ops.expand_coeff_extruded(
+                    mesh, np.broadcast_to(-1.0 / rho, nc_), dtype)
+                self.c4_x = ops.expand_coeff_extruded(
+                    mesh, np.broadcast_to(-delta / (rho * c * c), nc_),
+                    dtype)
+        elif self.impl == "indexed":
             self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self.c4_cells = jnp.asarray(
                 (-delta / (rho * c * c)).reshape(-1), dtype)
@@ -84,8 +103,8 @@ class WesterveltModel(WaveModelBase):
             self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
             self.c4_scalar = dtype(-float(delta.flat[0])
                                    / float((rho * c * c).flat[0]))
-            self._stiff_op = (disc.pallas_op() if self.impl == "pallas"
-                              else disc.mm_op)
+            self._stiff_op = (disc.pallas_op(corner=self._corner)
+                              if self.impl == "pallas" else disc.mm_op)
         else:
             n = mesh.degree + 1
             self.c3_e = jnp.asarray(mm.expand_cell_field(-1.0 / rho, n),
@@ -95,8 +114,9 @@ class WesterveltModel(WaveModelBase):
             if self.impl == "pallas":
                 # two operators with the coefficients folded in
                 self._stiff_op = (
-                    disc.pallas_op(coeff=-1.0 / rho),
-                    disc.pallas_op(coeff=-delta / (rho * c * c)))
+                    disc.pallas_op(coeff=-1.0 / rho, corner=self._corner),
+                    disc.pallas_op(coeff=-delta / (rho * c * c),
+                                   corner=self._corner))
             else:
                 self._stiff_op = disc.mm_op
 
@@ -163,6 +183,8 @@ class WesterveltModel(WaveModelBase):
             p["c3_e"], p["c4_e"] = self.c3_e, self.c4_e
         if self.c3_cells is not None:
             p["c3_c"], p["c4_c"] = self.c3_cells, self.c4_cells
+        if self.c3_x is not None:
+            p["c3_x"], p["c4_x"] = self.c3_x, self.c4_x
         if self.s1_sin is not None:
             p["s1_sin"], p["s2_sin"] = self.s1_sin, self.s2_sin
         if self.fvec_abs is not None:
@@ -187,6 +209,18 @@ class WesterveltModel(WaveModelBase):
         return b / m
 
     def _apply_stiffness(self, params, u_flat, v_flat):
+        if self.impl == "extruded":
+            from fustpu.ops import operators as ops
+
+            nd = self.mesh.ndofs
+            if self.uniform:
+                # both stiffness terms in ONE apply (linearity)
+                x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
+                return ops.stiffness_apply_extruded(x, params["stiff"], nd)
+            return (ops.stiffness_apply_extruded(
+                        u_flat, params["stiff"], nd, params["c3_x"])
+                    + ops.stiffness_apply_extruded(
+                        v_flat, params["stiff"], nd, params["c4_x"]))
         if self.impl == "indexed":
             from fustpu.ops import operators as ops
 

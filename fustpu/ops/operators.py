@@ -104,6 +104,89 @@ def mass_apply_indexed(x_flat: jax.Array, detJ: jax.Array, coeff: jax.Array,
     return scatter_add_dofs(vals, dofmap, ndofs)
 
 
+# ---------------------------------------------------------------------------
+# Extruded path: prismatic-topology meshes (fustpu.mesh.extruded).  The
+# dofmap factorizes as dof = row2d*gz + zidx, so the gather/scatter are
+# vectorized ROW operations with the structured z axis on the lanes — this
+# is what makes imported (piston-class) meshes run at production speed on
+# TPU; the per-element indexed path below stays as the general fallback.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class ExtrudedStiffness(NamedTuple):
+    """Device arrays for the factorized stiffness apply."""
+
+    rows: jax.Array    # (ns * n^2,) int32 flattened 2D row gather indices
+    G6: jax.Array      # (6, ns, n, n, ez) metric, z-expanded per stack
+    Wz: jax.Array      # (ez, gz) 0/1 z window
+    Dz: jax.Array      # (ez, ez) block-diagonal 1D derivative along z
+    D: jax.Array       # (n, n) 1D derivative for the footprint axes
+
+
+def build_extruded_stiffness(mesh, G_cells, D_1d, dtype) -> ExtrudedStiffness:
+    """mesh: ExtrudedHexMesh; G_cells: (cells, n^3, 6) float64 host."""
+    import numpy as np
+
+    from fustpu.ops import spectral_mm as mm
+
+    n = mesh.degree + 1
+    ns, nz = mesh.nstacks, mesh.nz
+    Gs = np.asarray(G_cells)[mesh.stack_cells]        # (ns, nz, n^3, 6)
+    Gs = Gs.reshape(ns, nz, n, n, n, 6)
+    G6 = np.ascontiguousarray(Gs.transpose(5, 0, 2, 3, 1, 4)
+                              ).reshape(6, ns, n, n, nz * n)
+    return ExtrudedStiffness(
+        rows=jnp.asarray(mesh.rows2d.reshape(-1)),
+        G6=jnp.asarray(G6, dtype),
+        Wz=jnp.asarray(mm.window_matrix(nz, mesh.degree), dtype),
+        Dz=jnp.asarray(mm.deriv_block_matrix(nz, D_1d), dtype),
+        D=jnp.asarray(D_1d, dtype),
+    )
+
+
+def expand_coeff_extruded(mesh, coeff, dtype) -> jax.Array:
+    """(cells,) per-cell coefficient -> (ns, 1, 1, ez) broadcastable over
+    the extruded quadrature layout."""
+    import numpy as np
+
+    n = mesh.degree + 1
+    c = np.asarray(coeff, np.float64).reshape(-1)[mesh.stack_cells]
+    return jnp.asarray(np.repeat(c, n, axis=1)[:, None, None, :], dtype)
+
+
+def stiffness_apply_extruded(x_flat: jax.Array, op: ExtrudedStiffness,
+                             ndofs: int,
+                             coeff_e: jax.Array | None = None) -> jax.Array:
+    """y_flat = A_stiff(x_flat) on a factorized (n2d, gz) DOF layout.
+    `coeff_e`: optional (ns, 1, 1, ez) per-cell coefficient
+    (expand_coeff_extruded)."""
+    gz = op.Wz.shape[1]
+    _, ns, n, _, ez = op.G6.shape
+    x2 = x_flat.reshape(-1, gz)
+    g = x2[op.rows]                                   # (ns*n^2, gz) rows
+    u = jnp.einsum("qz,ez->qe", g, op.Wz,
+                   precision=_PRECISION).reshape(ns, n, n, ez)
+    wx = jnp.einsum("ai,qije->qaje", op.D, u, precision=_PRECISION)
+    wy = jnp.einsum("bj,qije->qibe", op.D, u, precision=_PRECISION)
+    wz = jnp.einsum("fe,qije->qijf", op.Dz, u, precision=_PRECISION)
+    G = op.G6
+    f0 = G[0] * wx + G[1] * wy + G[2] * wz
+    f1 = G[1] * wx + G[3] * wy + G[4] * wz
+    f2 = G[2] * wx + G[4] * wy + G[5] * wz
+    if coeff_e is not None:
+        f0, f1, f2 = f0 * coeff_e, f1 * coeff_e, f2 * coeff_e
+    r = jnp.einsum("ai,qaje->qije", op.D, f0, precision=_PRECISION)
+    r = r + jnp.einsum("bj,qibe->qije", op.D, f1, precision=_PRECISION)
+    r = r + jnp.einsum("fe,qijf->qije", op.Dz, f2, precision=_PRECISION)
+    vals = jnp.einsum("qije,ez->qijz", r, op.Wz,
+                      precision=_PRECISION).reshape(ns * n * n, gz)
+    y2 = jnp.zeros((ndofs // gz, gz), x_flat.dtype)
+    y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
+    return y2.reshape(-1)
+
+
 def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             coeff: jax.Array, dofmap: jax.Array,
                             D: jax.Array, ndofs: int) -> jax.Array:

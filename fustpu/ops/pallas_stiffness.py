@@ -101,11 +101,13 @@ def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
 def _mk_matmul(precision, f32):
     """2D dot with contraction dims; bf16x3 drops only the lo*lo term and
     skips the lo term entirely for operands flagged exact-in-bf16 (the 0/1
-    window matrices)."""
+    window matrices).  Operands may be passed pre-split as (hi, lo) bf16
+    pairs (lo=None for exact operands) — build-time splitting of the
+    static derivative/window matrices removes per-plane split VPU work."""
 
     def split(a):
-        hi = a.astype(jnp.bfloat16).astype(f32)
-        return hi, a - hi
+        hi = a.astype(jnp.bfloat16)
+        return hi, (a - hi.astype(f32)).astype(jnp.bfloat16)
 
     def matmul(a, b, dims, a_exact=False, b_exact=False):
         dn = (dims, ((), ()))
@@ -113,14 +115,21 @@ def _mk_matmul(precision, f32):
             d = lambda p, q: jax.lax.dot_general(
                 p, q, dn, preferred_element_type=f32,
                 precision=jax.lax.Precision.DEFAULT)
-            ah, al = (a, None) if a_exact else split(a)
-            bh, bl = (b, None) if b_exact else split(b)
+            exact = lambda m: (m.astype(jnp.bfloat16), None)
+            ah, al = (a if isinstance(a, tuple)
+                      else (exact(a) if a_exact else split(a)))
+            bh, bl = (b if isinstance(b, tuple)
+                      else (exact(b) if b_exact else split(b)))
             out = d(ah, bh)
             if bl is not None:
                 out = out + d(ah, bl)
             if al is not None:
                 out = out + d(al, bh)
             return out
+        if isinstance(a, tuple):
+            a = a[0] if a[1] is None else a[0] + a[1]
+        if isinstance(b, tuple):
+            b = b[0] if b[1] is None else b[0] + b[1]
         return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
                                    precision=precision)
 
@@ -128,12 +137,29 @@ def _mk_matmul(precision, f32):
 
 
 def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
-    """Kernel specialised for degree (n = P+1) with D as static scalars."""
+    """Kernel specialised for degree (n = P+1) with D as static scalars.
+
+    In bf16x3 mode the window/derivative matrices arrive PRE-SPLIT as bf16
+    (hi, lo) pairs (windows exact, lo=None) — splitting them per plane in
+    the kernel was measurable VPU work on every apply."""
+    presplit = precision == "bf16x3"
+    # python floats are weak-typed (np.float64 scalars would promote the
+    # whole accumulation chain to f64 under x64)
+    D = tuple(tuple(float(v) for v in row) for row in D)
 
     def kernel(*refs):
         x_refs = refs[:n]                      # n x-node planes (1, gy, gz)
-        G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc, xc_sc \
-            = refs[n:]
+        if presplit:
+            (G_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref, DezH_ref,
+             DezL_ref, o_ref, u_sc, r_sc, xc_sc) = refs[n:]
+            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
+                            (DeyH_ref[...], DeyL_ref[...]),
+                            (DezH_ref[...], DezL_ref[...]))
+        else:
+            (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
+             xc_sc) = refs[n:]
+            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                            Dez_ref[...])
         i = pl.program_id(0)
         s = pl.program_id(1)
         f32 = o_ref.dtype
@@ -143,7 +169,7 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
         @pl.when(jnp.logical_and(i < ncx, s == 0))
         def _expand():
             # u_p = Wy @ x_p @ Wz^T for every plane of the slab
-            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            Wy, WzT, _, _ = mats()
             for p in range(n):
                 t = matmul(Wy, x_refs[p][0], C10, a_exact=True)
                 u_sc[p] = matmul(t, WzT, C10, b_exact=True)
@@ -154,7 +180,7 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
         for q in range(n):
             @pl.when(jnp.logical_and(i < ncx, s == q))
             def _plane(q=q):
-                Dey, Dez = Dey_ref[...], Dez_ref[...]
+                _, _, Dey, Dez = mats()
                 u_q = u_sc[q]
                 wx = None
                 for r in range(n):
@@ -174,7 +200,7 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
         @pl.when(jnp.logical_and(i < ncx, s == n - 1))
         def _fold():
             # z-fold, y-fold, x overlap-add via the carry plane
-            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            Wy, WzT, _, _ = mats()
             for p in range(n):
                 z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
                 F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
@@ -197,13 +223,300 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
     return kernel
 
 
+def _split_mats(op, precision):
+    """Matrix inputs for the kernel: bf16 (hi, lo) pre-splits in bf16x3
+    mode (windows are exact in bf16 — hi only), the originals otherwise."""
+    if precision != "bf16x3":
+        return [op.Wy, op.WzT, op.Dey, op.Dez]
+    bf = jnp.bfloat16
+    hi = lambda a: a.astype(bf)
+    lo = lambda a: (a - a.astype(bf).astype(a.dtype)).astype(bf)
+    return [hi(op.Wy), hi(op.WzT), hi(op.Dey), lo(op.Dey),
+            hi(op.Dez), lo(op.Dez)]
+
+
+# ---------------------------------------------------------------------------
+# Corner-streamed kernel: recompute G in VMEM from per-cell trilinear
+# Jacobian coefficients (36 floats/cell + 1 material coefficient) instead of
+# streaming 6 floats per quadrature point.  At P=4 the G stream is 85% of
+# the apply's HBM traffic (750 floats/cell); the trilinear geometry map
+# makes it redundant: J(xi) is linear per variable, so adj(J), det(J) and
+# hence G = (w/|det|) adj adj^T are closed-form in 36 per-cell numbers.
+# The reference streams precomputed G every launch
+# (/root/reference/cuda/operators.py:154-168); a bandwidth-starved,
+# VPU-rich machine wants the opposite trade.
+# ---------------------------------------------------------------------------
+
+def jacobian_coefficients(corners: np.ndarray,
+                          coeff: np.ndarray | None = None) -> np.ndarray:
+    """(cells, 8, 3) trilinear corner coordinates -> (cells, 37) float64:
+    channels [4p+m] = J[p][0] in monomials {1, y, z, yz}, [12+4p+m] =
+    J[p][1] in {1, x, z, xz}, [24+4p+m] = J[p][2] in {1, x, y, xy},
+    [36] = per-cell material coefficient (default 1).  Corner id 4a+2b+c
+    at reference position (a, b, c) (fustpu.elements.hex)."""
+    cells = corners.shape[0]
+    Cg = np.asarray(corners, np.float64).reshape(cells, 2, 2, 2, 3)
+
+    def bil(av):
+        # (cells, p, 2, 2) nodal values -> (cells, p, 4) monomial coeffs
+        a00, a01 = av[..., 0, 0], av[..., 0, 1]
+        a10, a11 = av[..., 1, 0], av[..., 1, 1]
+        return np.stack([a00, a10 - a00, a01 - a00,
+                         a11 - a10 - a01 + a00], -1)
+
+    T = np.empty((cells, 37))
+    T[:, 0:12] = bil((Cg[:, 1] - Cg[:, 0]).transpose(0, 3, 1, 2)
+                     ).reshape(cells, 12)
+    T[:, 12:24] = bil((Cg[:, :, 1] - Cg[:, :, 0]).transpose(0, 3, 1, 2)
+                      ).reshape(cells, 12)
+    T[:, 24:36] = bil((Cg[:, :, :, 1] - Cg[:, :, :, 0]).transpose(0, 3, 1, 2)
+                      ).reshape(cells, 12)
+    T[:, 36] = 1.0 if coeff is None else np.asarray(coeff,
+                                                    np.float64).reshape(-1)
+    return T
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasStiffnessCorner:
+    """Corner-streamed fused operator.  JC is the (ncx, 37, ncy, ncz)
+    coefficient stream (one DMA per x-slab — ~20x less geometry traffic
+    than the G stream at P=4); the small expansion/derivative matrices and
+    the per-axis GLL node/weight columns live in VMEM for the whole
+    apply."""
+
+    def __init__(self, JC, Wy, WzT, Dey, Dez, UzT, ycol, zrow, wycol, wzrow,
+                 statics: tuple):
+        self.JC = JC          # (ncx, 37, ncy, ncz)
+        self.Wy = Wy          # (ey, gy) 0/1 window
+        self.WzT = WzT        # (gz, ez)
+        self.Dey = Dey        # (ey, ey)
+        self.Dez = Dez        # (ez, ez)
+        self.UzT = UzT        # (ncz, ez) 0/1 cell->node expansion
+        self.ycol = ycol      # (ey, 1) local xi_y per node row
+        self.zrow = zrow      # (1, ez) local xi_z per node column
+        self.wycol = wycol    # (ey, 1) 1D GLL weight per node row
+        self.wzrow = wzrow    # (1, ez)
+        self.statics = statics  # (D, XQ, WQ) tuples of floats (hashable)
+
+    def tree_flatten(self):
+        return ((self.JC, self.Wy, self.WzT, self.Dey, self.Dez, self.UzT,
+                 self.ycol, self.zrow, self.wycol, self.wzrow), self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+def build_corner(nc, P: int, D_1d: np.ndarray, corners: np.ndarray, dtype,
+                 coeff: np.ndarray | None = None) -> PallasStiffnessCorner:
+    """corners: (cells, n^3-agnostic) trilinear (cells, 8, 3) coordinates
+    (mesh.cell_corners_flat); coeff: optional per-cell coefficient."""
+    from fustpu.elements import gll
+
+    n = P + 1
+    ncx, ncy, ncz = nc
+    T = jacobian_coefficients(corners, coeff)
+    JC = np.ascontiguousarray(
+        T.reshape(ncx, ncy, ncz, 37).transpose(0, 3, 1, 2))
+    UzT = np.zeros((ncz, ncz * n))
+    UzT[np.repeat(np.arange(ncz), n), np.arange(ncz * n)] = 1.0
+    nodes = gll.gll_nodes_unit(n)
+    wts = gll.gll_points_weights_unit(n)[1]
+    return PallasStiffnessCorner(
+        JC=jnp.asarray(JC, dtype),
+        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
+        WzT=jnp.asarray(mm.window_matrix(ncz, P).T, dtype),
+        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
+        Dez=jnp.asarray(mm.deriv_block_matrix(ncz, D_1d), dtype),
+        UzT=jnp.asarray(UzT, dtype),
+        ycol=jnp.asarray(np.tile(nodes, ncy)[:, None], dtype),
+        zrow=jnp.asarray(np.tile(nodes, ncz)[None, :], dtype),
+        wycol=jnp.asarray(np.tile(wts, ncy)[:, None], dtype),
+        wzrow=jnp.asarray(np.tile(wts, ncz)[None, :], dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))),
+                 tuple(np.asarray(nodes, np.float64)),
+                 tuple(np.asarray(wts, np.float64))),
+    )
+
+
+def _mk_kernel_corner(n: int, P: int, ncx: int, statics: tuple, precision):
+    """Corner-streamed kernel: same (ncx+1, n) sequential grid and x-carry
+    structure as _mk_kernel, but the s==0 step additionally expands the 37
+    coefficient channels into 16 per-slab geometry planes (3 J.0 planes +
+    2x3 J.1 pairs + 2x3 J.2 pairs + the scaled-coefficient plane), and
+    each plane step evaluates adj(J)/det(J) pointwise on the VPU."""
+    D, XQ, WQ = statics
+    D = tuple(tuple(float(v) for v in row) for row in D)
+    XQ = tuple(float(v) for v in XQ)
+    WQ = tuple(float(v) for v in WQ)
+
+    def kernel(*refs):
+        x_refs = refs[:n]
+        (jc_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, UzT_ref, ycol_ref,
+         zrow_ref, wycol_ref, wzrow_ref, o_ref, u_sc, r_sc, xc_sc,
+         jp_sc) = refs[n:]
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
+
+        @pl.when(jnp.logical_and(i < ncx, s == 0))
+        def _expand():
+            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            for p in range(n):
+                t = matmul(Wy, x_refs[p][0], C10, a_exact=True)
+                u_sc[p] = matmul(t, WzT, C10, b_exact=True)
+            r_sc[...] = jnp.zeros(r_sc.shape, r_sc.dtype)
+            # geometry setup: cell-resolution channels -> node planes
+            # (z-expand via exact 0/1 matmul; y-expand via sublane repeat)
+            UzT_ = UzT_ref[...]
+            ycol, zrow = ycol_ref[...], zrow_ref[...]
+
+            def ex(m):
+                cell = matmul(jc_ref[0, m], UzT_, C10, b_exact=True)
+                return jnp.repeat(cell, n, axis=0)
+
+            for p in range(3):
+                A, B, C_, E = (ex(4 * p + m) for m in range(4))
+                jp_sc[p] = (A + C_ * zrow) + ycol * (B + E * zrow)
+            for p in range(3):
+                jp_sc[3 + 2 * p] = ex(12 + 4 * p) + ex(14 + 4 * p) * zrow
+                jp_sc[4 + 2 * p] = ex(13 + 4 * p) + ex(15 + 4 * p) * zrow
+            for p in range(3):
+                jp_sc[9 + 2 * p] = ex(24 + 4 * p) + ex(26 + 4 * p) * ycol
+                jp_sc[10 + 2 * p] = ex(25 + 4 * p) + ex(27 + 4 * p) * ycol
+            jp_sc[15] = ex(36) * wycol_ref[...] * wzrow_ref[...]
+
+        for q in range(n):
+            @pl.when(jnp.logical_and(i < ncx, s == q))
+            def _plane(q=q):
+                Dey, Dez = Dey_ref[...], Dez_ref[...]
+                u_q = u_sc[q]
+                wx = None
+                for r in range(n):
+                    term = D[q][r] * u_sc[r]
+                    wx = term if wx is None else wx + term
+                wy = matmul(Dey, u_q, C10)
+                wz = matmul(u_q, Dez, ((1,), (1,)))
+                xq = XQ[q]
+                # J[p][r] planes at this x-node (columns r=1,2 are linear
+                # in xi_x; column r=0 is xi_x-independent)
+                J00, J10, J20 = jp_sc[0], jp_sc[1], jp_sc[2]
+                J01 = jp_sc[3] + xq * jp_sc[4]
+                J11 = jp_sc[5] + xq * jp_sc[6]
+                J21 = jp_sc[7] + xq * jp_sc[8]
+                J02 = jp_sc[9] + xq * jp_sc[10]
+                J12 = jp_sc[11] + xq * jp_sc[12]
+                J22 = jp_sc[13] + xq * jp_sc[14]
+                # adjugate: J^{-1}[r][p] = a_rp / det
+                a00 = J11 * J22 - J12 * J21
+                a01 = J02 * J21 - J01 * J22
+                a02 = J01 * J12 - J02 * J11
+                a10 = J12 * J20 - J10 * J22
+                a11 = J00 * J22 - J02 * J20
+                a12 = J02 * J10 - J00 * J12
+                a20 = J10 * J21 - J11 * J20
+                a21 = J01 * J20 - J00 * J21
+                a22 = J00 * J11 - J01 * J10
+                det = J00 * a00 + J01 * a10 + J02 * a20
+                scale = (WQ[q] * jp_sc[15]) / jnp.abs(det)
+                # f_r = sum_s G[r,s] w_s with G = scale * a a^T, factored
+                # as t_p = sum_s a_sp w_s; f_r = scale * sum_p a_rp t_p
+                t0 = a00 * wx + a10 * wy + a20 * wz
+                t1 = a01 * wx + a11 * wy + a21 * wz
+                t2 = a02 * wx + a12 * wy + a22 * wz
+                f0 = scale * (a00 * t0 + a01 * t1 + a02 * t2)
+                f1 = scale * (a10 * t0 + a11 * t1 + a12 * t2)
+                f2 = scale * (a20 * t0 + a21 * t1 + a22 * t2)
+                ryz = matmul(Dey, f1, ((0,), (0,))) + matmul(f2, Dez, C10)
+                for p in range(n):
+                    add = D[q][p] * f0 + (ryz if p == q else 0.0)
+                    r_sc[p] += add
+
+        @pl.when(jnp.logical_and(i < ncx, s == n - 1))
+        def _fold():
+            Wy, WzT = Wy_ref[...], WzT_ref[...]
+            for p in range(n):
+                z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
+                F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
+                if p == 0:
+                    o_ref[0] = F + jnp.where(i > 0, xc_sc[...],
+                                             jnp.zeros(F.shape, f32))
+                elif p < P:
+                    o_ref[p] = F
+                else:
+                    xc_sc[...] = F
+
+        @pl.when(jnp.logical_and(i == ncx, s == n - 1))
+        def _flush():
+            o_ref[0] = xc_sc[...]
+            for p in range(1, P):
+                o_ref[p] = jnp.zeros_like(xc_sc)
+
+    return kernel
+
+
+def _apply_corner(op: PallasStiffnessCorner, x: jax.Array,
+                  interpret: bool = False, precision="auto") -> jax.Array:
+    if precision == "auto":
+        precision = _HI if x.dtype == jnp.float64 else "bf16x3"
+    ncx = op.JC.shape[0]
+    ey = op.Dey.shape[0]
+    ez = op.Dez.shape[0]
+    gx, gy, gz = x.shape
+    ncy, ncz = op.JC.shape[2], op.JC.shape[3]
+    n = ey // ncy
+    P = n - 1
+    if not pallas_fits(n, ncy, ncz, gz, corner=True):
+        raise ValueError(
+            "no VMEM-feasible tiling for this mesh; use the mm path")
+
+    def x_spec(p):
+        return pl.BlockSpec(
+            (1, gy, gz),
+            lambda i, s, p=p: (jnp.minimum(i * P + p, gx - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = _mk_kernel_corner(n, P, ncx, op.statics, precision)
+    dtype = x.dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncx + 1, n),
+        in_specs=[x_spec(p) for p in range(n)] + [
+            pl.BlockSpec((1, 37, ncy, ncz),
+                         lambda i, s: (jnp.minimum(i, ncx - 1), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(),      # Wy WzT Dey Dez
+            full(), full(), full(), full(), full(),  # UzT ycol zrow wy wz
+        ],
+        out_specs=pl.BlockSpec((P, gy, gz), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((ncx + 1) * P, gy, gz), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, ey, ez), dtype),    # u planes
+            pltpu.VMEM((n, ey, ez), dtype),    # reverse accumulators
+            pltpu.VMEM((gy, gz), dtype),       # x overlap carry
+            pltpu.VMEM((16, ey, ez), dtype),   # per-slab geometry planes
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*([x] * n), op.JC, op.Wy, op.WzT, op.Dey, op.Dez, op.UzT,
+      op.ycol, op.zrow, op.wycol, op.wzrow)
+    return out[:gx]
+
+
 def _pad(d: int, m: int) -> int:
     return -(-d // m) * m
 
 
-def _vmem_bytes(n, ncy, ncz, gy, gz, itemsize=4) -> int:
+def _vmem_bytes(n, ncy, ncz, gy, gz, itemsize=4, corner=False) -> int:
     """Estimated VMEM footprint of the fused kernel (scratch + double-
-    buffered blocks + live temporaries)."""
+    buffered blocks + live temporaries).  The corner-streamed kernel swaps
+    the double-buffered 6-plane G block for 16 per-slab geometry planes, a
+    small coefficient block, and more live adj/J temporaries."""
     ey, ez = ncy * n, ncz * n
     ezp, gzp = _pad(ez, 128), _pad(gz, 128)
     eyp, gyp = _pad(ey, 8), _pad(gy, 8)
@@ -211,19 +524,24 @@ def _vmem_bytes(n, ncy, ncz, gy, gz, itemsize=4) -> int:
     plane_io = gyp * gzp * itemsize
     u = n * slab
     racc = n * slab
-    g_blk = 2 * 6 * slab                       # double-buffered
+    if corner:
+        g_blk = 16 * slab                      # per-slab geometry planes
+        g_blk += 2 * 37 * _pad(ncy, 8) * _pad(ncz, 128) * itemsize
+        temps = 14 * slab                      # J/adj/t/f live set
+    else:
+        g_blk = 2 * 6 * slab                   # double-buffered G stream
+        temps = 8 * slab                       # wx/wy/wz/f*/splits
     x_in = 2 * n * plane_io                    # n unit planes, double-buffered
     out = 2 * (n - 1) * plane_io
     xc = plane_io
     mats = 2 * (eyp * gyp + gzp * ezp + eyp * eyp + ezp * ezp) * itemsize
-    temps = 8 * slab                           # wx/wy/wz/f*/splits
     return u + racc + g_blk + x_in + out + xc + mats + temps
 
 
-def pallas_fits(n, ncy, ncz, gz) -> bool:
+def pallas_fits(n, ncy, ncz, gz, corner=False) -> bool:
     P = n - 1
     gy = ncy * P + 1
-    return _vmem_bytes(n, ncy, ncz, gy, gz) < 14 * 2**20
+    return _vmem_bytes(n, ncy, ncz, gy, gz, corner=corner) < 14 * 2**20
 
 
 def _slab_sizes(ncy: int, k: int) -> list:
@@ -231,7 +549,8 @@ def _slab_sizes(ncy: int, k: int) -> list:
     return [ncy // k + (1 if j < ncy % k else 0) for j in range(k)]
 
 
-def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16) -> list | None:
+def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16,
+                 corner=False) -> list | None:
     """Partition ncy into the fewest near-equal y-slabs whose single-slab
     working sets fit VMEM (None if even ncy_j = 1 does not fit, e.g. an
     oversized z extent).  Lets the fused kernel cover meshes whose full
@@ -239,7 +558,7 @@ def pick_y_parts(n, ncy, ncz, gz, max_parts: int = 16) -> list | None:
     run per y-slab and the single shared plane overlap-added in XLA."""
     for k in range(1, min(max_parts, ncy) + 1):
         sizes = _slab_sizes(ncy, k)
-        if pallas_fits(n, max(sizes), ncz, gz):
+        if pallas_fits(n, max(sizes), ncz, gz, corner=corner):
             return sizes
     return None
 
@@ -264,33 +583,64 @@ class PallasStiffnessSplit:
 
 
 def build_auto(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
-               coeff: np.ndarray | None = None, force_parts: int = 0):
-    """build(), or a PallasStiffnessSplit when the full y-z extent does
-    not fit VMEM (force_parts > 1 forces a split, for tests)."""
+               coeff: np.ndarray | None = None, force_parts: int = 0,
+               corners: np.ndarray | None = None):
+    """build()/build_corner(), or a PallasStiffnessSplit when the full y-z
+    extent does not fit VMEM (force_parts > 1 forces a split, for tests).
+    Passing `corners` ((cells, 8, 3) trilinear coordinates) selects the
+    corner-streamed kernel — the production default: G is recomputed in
+    VMEM from 37 floats/cell instead of streamed at 6 floats/point."""
     n = P + 1
     ncx, ncy, ncz = nc
     gz = ncz * P + 1
+    corner = corners is not None
     if force_parts > 1:
         sizes = _slab_sizes(ncy, min(force_parts, ncy))
     else:
-        sizes = pick_y_parts(n, ncy, ncz, gz)
+        sizes = pick_y_parts(n, ncy, ncz, gz, corner=corner)
         if sizes is None:
             raise ValueError("no VMEM-feasible y partition for this mesh")
+
+    def build_one(nc_j, G_j, coeff_j, corners_j):
+        if corner:
+            return build_corner(nc_j, P, D_1d, corners_j, dtype, coeff_j)
+        return build(nc_j, P, D_1d, G_j, dtype, coeff_j)
+
     if len(sizes) == 1:
         # a single-part "split" is just the plain operator (the split
         # apply's concat logic assumes >= 2 slabs)
-        return build(nc, P, D_1d, G_cells, dtype, coeff)
-    Gc = G_cells.reshape(ncx, ncy, ncz, *G_cells.shape[1:])
+        return build_one(nc, G_cells, coeff, corners)
     cf = (None if coeff is None
           else np.asarray(coeff).reshape(ncx, ncy, ncz))
+    Gc = (None if corner
+          else G_cells.reshape(ncx, ncy, ncz, *G_cells.shape[1:]))
+    Cc = (None if not corner
+          else corners.reshape(ncx, ncy, ncz, 8, 3))
     parts, off = [], 0
     for s in sizes:
-        Gj = np.ascontiguousarray(
-            Gc[:, off:off + s]).reshape(ncx * s * ncz, *G_cells.shape[1:])
         cj = None if cf is None else cf[:, off:off + s]
-        parts.append(build((ncx, s, ncz), P, D_1d, Gj, dtype, cj))
+        if corner:
+            Cj = np.ascontiguousarray(Cc[:, off:off + s]).reshape(-1, 8, 3)
+            parts.append(build_one((ncx, s, ncz), None, cj, Cj))
+        else:
+            Gj = np.ascontiguousarray(
+                Gc[:, off:off + s]).reshape(ncx * s * ncz,
+                                            *G_cells.shape[1:])
+            parts.append(build_one((ncx, s, ncz), Gj, cj, None))
         off += s
     return PallasStiffnessSplit(tuple(parts), tuple(sizes))
+
+
+def _part_degree(part) -> int:
+    if isinstance(part, PallasStiffnessCorner):
+        return part.Dey.shape[0] // part.JC.shape[2] - 1
+    return part.G.shape[1] - 1
+
+
+def _apply_one(part, x, interpret, precision):
+    if isinstance(part, PallasStiffnessCorner):
+        return _apply_corner(part, x, interpret, precision)
+    return _apply_single(part, x, interpret, precision)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision"))
@@ -300,11 +650,11 @@ def stiffness_apply_pallas(op, x: jax.Array,
     """Dispatch: single fused-kernel apply, or per-y-slab applies with a
     shared-plane overlap-add for PallasStiffnessSplit operators."""
     if isinstance(op, PallasStiffnessSplit):
-        P = op.parts[0].G.shape[1] - 1
+        P = _part_degree(op.parts[0])
         ys, off = [], 0
         for part, s in zip(op.parts, op.y_sizes):
-            ys.append(_apply_single(part, x[:, off * P:(off + s) * P + 1],
-                                    interpret, precision))
+            ys.append(_apply_one(part, x[:, off * P:(off + s) * P + 1],
+                                 interpret, precision))
             off += s
         # one concatenate: interior of each slab + summed shared planes
         pieces = [ys[0][:, :-1]]
@@ -313,7 +663,7 @@ def stiffness_apply_pallas(op, x: jax.Array,
             pieces.append(b[:, 1:-1])
         pieces[-1] = ys[-1][:, 1:]
         return jnp.concatenate(pieces, axis=1)
-    return _apply_single(op, x, interpret, precision)
+    return _apply_one(op, x, interpret, precision)
 
 
 def _apply_single(op: PallasStiffness, x: jax.Array,
@@ -351,16 +701,13 @@ def _apply_single(op: PallasStiffness, x: jax.Array,
     kernel = _mk_kernel(n, P, ncx, op.D_host, precision)
     vmem = pltpu.VMEM
     dtype = x.dtype
+    mats = _split_mats(op, precision)
     out = pl.pallas_call(
         kernel,
         grid=(ncx + 1, n),
         in_specs=[x_spec(p) for p in range(n)] + [
             pl.BlockSpec((1, 1, 6, ey, ez), g_index, memory_space=vmem),
-            pl.BlockSpec(memory_space=vmem),   # Wy
-            pl.BlockSpec(memory_space=vmem),   # WzT
-            pl.BlockSpec(memory_space=vmem),   # Dey
-            pl.BlockSpec(memory_space=vmem),   # Dez
-        ],
+        ] + [pl.BlockSpec(memory_space=vmem) for _ in mats],
         out_specs=pl.BlockSpec((P, gy, gz), lambda i, s: (i, 0, 0),
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct(((ncx + 1) * P, gy, gz), dtype),
@@ -372,5 +719,5 @@ def _apply_single(op: PallasStiffness, x: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*([x] * n), op.G, op.Wy, op.WzT, op.Dey, op.Dez)
+    )(*([x] * n), op.G, *mats)
     return out[:gx]

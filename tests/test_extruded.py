@@ -1,0 +1,128 @@
+"""Extruded (prismatic-topology) fast path: detection, canonicalization,
+operator and model equality against the generic indexed path.
+
+The factorized path must be bit-compatible physics: same mesh, same
+operators to roundoff, facet tags preserved — only the DOF numbering and
+the gather/scatter mechanism differ (fustpu/mesh/extruded.py,
+fustpu/ops/operators.py:stiffness_apply_extruded).  Plays the role the
+reference's layout experiment assigns to DOF ordering
+(/root/reference/cuda/exp_kernel_speed.py): layout is a first-order
+performance knob that must not change the math.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fustpu.config import Material, Source
+from fustpu.mesh import msh_io
+from fustpu.mesh.box import build_box_mesh
+from fustpu.mesh.extruded import ExtrudedHexMesh, as_extruded
+from fustpu.mesh.shapes import cylinder_mesh
+from fustpu.mesh.unstructured import from_box
+from fustpu.models.discretization import Discretization
+from fustpu.models.linear import LinearWaveModel
+from fustpu.models.westervelt import WesterveltModel
+from fustpu.ops import operators as ops
+
+
+def _cyl(P=3, nz=4):
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1, nz=nz)
+    p = msh_io.write_msh("/tmp/_ext_cyl.msh", v, c, t)
+    return (msh_io.read_msh(p, P),
+            msh_io.read_msh(p, P, detect_extrusion=False))
+
+
+def test_detection_and_structure():
+    mex, mun = _cyl()
+    assert isinstance(mex, ExtrudedHexMesh)
+    assert not isinstance(mun, ExtrudedHexMesh)
+    assert mex.ndofs == mun.ndofs
+    assert mex.n2d * mex.gz == mex.ndofs
+    assert mex.nstacks * mex.nz == mex.num_cells
+    # facet tags preserved through canonicalization (same physical sets)
+    for tag in (1, 2):
+        ce = np.sort(mex.facet_centroids(mex.boundary_facets(tag)), axis=0)
+        cu = np.sort(mun.facet_centroids(mun.boundary_facets(tag)), axis=0)
+        assert np.allclose(ce, cu)
+    # canonical cells are ascending-z prisms: c-bit pairs share (x, y)
+    cc = mex.vertices[mex.cells].reshape(-1, 2, 2, 2, 3)
+    assert np.allclose(cc[:, :, :, 0, :2], cc[:, :, :, 1, :2])
+    assert np.all(cc[:, :, :, 1, 2] > cc[:, :, :, 0, 2])
+
+
+def test_detection_orientation_free():
+    """Shuffled/rotated cells of a box still detect and match."""
+    bm = build_box_mesh((3, 2, 4), 3)
+    ex = as_extruded(from_box(bm, shuffle_seed=11))
+    assert ex is not None
+    d = Discretization(ex, jnp.float64)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(ex.ndofs))
+    G, dm, D = d.indexed_op
+    y1 = ops.stiffness_apply_indexed(x, G, jnp.ones(ex.num_cells), dm, D,
+                                     ex.ndofs)
+    y2 = ops.stiffness_apply_extruded(x, d.extruded_op, ex.ndofs)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+
+
+def test_non_extruded_returns_none():
+    """A fully-3D-perturbed mesh has no vertical vertex columns."""
+    bm = build_box_mesh((3, 3, 3), 2, perturb=0.2, seed=4)
+    assert as_extruded(from_box(bm)) is None
+
+
+def test_operator_matches_indexed_with_coeff():
+    mex, _ = _cyl()
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(mex.ndofs))
+    coeff = rng.uniform(0.5, 2.0, mex.num_cells)
+    G, dm, D = d.indexed_op
+    y1 = ops.stiffness_apply_indexed(x, G, jnp.asarray(coeff), dm, D,
+                                     mex.ndofs)
+    ce = ops.expand_coeff_extruded(mex, coeff, jnp.float64)
+    y2 = ops.stiffness_apply_extruded(x, d.extruded_op, mex.ndofs,
+                                      coeff_e=ce)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("cls,hetero", [
+    (LinearWaveModel, False), (WesterveltModel, False),
+    (WesterveltModel, True)])
+def test_model_matches_indexed(cls, hetero):
+    """25 RK4 steps on the tagged cylinder: extruded == indexed to
+    roundoff (fields matched through physical node coordinates)."""
+    mex, mun = _cyl()
+    if hetero:
+        # two-material column: sound speed varies per cell (exercises the
+        # per-cell coefficient path c3_x/c4_x)
+        zc = np.array([mex.vertices[c].mean(axis=0)[2]
+                       for c in mex.cells])
+        c_cells = np.where(zc < 0.01, 1500.0, 1650.0)
+        # the indexed mesh has its own cell ordering: same rule applies
+        zcu = np.array([mun.vertices[c].mean(axis=0)[2]
+                        for c in mun.cells])
+        cu_cells = np.where(zcu < 0.01, 1500.0, 1650.0)
+        mats = [Material(sound_speed=c_cells, density=1000.0,
+                         nonlinearity=3.5, attenuation_dB=0.3),
+                Material(sound_speed=cu_cells, density=1000.0,
+                         nonlinearity=3.5, attenuation_dB=0.3)]
+    else:
+        mats = [Material(sound_speed=1500.0, density=1000.0,
+                         nonlinearity=3.5, attenuation_dB=0.3)] * 2
+    src = Source(frequency=0.5e6, amplitude=1e5)
+    outs = []
+    for mesh, mat in zip((mex, mun), mats):
+        m = cls(mesh, mat, src, mesh.boundary_facets(1),
+                mesh.boundary_facets(2), dtype=jnp.float64)
+        dt, _ = m.cfl_dt(0.4)
+        s, _ = m.solve(m.init_state(), dt, 25)
+        outs.append(np.asarray(s.u).ravel())
+    key = lambda p: np.round(p * 1e9).astype(np.int64)
+    lut = {tuple(k): i for i, k in enumerate(key(mun.node_coords))}
+    perm = np.array([lut[tuple(k)] for k in key(mex.node_coords)])
+    err = (np.linalg.norm(outs[0] - outs[1][perm])
+           / max(np.linalg.norm(outs[1]), 1e-300))
+    assert err < 1e-11, err
