@@ -47,7 +47,17 @@ def main():
     p.add_argument("--mesh", default="", help=".msh file (generated if '')")
     p.add_argument("--refine", type=int, default=1,
                    help="refinement factor for the generated mesh")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the imported mesh over k devices "
+                        "(RCB partition + shared-row exchange; on a CPU "
+                        "host virtual devices are forced)")
     args = p.parse_args()
+    if args.devices > 1 and args.platform == "cpu":
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={args.devices}")
     apply_platform(args)
     mat = Material(sound_speed=1500.0, density=1000.0)
     src = Source(frequency=0.5e6, amplitude=60000.0)
@@ -75,8 +85,16 @@ def main():
     # per-step on-axis hydrophone traces
     zs = np.linspace(0.15, 0.75, 13) * LENGTH
     pts = np.stack([np.zeros_like(zs), np.zeros_like(zs), zs], axis=1)
-    pfn = UPointSampler(mesh, pts).jax_probe()
-    probe = lambda s: pfn(s.u)       # one object: keyed solver cache
+    if args.devices > 1:
+        from fustpu.parallel.extruded import ExtrudedShardedModel
+
+        model = ExtrudedShardedModel(model, num_devices=args.devices)
+        print(f"sharded over {model.k} devices "
+              f"({model.num_shared} shared interface rows)")
+        probe = model.probe_fn(pts)
+    else:
+        pfn = UPointSampler(mesh, pts).jax_probe()
+        probe = lambda s: pfn(s.u)   # one object: keyed solver cache
 
     state = model.init_state()
     chunk = max(args.progress_every, 100)

@@ -70,7 +70,19 @@ class ShardedModel:
         self.S = S
         Pd = mesh.degree
         n = Pd + 1
-        nc = mesh.nc
+        # ghost padding: cell counts that don't divide the device grid are
+        # padded up with zero-stiffness cells (G = 0, mass diag 1, sources
+        # 0) — the pad region stays identically zero and never couples
+        # back, so ANY mesh runs on ANY device count, like the
+        # reference's `mpirun -n k` (numba-cpu/demo_linear_box.py:68-75)
+        nc = tuple(-(-c // s) * s for c, s in zip(mesh.nc, S))
+        self.nc_pad = nc
+        self.cell_pad = tuple(p - c for p, c in zip(nc, mesh.nc))
+        self.grid_pad = tuple(pc * Pd for pc in self.cell_pad)
+        if any(self.cell_pad):
+            print(f"[fustpu] ShardedModel: padding cells {mesh.nc} -> "
+                  f"{nc} for device grid {S} (zero-coefficient ghosts)",
+                  flush=True)
         self.lc = tuple(c // s for c, s in zip(nc, S))
         self.lgrid = tuple(c * Pd + 1 for c in self.lc)
         dtype = model.dtype
@@ -80,17 +92,53 @@ class ShardedModel:
         dist = {}     # leading-device-axes arrays, spec P('x','y','z')
         repl = {}     # replicated arrays, spec P()
 
-        def put_node(a):
-            # model diagonals are stored flat; restore the grid shape
+        def pad_node(a, val=0.0):
             a = np.asarray(a).reshape(mesh.grid_shape)
-            return grid.put(sh.split_node_field(a, nc, S, Pd), dtype)
+            if not any(self.grid_pad):
+                return a
+            return np.pad(a, [(0, p) for p in self.grid_pad],
+                          constant_values=val)
+
+        def pad_cell3(a):
+            """(ncx, ncy, ncz[, ...]) cell field -> zero-padded."""
+            a = np.asarray(a)
+            width = [(0, p) for p in self.cell_pad]
+            width += [(0, 0)] * (a.ndim - 3)
+            return np.pad(a, width)
+
+        def pad_cells_flat(a):
+            """(cells, ...) flat cell array -> padded, zero rows."""
+            a = np.asarray(a)
+            trail = a.shape[1:]
+            a = a.reshape(*mesh.nc, *trail)
+            return pad_cell3(a).reshape(-1, *trail)
+
+        def put_node(a, val=0.0):
+            # model diagonals are stored flat; restore the grid shape
+            return grid.put(sh.split_node_field(pad_node(a, val), nc, S,
+                                                Pd), dtype)
 
         self.impl = stiffness_impl or getattr(model, "impl", "mm")
         from fustpu.ops import pallas_stiffness as ps
 
-        if self.impl == "pallas" and not ps.pallas_fits(
-                n, self.lc[1], self.lc[2], self.lgrid[2]):
-            self.impl = "mm"
+        # per-device y-slab partition for the fused kernel: if the local
+        # block doesn't fit the single-slab VMEM budget, run the kernel
+        # per y-slab (PallasStiffnessSplit) — mm only when no partition
+        # exists at all.  Never silently: log whichever engages.
+        self._y_sizes = None
+        if self.impl == "pallas":
+            sizes = ps.pick_y_parts(n, self.lc[1], self.lc[2],
+                                    self.lgrid[2])
+            if sizes is None:
+                print("[fustpu] ShardedModel: no VMEM-feasible y "
+                      "partition for the per-device block; falling back "
+                      "to the matmul path", flush=True)
+                self.impl = "mm"
+            elif len(sizes) > 1:
+                print(f"[fustpu] ShardedModel: per-device y-z extent "
+                      f"exceeds the single-slab VMEM budget; fused "
+                      f"kernel runs y-partitioned ({sizes})", flush=True)
+                self._y_sizes = tuple(sizes)
         # interpret mode lets the pallas path run on CPU device meshes
         # (tests); real TPUs compile the kernel
         dev = jax.devices()[0]
@@ -101,29 +149,35 @@ class ShardedModel:
             return grid.replicate(a, dtype)
 
         if self.impl == "pallas":
-            # per-device fused-kernel operator(s); G split into device tiles
+            # per-device fused-kernel operator(s); G split into device
+            # tiles (and further into y-slabs when partitioned)
             self._D_host = tuple(map(tuple,
                                      np.asarray(disc._D_host, np.float64)))
-            repl["Wy"] = repl_put(mm.window_matrix(self.lc[1], Pd))
+            y_sizes = self._y_sizes or (self.lc[1],)
+            for j, sj in enumerate(y_sizes):
+                repl[f"Wy{j}"] = repl_put(mm.window_matrix(sj, Pd))
+                repl[f"Dey{j}"] = repl_put(
+                    mm.deriv_block_matrix(sj, disc._D_host))
             repl["WzT"] = repl_put(mm.window_matrix(self.lc[2], Pd).T)
-            repl["Dey"] = repl_put(
-                mm.deriv_block_matrix(self.lc[1], disc._D_host))
             repl["Dez"] = repl_put(
                 mm.deriv_block_matrix(self.lc[2], disc._D_host))
             if model.uniform:
                 coeffs = [None]
             else:
-                c_f, rho_f, _, _ = model.material.cell_fields(nc)
+                c_f, rho_f, _, _ = model.material.cell_fields(mesh.nc)
                 if self.kind == "linear":
                     coeffs = [-1.0 / rho_f]
                 else:
                     delta_f = np.broadcast_to(np.asarray(
                         model.material.diffusivity_of_sound(
-                            model.source.angular_frequency)), nc)
+                            model.source.angular_frequency)), mesh.nc)
                     coeffs = [-1.0 / rho_f,
                               -delta_f / (rho_f * c_f * c_f)]
+            G_pad = pad_cells_flat(disc._G_host)
             for k, cf in enumerate(coeffs):
-                Gp = ps.pack_G(disc._G_host, nc, n, coeff=cf)
+                cf_pad = None if cf is None else pad_cell3(
+                    np.broadcast_to(cf, mesh.nc))
+                Gp = ps.pack_G(G_pad, nc, n, coeff=cf_pad)
                 dist[f"Gp{k}"] = grid.put(_split_pallas_G(Gp, S), dtype)
         else:
             # local (per-device) matmul-form matrices — same on every device
@@ -132,22 +186,27 @@ class ShardedModel:
             repl["Dt"] = tuple(
                 repl_put(mm.deriv_block_matrix(c, disc._D_host))
                 for c in self.lc)
+            G_exp = mm.to_expanded_layout(
+                pad_cells_flat(disc._G_host), nc, n)       # (ex,ey,ez,6)
             dist["G"] = grid.put(split_expanded_field(
-                np.asarray(disc.mm_op.G, np.float64), nc, S, n), dtype)
+                np.moveaxis(G_exp, -1, 0), nc, S, n), dtype)
 
         def put_exp(a):
-            return grid.put(split_expanded_field(
-                np.asarray(a, np.float64), nc, S, n), dtype)
+            # expanded (ex, ey, ez) coefficient field -> zero-padded tiles
+            a = np.asarray(a, np.float64)
+            epad = [(0, pc * n) for pc in self.cell_pad]
+            a = np.pad(a, [(0, 0)] * (a.ndim - 3) + epad)
+            return grid.put(split_expanded_field(a, nc, S, n), dtype)
 
         if self.kind == "linear":
-            dist["m"] = put_node(model.m)
+            dist["m"] = put_node(model.m, val=1.0)   # divisor: pad 1
             dist["s_cos"] = put_node(model.s_cos)
             if model.s_sin is not None:
                 dist["s_sin"] = put_node(model.s_sin)
             if model.c2_e is not None:
                 dist["c2_e"] = put_exp(model.c2_e)
         else:
-            dist["m0"] = put_node(model.m0)
+            dist["m0"] = put_node(model.m0, val=1.0)  # divisor: pad 1
             dist["mvec2"] = put_node(model.mvec2)
             dist["s1_cos"] = put_node(model.s1_cos)
             dist["s2_cos"] = put_node(model.s2_cos)
@@ -173,12 +232,29 @@ class ShardedModel:
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 
-            op = ps.PallasStiffness(G=ctx["dist"][f"Gp{op_idx}"],
-                                    Wy=ctx["repl"]["Wy"],
-                                    WzT=ctx["repl"]["WzT"],
-                                    Dey=ctx["repl"]["Dey"],
-                                    Dez=ctx["repl"]["Dez"],
-                                    D_host=self._D_host)
+            n = self.mesh.degree + 1
+            Gfull = ctx["dist"][f"Gp{op_idx}"]
+            if self._y_sizes is None:
+                op = ps.PallasStiffness(G=Gfull,
+                                        Wy=ctx["repl"]["Wy0"],
+                                        WzT=ctx["repl"]["WzT"],
+                                        Dey=ctx["repl"]["Dey0"],
+                                        Dez=ctx["repl"]["Dez"],
+                                        D_host=self._D_host)
+            else:
+                # per-device y-slab partition: slice the (ncx, n, 6,
+                # ley, lez) tile along ley and run the fused kernel per
+                # slab (overlap-add handled by PallasStiffnessSplit)
+                parts, off = [], 0
+                for j, sj in enumerate(self._y_sizes):
+                    Gj = Gfull[:, :, :, off * n:(off + sj) * n]
+                    parts.append(ps.PallasStiffness(
+                        G=Gj, Wy=ctx["repl"][f"Wy{j}"],
+                        WzT=ctx["repl"]["WzT"],
+                        Dey=ctx["repl"][f"Dey{j}"],
+                        Dez=ctx["repl"]["Dez"], D_host=self._D_host))
+                    off += sj
+                op = ps.PallasStiffnessSplit(tuple(parts), self._y_sizes)
             kw = {}
             if getattr(self.model, "_pallas_precision", None) is not None:
                 kw["precision"] = self.model._pallas_precision
@@ -235,14 +311,16 @@ class ShardedModel:
     def init_state(self, t0: float = 0.0, u0=None, v0=None
                    ) -> timestepping.RKState:
         """Distributed RKState (leading (Sx, Sy, Sz) device axes)."""
-        nc, S, Pd = self.mesh.nc, self.S, self.mesh.degree
+        nc, S, Pd = self.nc_pad, self.S, self.mesh.degree
 
         def dist_field(f):
             if f is None:
                 f = np.zeros(self.mesh.grid_shape)
-            return self.grid.put(sh.split_node_field(
-                np.asarray(f).reshape(self.mesh.grid_shape), nc, S, Pd),
-                self.dtype)
+            f = np.asarray(f).reshape(self.mesh.grid_shape)
+            if any(self.grid_pad):
+                f = np.pad(f, [(0, p) for p in self.grid_pad])
+            return self.grid.put(sh.split_node_field(f, nc, S, Pd),
+                                 self.dtype)
 
         t = self.grid.replicate(np.asarray(t0, jnp.dtype(self.dtype)))
         return timestepping.RKState(
@@ -345,5 +423,7 @@ class ShardedModel:
 
             dist_field = multihost_utils.process_allgather(
                 dist_field, tiled=True)
-        return sh.merge_node_field(np.asarray(dist_field), self.mesh.nc,
+        full = sh.merge_node_field(np.asarray(dist_field), self.nc_pad,
                                    self.S, self.mesh.degree)
+        gx, gy, gz = self.mesh.grid_shape
+        return full[:gx, :gy, :gz]

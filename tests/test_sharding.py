@@ -182,3 +182,135 @@ def test_sharded_heterogeneous_matches_single():
     err = (np.linalg.norm(u - np.asarray(final.u))
            / np.linalg.norm(np.asarray(final.u)))
     assert err < 1e-12, err
+
+
+# ---------------------------------------------------------------------------
+# Unstructured (imported-mesh) sharding: ExtrudedShardedModel — RCB stack
+# partition + one shared-row psum per stage (the analogue of the
+# reference's partition-any-mesh + IndexMap scatterers,
+# /root/reference/cuda/utils.py:8-78, cuda/scatterer.py:104-277)
+# ---------------------------------------------------------------------------
+
+def _cyl_model(model_cls, P=3):
+    from fustpu.mesh import msh_io
+    from fustpu.mesh.shapes import cylinder_mesh
+
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1, nz=4)
+    p = msh_io.write_msh("/tmp/_shard_cyl.msh", v, c, t)
+    mesh = msh_io.read_msh(p, P)
+    mat = Material(sound_speed=1500.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=0.5e6, amplitude=1.0e5)
+    return model_cls(mesh, mat, src, mesh.boundary_facets(1),
+                     mesh.boundary_facets(2), dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("k", [8, 3])
+@pytest.mark.parametrize("model_cls", [LinearWaveModel, WesterveltModel])
+def test_sharded_unstructured_matches_single(k, model_cls):
+    """Imported tagged cylinder, sharded over k devices (incl a
+    non-power-of-2 count) == single-device solve at 1e-12."""
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    model = _cyl_model(model_cls)
+    dt, _ = model.cfl_dt(0.4)
+    s, _ = model.solve(model.init_state(), dt, 20)
+    sm = ExtrudedShardedModel(model, num_devices=k)
+    assert sm.num_shared > 0          # the partition genuinely cuts rows
+    ss, _ = sm.solve(sm.init_state(), dt, 20)
+    u = sm.collect(ss.u)
+    ref = np.asarray(s.u).ravel()
+    err = np.linalg.norm(u - ref) / np.linalg.norm(ref)
+    assert err < 1e-12, err
+
+
+def test_sharded_unstructured_probe_matches_single():
+    """In-scan hydrophone traces on the sharded cylinder match the
+    single-device UPointSampler traces."""
+    from fustpu.mesh.unstructured import UPointSampler
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    model = _cyl_model(LinearWaveModel)
+    mesh = model.mesh
+    dt, _ = model.cfl_dt(0.4)
+    pts = np.array([[0.0, 0.0, 0.25 * 0.02],
+                    [0.003, -0.002, 0.6 * 0.02]])
+    pfn = UPointSampler(mesh, pts).jax_probe()
+    _, ys = model.solve(model.init_state(), dt, 12,
+                        probe=lambda s: pfn(s.u))
+    sm = ExtrudedShardedModel(model, num_devices=8)
+    _, dys = sm.solve(sm.init_state(), dt, 12, probe=sm.probe_fn(pts))
+    ys, dys = np.asarray(ys), np.asarray(dys)
+    assert ys.shape == dys.shape == (12, 2)
+    err = np.linalg.norm(ys - dys) / max(np.linalg.norm(ys), 1e-300)
+    assert err < 1e-12, err
+
+
+def test_sharded_unstructured_heterogeneous():
+    """Per-cell material (two-layer sound speed) through the sharded
+    extruded path == single device (exercises the c3_x/c4_x coefficient
+    distribution)."""
+    from fustpu.mesh import msh_io
+    from fustpu.mesh.shapes import cylinder_mesh
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1, nz=4)
+    p = msh_io.write_msh("/tmp/_shard_cyl2.msh", v, c, t)
+    mesh = msh_io.read_msh(p, 3)
+    zc = np.array([mesh.vertices[cc].mean(axis=0)[2] for cc in mesh.cells])
+    cs = np.where(zc < 0.01, 1500.0, 1650.0)
+    mat = Material(sound_speed=cs, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=0.5e6, amplitude=1.0e5)
+    model = WesterveltModel(mesh, mat, src, mesh.boundary_facets(1),
+                            mesh.boundary_facets(2), dtype=jnp.float64)
+    dt, _ = model.cfl_dt(0.4)
+    s, _ = model.solve(model.init_state(), dt, 15)
+    sm = ExtrudedShardedModel(model, num_devices=8)
+    ss, _ = sm.solve(sm.init_state(), dt, 15)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s.u).ravel())
+           / np.linalg.norm(np.asarray(s.u)))
+    assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("S", [(2, 2, 2), (3, 2, 1)])
+@pytest.mark.parametrize("impl", ["mm", "pallas"])
+def test_sharded_nondivisible_cells(S, impl):
+    """(7,5,3) cells on non-dividing device grids: ghost-padded equal
+    blocks (zero-stiffness cells) make any mesh run on any device count,
+    like `mpirun -n k` (VERDICT r2 item 6)."""
+    model, *_ = _build(WesterveltModel, nc=(7, 5, 3), degree=3)
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 12)
+    sm = ShardedModel(model, sh.DeviceGrid.create(S), stiffness_impl=impl)
+    assert any(sm.cell_pad)
+    ss, _ = sm.solve(sm.init_state(), dt, 12)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u))
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
+
+
+def test_sharded_pallas_y_split(monkeypatch):
+    """When the per-device block exceeds the single-slab VMEM budget the
+    ShardedModel must run the y-partitioned fused kernel, NOT silently
+    fall back to mm (VERDICT r2 item 5).  The budget is forced small via
+    pick_y_parts so the case is exercised on the CPU test mesh."""
+    from fustpu.ops import pallas_stiffness as ps
+
+    orig = ps.pick_y_parts
+
+    def forced(n, ncy, ncz, gz, max_parts=16, corner=False):
+        return [2, 1] if ncy == 3 else orig(n, ncy, ncz, gz, max_parts,
+                                            corner)
+
+    monkeypatch.setattr(ps, "pick_y_parts", forced)
+    model, *_ = _build(LinearWaveModel, nc=(4, 6, 4), degree=2)
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 10)
+    sm = ShardedModel(model, sh.DeviceGrid.create((1, 2, 1)),
+                      stiffness_impl="pallas")
+    assert sm.impl == "pallas" and sm._y_sizes == (2, 1)
+    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u))
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
