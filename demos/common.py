@@ -170,11 +170,10 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                 path = fio.write_vtk_structured(
                     f"{args.output}_{name}", model.mesh,
                     {"u": to_host(state.u), "v": to_host(state.v)})
-            else:  # unstructured: DOF point cloud
-                path = fio.save_point_cloud(
-                    f"{args.output}_{name}_dofs.txt",
-                    model.mesh.node_coords,
-                    np.asarray(state.u).reshape(-1), cols=(0, 1, 2))
+            else:  # unstructured: full-GLL-resolution hex VTK
+                path = fio.write_vtk_unstructured(
+                    f"{args.output}_{name}", model.mesh,
+                    {"u": to_host(state.u), "v": to_host(state.v)})
         print(f"wrote {path}")
     timing.list_timings()
     return state

@@ -77,6 +77,7 @@ class ExtrudedHexMesh(UnstructuredHexMesh):
     rows2d: np.ndarray = None        # (nstacks, n^2) 2D row ids, (i,j) order
     n2d: int = 0                     # number of 2D rows
     nz: int = 0                      # layers
+    axis: int = 2                    # physical extrusion axis (0/1/2)
 
     @property
     def nstacks(self) -> int:
@@ -111,26 +112,37 @@ _AXIS_PAIRS = {  # corner-id pairs differing only in the given bit
 
 def as_extruded(mesh: UnstructuredHexMesh,
                 tol_rel: float = 1e-9) -> ExtrudedHexMesh | None:
-    """Detect prismatic (z-extruded) topology; returns the canonicalized
-    ExtrudedHexMesh or None if the mesh is not an extrusion.  Orientation
-    free: each cell's vertical axis is found independently; cells are
-    rebuilt from (column, rank) so a whole stack shares one footprint
-    orientation.  Layers may be curved (z varies within a layer) and
-    graded (nonuniform heights); only (x, y) must be constant along each
-    vertical vertex column."""
+    """Detect prismatic topology along ANY coordinate axis; returns the
+    canonicalized ExtrudedHexMesh or None if the mesh is no extrusion.
+    Orientation free: each cell's vertical axis is found independently;
+    cells are rebuilt from (column, rank) so a whole stack shares one
+    footprint orientation.  Layers may be curved (the axis coordinate
+    varies within a layer — e.g. a bowl-cap-fitted face) and graded;
+    only the TRANSVERSE coordinates must be constant along each vertex
+    column."""
+    for axis in (2, 0, 1):
+        ex = _as_extruded_axis(mesh, axis, tol_rel)
+        if ex is not None:
+            return ex
+    return None
+
+
+def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
+                      tol_rel: float) -> ExtrudedHexMesh | None:
     verts = np.asarray(mesh.vertices, np.float64)
     cells = np.asarray(mesh.cells)
     lo, hi = verts.min(axis=0), verts.max(axis=0)
     tol = (float(np.linalg.norm(hi - lo)) or 1.0) * tol_rel
+    tr = [d for d in range(3) if d != axis]           # transverse axes
 
-    col_id, ncols = cluster_points(verts[:, :2], tol)
+    col_id, ncols = cluster_points(verts[:, tr], tol)
     counts = np.bincount(col_id, minlength=ncols)
     if counts.min() != counts.max() or counts[0] < 2:
         return None
     nvz = int(counts[0])
     nz = nvz - 1
-    # rank of each vertex within its column (by z)
-    order = np.lexsort((verts[:, 2], col_id))
+    # rank of each vertex within its column (by the axis coordinate)
+    order = np.lexsort((verts[:, axis], col_id))
     rank = np.empty(len(verts), np.int64)
     rank[order] = np.arange(len(verts)) - np.repeat(
         np.arange(ncols) * nvz, nvz)
@@ -219,14 +231,15 @@ def as_extruded(mesh: UnstructuredHexMesh,
         tag_map[tag] = np.stack(
             [pairs[:, 0], lf_new], axis=1).astype(np.int32)
 
-    rows2d, n2d = _rows2d(verts, cells_canon, stack_cells, mesh.degree)
+    rows2d, n2d = _rows2d(verts, cells_canon, stack_cells, mesh.degree,
+                          tr)
     return ExtrudedHexMesh(degree=mesh.degree, vertices=verts,
                            cells=cells_canon, facet_tag_map=tag_map,
                            stack_cells=stack_cells, rows2d=rows2d,
-                           n2d=n2d, nz=nz)
+                           n2d=n2d, nz=nz, axis=axis)
 
 
-def _rows2d(verts, cells_canon, stack_cells, degree):
+def _rows2d(verts, cells_canon, stack_cells, degree, tr=(0, 1)):
     """(nstacks, n^2) 2D row ids by tolerance-dedup of the per-stack
     bilinear GLL footprint nodes (same clustering argument as the 3D
     numbering: conforming quads share their edge restrictions exactly),
@@ -235,7 +248,7 @@ def _rows2d(verts, cells_canon, stack_cells, degree):
 
     n = degree + 1
     base = cells_canon[stack_cells[:, 0]].reshape(-1, 2, 2, 2)
-    foot = verts[base[:, :, :, 0]][..., :2]           # (ns, 2, 2, 2)
+    foot = verts[base[:, :, :, 0]][..., list(tr)]     # (ns, 2, 2, 2)
     t = gll.gll_nodes_unit(n)
     L = np.stack([1.0 - t, t])                        # (2, n)
     xy = np.einsum("sabd,ai,bj->sijd", foot, L, L,

@@ -64,16 +64,29 @@ def _facets_from_quads(cells: np.ndarray, quads: list) -> dict:
 
 def read_msh(path: str, degree: int,
              detect_extrusion: bool = True) -> UnstructuredHexMesh:
-    """Parse an ASCII .msh file (v2.2 or v4.1) into an
-    UnstructuredHexMesh with degree-P GLL dofs.
+    """Parse a .msh file — ASCII or BINARY, formats 2.2 and 4.1 (real
+    Gmsh defaults to binary with `-bin`) — into an UnstructuredHexMesh
+    with degree-P GLL dofs.
 
     When the mesh topology is a z-extrusion (every practical
     piston/column mesh), the returned object is the ExtrudedHexMesh
     subclass, which the models route to the factorized fast stiffness
     path (fustpu.mesh.extruded); pass detect_extrusion=False to force
     the generic per-element representation."""
-    with open(path) as f:
-        lines = f.read().splitlines()
+    with open(path, "rb") as f:
+        data = f.read()
+    head = data[:256].split(b"\n")
+    if not head or head[0].strip() != b"$MeshFormat":
+        raise ValueError(f"{path}: not a Gmsh .msh file")
+    version_s, ftype, dsize = head[1].split()[:3]
+    if int(ftype) == 1:                               # binary payloads
+        if float(version_s) < 4.0:
+            parsed = _parse_binary22(data, path)
+        else:
+            parsed = _parse_binary41(data, path)
+        return _assemble_mesh(*parsed, degree=degree,
+                              detect_extrusion=detect_extrusion)
+    lines = data.decode().splitlines()
     i = 0
 
     def section(name, required=False):
@@ -157,15 +170,23 @@ def read_msh(path: str, degree: int,
                     quads.append((surf_tag[ent_id], verts))
             k += 1 + ne
 
-    if not hexes:
+    return _assemble_mesh(path, node_ids, coords, hexes, quads,
+                          degree=degree, detect_extrusion=detect_extrusion)
+
+
+def _assemble_mesh(path, node_ids, coords, hexes, quads, degree: int,
+                   detect_extrusion: bool) -> UnstructuredHexMesh:
+    """Shared tail of the ASCII/binary parsers: remap node ids, reorder
+    corners, match tagged quads, detect extrusion."""
+    if len(hexes) == 0:
         raise ValueError(f"{path}: no hexahedral elements")
-    remap = {nid: j for j, nid in enumerate(node_ids)}
+    remap = {int(nid): j for j, nid in enumerate(node_ids)}
     verts = np.asarray(coords, np.float64)
     cells = np.empty((len(hexes), 8), np.int64)
     for ci, h in enumerate(hexes):
         for k_g, our in enumerate(_GMSH_HEX):
-            cells[ci, our] = remap[h[k_g]]
-    quads_l = [(t, [remap[v] for v in vs]) for t, vs in quads]
+            cells[ci, our] = remap[int(h[k_g])]
+    quads_l = [(t, [remap[int(v)] for v in vs]) for t, vs in quads]
     mesh = UnstructuredHexMesh(
         degree=degree, vertices=verts, cells=cells,
         facet_tag_map=_facets_from_quads(cells, quads_l))
@@ -176,6 +197,156 @@ def read_msh(path: str, degree: int,
         if ex is not None:
             return ex
     return mesh
+
+
+def _find_section(data: bytes, name: str, path: str):
+    """(start, end) byte offsets of a section's payload (after the
+    header line's newline, before $End<name>)."""
+    tag = b"$" + name.encode()
+    k = data.find(tag + b"\n")
+    if k < 0:
+        k = data.find(tag + b"\r\n")
+        if k < 0:
+            return None
+    start = data.find(b"\n", k) + 1
+    end = data.find(b"$End" + name.encode(), start)
+    if end < 0:
+        raise ValueError(f"{path}: unterminated ${name} section")
+    return start, end
+
+
+_NNODES = {_HEX_TYPE: 8, _QUAD_TYPE: 4, 1: 2, 2: 3, 4: 4, 6: 6, 7: 5,
+           15: 1}
+
+
+def _parse_binary22(data: bytes, path: str):
+    """Gmsh v2.2 binary: ASCII section markers and counts, little-endian
+    binary records (int32 ids/tags, float64 coords)."""
+    i32, f64 = np.dtype("<i4"), np.dtype("<f8")
+    sec = _find_section(data, "Nodes", path)
+    if sec is None:
+        raise ValueError(f"{path}: missing $Nodes section")
+    s, e = sec
+    nl = data.find(b"\n", s)
+    nn = int(data[s:nl])
+    rec = np.frombuffer(data, np.uint8, count=nn * 28,
+                        offset=nl + 1).reshape(nn, 28)
+    node_ids = rec[:, :4].copy().view(i32).ravel()
+    coords = rec[:, 4:].copy().view(f64).reshape(nn, 3)
+
+    sec = _find_section(data, "Elements", path)
+    if sec is None:
+        raise ValueError(f"{path}: missing $Elements section")
+    s, e = sec
+    nl = data.find(b"\n", s)
+    ne = int(data[s:nl])
+    off = nl + 1
+    hexes, quads = [], []
+    seen = 0
+    while seen < ne:
+        etype, nfollow, ntags = np.frombuffer(data, i32, 3, off)
+        off += 12
+        nnod = _NNODES.get(int(etype))
+        if nnod is None:
+            raise ValueError(f"{path}: unsupported element type {etype}")
+        rl = 1 + ntags + nnod
+        blk = np.frombuffer(data, i32, int(nfollow) * rl,
+                            off).reshape(int(nfollow), rl)
+        off += int(nfollow) * rl * 4
+        if etype == _HEX_TYPE:
+            hexes.extend(blk[:, 1 + ntags:].tolist())
+        elif etype == _QUAD_TYPE:
+            for row in blk:
+                tag = int(row[1]) if ntags else 0
+                quads.append((tag, row[1 + ntags:].tolist()))
+        seen += int(nfollow)
+    return path, node_ids, coords, hexes, quads
+
+
+def _parse_binary41(data: bytes, path: str):
+    """Gmsh v4.1 binary: size_t(=8-byte) counts/tags, int32 entity
+    metadata, float64 coords; surface physical tags from $Entities."""
+    i32, u64, f64 = np.dtype("<i4"), np.dtype("<u8"), np.dtype("<f8")
+
+    def ints(off, k):
+        return np.frombuffer(data, i32, k, off), off + 4 * k
+
+    def szts(off, k):
+        return np.frombuffer(data, u64, k, off), off + 8 * k
+
+    def dbls(off, k):
+        return np.frombuffer(data, f64, k, off), off + 8 * k
+
+    surf_tag = {}
+    sec = _find_section(data, "Entities", path)
+    if sec is not None:
+        off = sec[0]
+        (np_, nc_, ns_, nv_), off = szts(off, 4)
+        for _ in range(int(np_)):                     # points
+            _, off = ints(off, 1)
+            _, off = dbls(off, 3)
+            (nph,), off = szts(off, 1)
+            _, off = ints(off, int(nph))
+        for _ in range(int(nc_)):                     # curves
+            _, off = ints(off, 1)
+            _, off = dbls(off, 6)
+            (nph,), off = szts(off, 1)
+            _, off = ints(off, int(nph))
+            (nb,), off = szts(off, 1)
+            _, off = ints(off, int(nb))
+        for _ in range(int(ns_)):                     # surfaces
+            (tag,), off = ints(off, 1)
+            _, off = dbls(off, 6)
+            (nph,), off = szts(off, 1)
+            phys, off = ints(off, int(nph))
+            if nph:
+                surf_tag[int(tag)] = int(phys[0])
+            (nb,), off = szts(off, 1)
+            _, off = ints(off, int(nb))
+
+    sec = _find_section(data, "Nodes", path)
+    if sec is None:
+        raise ValueError(f"{path}: missing $Nodes section")
+    off = sec[0]
+    (nblk, nnodes, _, _), off = szts(off, 4)
+    node_ids = np.empty(int(nnodes), np.int64)
+    coords = np.empty((int(nnodes), 3))
+    at = 0
+    for _ in range(int(nblk)):
+        _, off = ints(off, 3)                         # dim, tag, parametric
+        (nn,), off = szts(off, 1)
+        ids, off = szts(off, int(nn))
+        xyz, off = dbls(off, 3 * int(nn))
+        node_ids[at:at + int(nn)] = ids.astype(np.int64)
+        coords[at:at + int(nn)] = xyz.reshape(-1, 3)
+        at += int(nn)
+
+    sec = _find_section(data, "Elements", path)
+    if sec is None:
+        raise ValueError(f"{path}: missing $Elements section")
+    off = sec[0]
+    (nblk, _, _, _), off = szts(off, 4)
+    hexes, quads = [], []
+    for _ in range(int(nblk)):
+        (dim, ent, etype), off = ints(off, 3)
+        (ne,), off = szts(off, 1)
+        nnod = _NNODES.get(int(etype))
+        if nnod is None:
+            raise ValueError(f"{path}: unsupported element type {etype}")
+        blk, off = szts(off, int(ne) * (1 + nnod))
+        blk = blk.reshape(int(ne), 1 + nnod)
+        if etype == _HEX_TYPE:
+            hexes.extend(blk[:, 1:].astype(np.int64).tolist())
+        elif etype == _QUAD_TYPE:
+            if int(ent) not in surf_tag:
+                raise ValueError(
+                    f"{path}: surface entity {ent} carries quads but no "
+                    "physical tag — tag boundary surfaces with physical "
+                    "groups in Gmsh")
+            for row in blk:
+                quads.append((surf_tag[int(ent)],
+                              row[1:].astype(np.int64).tolist()))
+    return path, node_ids, coords, hexes, quads
 
 
 def export_box_msh(box_mesh, tag_map: dict, path: str) -> str:
@@ -197,14 +368,17 @@ def export_box_msh(box_mesh, tag_map: dict, path: str) -> str:
 
 
 def write_msh(path: str, vertices: np.ndarray, cells: np.ndarray,
-              tagged_quads: list | None = None) -> str:
-    """Write an ASCII Gmsh v2.2 file.  `tagged_quads`: list of
-    (tag, (v0, v1, v2, v3)) with vertex indices into `vertices`; vertex
-    orders follow this package's conventions and are converted to
-    Gmsh's."""
+              tagged_quads: list | None = None,
+              binary: bool = False) -> str:
+    """Write a Gmsh v2.2 file (ASCII, or binary like real Gmsh's -bin
+    default).  `tagged_quads`: list of (tag, (v0, v1, v2, v3)) with
+    vertex indices into `vertices`; vertex orders follow this package's
+    conventions and are converted to Gmsh's."""
     if not path.endswith(".msh"):
         path += ".msh"
     tagged_quads = tagged_quads or []
+    if binary:
+        return _write_msh_binary22(path, vertices, cells, tagged_quads)
     with open(path, "w") as f:
         f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
         f.write(f"$Nodes\n{len(vertices)}\n")
@@ -224,4 +398,47 @@ def write_msh(path: str, vertices: np.ndarray, cells: np.ndarray,
                     " ".join(map(str, gm)) + "\n")
             eid += 1
         f.write("$EndElements\n")
+    return path
+
+
+def _write_msh_binary22(path: str, vertices: np.ndarray,
+                        cells: np.ndarray, tagged_quads: list) -> str:
+    """v2.2 binary writer (int32 ids/tags, float64 coords, little
+    endian) — the layout `gmsh -bin -format msh22` emits."""
+    verts = np.asarray(vertices, np.float64)
+    nv = len(verts)
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(np.int32(1).tobytes())                # endianness probe
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(b"$Nodes\n" + str(nv).encode() + b"\n")
+        rec = np.empty((nv, 28), np.uint8)
+        rec[:, :4] = np.arange(1, nv + 1, dtype="<i4")[:, None].view(
+            np.uint8)
+        rec[:, 4:] = verts.astype("<f8").view(np.uint8).reshape(nv, 24)
+        f.write(rec.tobytes())
+        f.write(b"\n$EndNodes\n")
+        ne = len(cells) + len(tagged_quads)
+        f.write(b"$Elements\n" + str(ne).encode() + b"\n")
+        eid = 1
+        if tagged_quads:
+            f.write(np.asarray([_QUAD_TYPE, len(tagged_quads), 2],
+                               "<i4").tobytes())
+            blk = np.empty((len(tagged_quads), 7), "<i4")
+            for j, (tag, vs) in enumerate(tagged_quads):
+                blk[j] = [eid, int(tag), int(tag)] + [int(v) + 1
+                                                      for v in vs]
+                eid += 1
+            f.write(blk.tobytes())
+        if len(cells):
+            f.write(np.asarray([_HEX_TYPE, len(cells), 2],
+                               "<i4").tobytes())
+            blk = np.empty((len(cells), 11), "<i4")
+            ca = np.asarray(cells)
+            for j in range(len(cells)):
+                gm = [int(ca[j][_GMSH_HEX[k]]) + 1 for k in range(8)]
+                blk[j] = [eid, 1, 1] + gm
+                eid += 1
+            f.write(blk.tobytes())
+        f.write(b"\n$EndElements\n")
     return path

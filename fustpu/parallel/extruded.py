@@ -88,8 +88,9 @@ class ExtrudedShardedModel:
         disc = model.disc
 
         # ---- partition stacks by footprint centroid ----------------------
+        tr = [d for d in range(3) if d != mesh.axis]   # transverse axes
         cent = mesh.vertices[mesh.cells[mesh.stack_cells[:, 0]]][
-            :, :, :2].mean(axis=1)                     # (ns, 2)
+            :, :, tr].mean(axis=1)                     # (ns, 2)
         part = rcb_partition(cent, k)
         stacks_of = [np.nonzero(part == d)[0] for d in range(k)]
         if min(len(s) for s in stacks_of) == 0:

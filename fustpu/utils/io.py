@@ -55,6 +55,60 @@ def write_vtk_structured(path: str, mesh: BoxMesh,
     return path
 
 
+def write_vtk_unstructured(path: str, mesh,
+                           fields: dict[str, np.ndarray],
+                           binary: bool = True) -> str:
+    """Legacy VTK UNSTRUCTURED_GRID of an (imported) hex mesh at FULL GLL
+    resolution: every spectral cell is written as P^3 linear sub-hexes
+    through its GLL lattice, so ParaView shows the actual polynomial
+    field, not a corner decimation.  The role of the reference's
+    VTXWriter on arbitrary meshes (numba-cpu/demo_linear_box.py:479-480).
+    """
+    if not path.endswith(".vtk"):
+        path = path + ".vtk"
+    n = mesh.element.n
+    P = n - 1
+    pts = mesh.node_coords.reshape(-1, 3)
+    dofmap = mesh.dofmap.reshape(mesh.num_cells, n, n, n)
+    # sub-cell corner gather, VTK_HEXAHEDRON order (bottom CCW, then top)
+    corners = []
+    for a, b, c in ((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)):
+        corners.append(dofmap[:, a:a + P, b:b + P, c:c + P])
+    conn = np.stack(corners, axis=-1).reshape(-1, 8)   # (cells*P^3, 8)
+    ncell = conn.shape[0]
+    mode = "BINARY" if binary else "ASCII"
+    with open(path, "wb") as f:
+        w = lambda s: f.write(s.encode())
+        w("# vtk DataFile Version 3.0\nfustpu field output\n")
+        w(f"{mode}\nDATASET UNSTRUCTURED_GRID\n")
+        w(f"POINTS {pts.shape[0]} float\n")
+        rows = np.concatenate(
+            [np.full((ncell, 1), 8, np.int64), conn], axis=1)
+        if binary:
+            f.write(pts.astype(">f4").tobytes())
+            w(f"\nCELLS {ncell} {ncell * 9}\n")
+            f.write(rows.astype(">i4").tobytes())
+            w(f"\nCELL_TYPES {ncell}\n")
+            f.write(np.full(ncell, 12, ">i4").tobytes())
+        else:
+            np.savetxt(f, pts, fmt="%.7e")
+            w(f"\nCELLS {ncell} {ncell * 9}\n")
+            np.savetxt(f, rows, fmt="%d")
+            w(f"\nCELL_TYPES {ncell}\n")
+            np.savetxt(f, np.full(ncell, 12), fmt="%d")
+        w(f"\nPOINT_DATA {pts.shape[0]}\n")
+        for name, data in fields.items():
+            data = np.asarray(data).reshape(-1)
+            w(f"SCALARS {name} float 1\nLOOKUP_TABLE default\n")
+            if binary:
+                f.write(data.astype(">f4").tobytes())
+            else:
+                np.savetxt(f, data, fmt="%.7e")
+            w("\n")
+    return path
+
+
 def save_point_cloud(path: str, points: np.ndarray, values: np.ndarray,
                      cols=(0, 2), mode: str = "w") -> str:
     """Text dump `x,z,u` rows like the reference's pressure-field snapshots

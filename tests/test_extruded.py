@@ -126,3 +126,30 @@ def test_model_matches_indexed(cls, hetero):
     err = (np.linalg.norm(outs[0] - outs[1][perm])
            / max(np.linalg.norm(outs[1]), 1e-300))
     assert err < 1e-11, err
+
+
+def test_detection_any_axis():
+    """Extrusion along x (the bowl's conformal-cap map displaces only x)
+    must detect with axis=0 and match the indexed path; curved layer
+    surfaces are allowed — only the transverse coordinates must be
+    constant along columns."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from demos.demo_nonlinear_bowl import bowl_mapping
+    from fustpu.mesh.box import build_mapped_mesh
+
+    L = 0.05
+    mp = bowl_mapping(0.0632, 0.016, L / 2, L / 2, 2 * L)
+    bm = build_mapped_mesh((6, 4, 4), 3, hi=(2 * L, L, L), mapping=mp)
+    ex = as_extruded(from_box(bm, shuffle_seed=3))
+    assert ex is not None and ex.axis == 0
+    d = Discretization(ex, jnp.float64)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(ex.ndofs))
+    G, dm, D = d.indexed_op
+    y1 = ops.stiffness_apply_indexed(x, G, jnp.ones(ex.num_cells), dm, D,
+                                     ex.ndofs)
+    y2 = ops.stiffness_apply_extruded(x, d.extruded_op, ex.ndofs)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
