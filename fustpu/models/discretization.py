@@ -56,10 +56,16 @@ class Discretization:
         self.P = mesh.degree
         self.structured = hasattr(mesh, "nc")
         elem = mesh.element
-        detJ, G = pre.cell_geometry_factors(mesh)          # f64 host
-        self._detJ_host = detJ                             # (cells, n^3)
-        self._G_host = G                                   # (cells, n^3, 6)
+        self._detJ_host = pre.cell_detJ(mesh)              # (cells, n^3)
         self._D_host = elem.deriv_1d
+
+    @functools.cached_property
+    def _G_host(self):
+        """(cells, n^3, 6) metric factors, float64 host — computed lazily:
+        the corner-streamed kernel derives G in VMEM from cell corners and
+        never needs this array (6 f64/quad-point = 12.5 GB host at 134M
+        DOF, the dominant setup allocation)."""
+        return pre.cell_geometry_factors(self.mesh)[1]
 
     # ---- device operators (built on first use) ---------------------------
     @functools.cached_property
@@ -80,7 +86,8 @@ class Discretization:
         from fustpu.ops import pallas_stiffness as ps
 
         return ps.build_auto(
-            self.mesh.nc, self.P, self._D_host, self._G_host, self.dtype,
+            self.mesh.nc, self.P, self._D_host,
+            None if corner else self._G_host, self.dtype,
             coeff=coeff, force_parts=force_parts,
             corners=self.mesh.cell_corners_flat if corner else None)
 

@@ -156,32 +156,65 @@ def expand_coeff_extruded(mesh, coeff, dtype) -> jax.Array:
     return jnp.asarray(np.repeat(c, n, axis=1)[:, None, None, :], dtype)
 
 
+def _mk_einsum(precision, dtype):
+    """Contraction for the extruded apply.  "bf16x3": hi/lo bf16
+    decomposition dropping only the lo*lo term (~2^-16), skipping the lo
+    pass for exact-in-bf16 operands (0/1 windows) — the same validated
+    scheme as the fused Pallas kernel's matmuls, here at the XLA level
+    (full-f32 einsums cost ~18x on the bf16 MXU)."""
+    if precision != "bf16x3":
+        return lambda sub, A, x, a_exact=False: jnp.einsum(
+            sub, A, x, precision=precision)
+    bf = jnp.bfloat16
+
+    def contract(sub, A, x, a_exact=False):
+        Ah = A.astype(bf)
+        xh = x.astype(bf)
+        xl = (x - xh.astype(dtype)).astype(bf)
+        d = lambda p, q: jnp.einsum(sub, p, q,
+                                    preferred_element_type=dtype)
+        out = d(Ah, xh) + d(Ah, xl)
+        if not a_exact:
+            Al = (A - Ah.astype(dtype)).astype(bf)
+            out = out + d(Al, xh)
+        return out
+
+    return contract
+
+
 def stiffness_apply_extruded(x_flat: jax.Array, op: ExtrudedStiffness,
                              ndofs: int,
-                             coeff_e: jax.Array | None = None) -> jax.Array:
+                             coeff_e: jax.Array | None = None,
+                             precision="auto") -> jax.Array:
     """y_flat = A_stiff(x_flat) on a factorized (n2d, gz) DOF layout.
     `coeff_e`: optional (ns, 1, 1, ez) per-cell coefficient
-    (expand_coeff_extruded)."""
+    (expand_coeff_extruded).  `precision`: "auto" = full precision —
+    measured on TPU, the bf16x3 decomposition HELPS small meshes (piston
+    627k: 1.94 -> 1.76 ms/step) but HURTS production ones (bowl 6.7M:
+    26 -> 32 ms/step; the hi/lo split passes add HBM traffic to
+    bandwidth-bound einsums), so it stays opt-in (BENCH_NOTES r3)."""
+    if precision == "auto":
+        precision = _PRECISION
+    mm = _mk_einsum(precision, x_flat.dtype)
     gz = op.Wz.shape[1]
     _, ns, n, _, ez = op.G6.shape
     x2 = x_flat.reshape(-1, gz)
     g = x2[op.rows]                                   # (ns*n^2, gz) rows
-    u = jnp.einsum("qz,ez->qe", g, op.Wz,
-                   precision=_PRECISION).reshape(ns, n, n, ez)
-    wx = jnp.einsum("ai,qije->qaje", op.D, u, precision=_PRECISION)
-    wy = jnp.einsum("bj,qije->qibe", op.D, u, precision=_PRECISION)
-    wz = jnp.einsum("fe,qije->qijf", op.Dz, u, precision=_PRECISION)
+    u = mm("ez,qz->qe", op.Wz, g, a_exact=True).reshape(ns, n, n, ez)
+    wx = mm("ai,qije->qaje", op.D, u)
+    wy = mm("bj,qije->qibe", op.D, u)
+    wz = mm("fe,qije->qijf", op.Dz, u)
     G = op.G6
     f0 = G[0] * wx + G[1] * wy + G[2] * wz
     f1 = G[1] * wx + G[3] * wy + G[4] * wz
     f2 = G[2] * wx + G[4] * wy + G[5] * wz
     if coeff_e is not None:
         f0, f1, f2 = f0 * coeff_e, f1 * coeff_e, f2 * coeff_e
-    r = jnp.einsum("ai,qaje->qije", op.D, f0, precision=_PRECISION)
-    r = r + jnp.einsum("bj,qibe->qije", op.D, f1, precision=_PRECISION)
-    r = r + jnp.einsum("fe,qijf->qije", op.Dz, f2, precision=_PRECISION)
-    vals = jnp.einsum("qije,ez->qijz", r, op.Wz,
-                      precision=_PRECISION).reshape(ns * n * n, gz)
+    r = mm("ai,qaje->qije", op.D, f0)
+    r = r + mm("bj,qibe->qije", op.D, f1)
+    r = r + mm("fe,qijf->qije", op.Dz, f2)
+    vals = mm("ez,qije->qijz", op.Wz, r,
+              a_exact=True).reshape(ns * n * n, gz)
     y2 = jnp.zeros((ndofs // gz, gz), x_flat.dtype)
     y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
     return y2.reshape(-1)

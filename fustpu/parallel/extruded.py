@@ -403,3 +403,206 @@ class ExtrudedShardedModel:
         for d in range(self.k):
             out[self.rowsg[d][self.rowmask[d]]] = arr[d][self.rowmask[d]]
         return out.reshape(-1)
+
+
+class IndexedShardedModel:
+    """Sharded model for GENERAL (non-prismatic) unstructured meshes:
+    RCB cell partition, per-device local dofmaps over padded local DOF
+    spaces, and one shared-DOF psum per RK stage.  The per-device apply
+    is the explicit-dofmap indexed path — slower per DOF than the
+    factorized extruded path (use `shard_unstructured` to pick), but it
+    distributes ANY conforming hex mesh over any device count, like the
+    reference's read-time partition + IndexMap scatterers
+    (/root/reference/cuda/utils.py:8-78)."""
+
+    def __init__(self, model, num_devices: int | None = None, devices=None):
+        from fustpu.mesh.unstructured import UnstructuredHexMesh
+
+        mesh = model.mesh
+        if not isinstance(mesh, UnstructuredHexMesh):
+            raise TypeError("IndexedShardedModel needs an unstructured "
+                            "mesh (use ShardedModel for box meshes)")
+        self.model = model
+        self.mesh = mesh
+        self.kind = ("westervelt" if isinstance(model, WesterveltModel)
+                     else "linear")
+        self.dtype = model.dtype
+        devices = list(jax.devices() if devices is None else devices)
+        k = num_devices or len(devices)
+        self.k = k
+        self.device_mesh = Mesh(np.asarray(devices[:k]), (AXIS,))
+
+        cent = mesh.cell_corners_flat.mean(axis=1)     # (ncells, 3)
+        part = rcb_partition(cent, k)
+        cells_of = [np.nonzero(part == d)[0] for d in range(k)]
+        if min(len(c) for c in cells_of) == 0:
+            raise ValueError(f"empty partition with {k} devices")
+        cmax = max(len(c) for c in cells_of)
+
+        dofmap = mesh.dofmap                            # (ncells, n^3)
+        nd = dofmap.shape[1]
+        gids, ldm = [], np.zeros((k, cmax, nd), np.int32)
+        for d in range(k):
+            sub = dofmap[cells_of[d]]
+            uniq, inv = np.unique(sub, return_inverse=True)
+            gids.append(uniq)
+            ldm[d, :len(cells_of[d])] = inv.reshape(sub.shape)
+        nloc = max(len(g) for g in gids)
+        self.nloc = nloc
+        gids_pad = np.zeros((k, nloc), np.int64)
+        gmask = np.zeros((k, nloc), bool)
+        for d in range(k):
+            gids_pad[d, :len(gids[d])] = gids[d]
+            gmask[d, :len(gids[d])] = True
+        self.gids = gids_pad
+        self.gmask = gmask
+
+        counts = np.zeros(mesh.ndofs, np.int64)
+        for g in gids:
+            counts[g] += 1
+        shared = np.nonzero(counts > 1)[0]
+        S = len(shared)
+        slot_of = np.full(mesh.ndofs, -1, np.int64)
+        slot_of[shared] = np.arange(S)
+        shl = np.full((k, max(S, 1)), nloc, np.int32)
+        shm = np.zeros((k, max(S, 1)), bool)
+        for d in range(k):
+            sl = slot_of[gids[d]]
+            own = np.nonzero(sl >= 0)[0]
+            shl[d, sl[own]] = own
+            shm[d, sl[own]] = True
+        self.num_shared = S
+
+        disc = model.disc
+        G_host = disc._G_host
+        Gd = np.zeros((k, cmax, nd, 6))
+        for d in range(k):
+            Gd[d, :len(cells_of[d])] = G_host[cells_of[d]]
+
+        def cellvec(c):
+            out = np.zeros((k, cmax))
+            c = np.asarray(c).reshape(-1)
+            for d in range(k):
+                out[d, :len(cells_of[d])] = c[cells_of[d]]
+            return out
+
+        def locvec(v, pad):
+            v = np.asarray(v).reshape(-1)
+            out = np.full((k, nloc), pad, np.float64)
+            out[gmask] = v[gids_pad[gmask]]
+            return out
+
+        put = self._put
+        dist = {
+            "G": put(Gd), "ldm": put(ldm.reshape(k, -1), np.int32),
+            "shl": put(shl, np.int32),
+            "shm": put(shm.astype(self.dtype)),
+        }
+        repl = {"D": self._repl(np.asarray(disc._D_host))}
+        m = model
+        if self.kind == "linear":
+            dist["m"] = put(locvec(m.m, 1.0))
+            dist["s_cos"] = put(locvec(m.s_cos, 0.0))
+            if m.s_sin is not None:
+                dist["s_sin"] = put(locvec(m.s_sin, 0.0))
+            dist["c2"] = put(cellvec(np.asarray(m.c2_cells)))
+        else:
+            dist["m0"] = put(locvec(m.m0, 1.0))
+            dist["mvec2"] = put(locvec(m.mvec2, 0.0))
+            dist["s1_cos"] = put(locvec(m.s1_cos, 0.0))
+            dist["s2_cos"] = put(locvec(m.s2_cos, 0.0))
+            if m.s1_sin is not None:
+                dist["s1_sin"] = put(locvec(m.s1_sin, 0.0))
+                dist["s2_sin"] = put(locvec(m.s2_sin, 0.0))
+            dist["c3"] = put(cellvec(np.asarray(m.c3_cells)))
+            dist["c4"] = put(cellvec(np.asarray(m.c4_cells)))
+        if m.fvec_abs is not None:
+            dist["fvec"] = put(locvec(m.fvec_abs, 0.0))
+        self.has_abs = m.fvec_abs is not None
+        self.ctx = {"dist": dist, "repl": repl}
+        self.ctx_spec = {
+            "dist": {key: P(AXIS) for key in dist},
+            "repl": jax.tree.map(lambda _: P(), repl),
+        }
+        self._solve_cache = {}
+
+    _put = ExtrudedShardedModel._put
+    _repl = ExtrudedShardedModel._repl
+    solve = ExtrudedShardedModel.solve
+    step = ExtrudedShardedModel.step
+    cfl_dt = ExtrudedShardedModel.cfl_dt
+
+    def _local_rows(self, flat: np.ndarray, pad: float) -> np.ndarray:
+        """Global flat field -> (k, nloc) per-device DOF blocks (the
+        ExtrudedShardedModel init_state/collect contract, scalar DOFs)."""
+        f = np.asarray(flat).reshape(-1)
+        out = np.full((self.k, self.nloc), pad, f.dtype)
+        out[self.gmask] = f[self.gids[self.gmask]]
+        return out
+
+    init_state = ExtrudedShardedModel.init_state
+
+    def _exchange(self, ctx, y):
+        if self.num_shared == 0:
+            return y
+        d = ctx["dist"]
+        shl, shm = d["shl"], d["shm"]
+        ye = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+        contrib = ye[shl] * shm
+        tot = jax.lax.psum(contrib, AXIS)
+        ye = ye.at[shl].set(jnp.where(shm > 0, tot, ye[shl]))
+        return ye[:-1]
+
+    def _local_rhs(self, ctx, t, u, v):
+        d = ctx["dist"]
+        m = self.model
+        n3 = self.mesh.element.ndofs
+        ldm = d["ldm"].reshape(-1, n3)
+        D = ctx["repl"]["D"]
+        stiff = lambda x, c: xops.stiffness_apply_indexed(
+            x, d["G"], c, ldm, D, self.nloc)
+        if self.kind == "linear":
+            b = self._exchange(ctx, stiff(u, d["c2"]))
+            a_c, a_s = sources.linear_source_coeffs(t, m.source, m.c_src)
+            b = b + a_c.astype(self.dtype) * d["s_cos"]
+            if "s_sin" in d:
+                b = b + a_s.astype(self.dtype) * d["s_sin"]
+            if self.has_abs:
+                b = b + v * d["fvec"]
+            return b / d["m"]
+        mm_ = d["m0"] + u * d["mvec2"]
+        b = self._exchange(ctx, stiff(u, d["c3"]) + stiff(v, d["c4"]))
+        b = b - (v * v) * d["mvec2"]
+        (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
+            t, m.source, m.c_src)
+        b = b + g_c.astype(self.dtype) * d["s1_cos"]
+        b = b + dg_c.astype(self.dtype) * d["s2_cos"]
+        if "s1_sin" in d:
+            b = b + g_s.astype(self.dtype) * d["s1_sin"]
+            b = b + dg_s.astype(self.dtype) * d["s2_sin"]
+        if self.has_abs:
+            b = b + v * d["fvec"]
+        return b / mm_
+
+    def collect(self, dist_field) -> np.ndarray:
+        if not dist_field.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            dist_field = multihost_utils.process_allgather(
+                dist_field, tiled=True)
+        arr = np.asarray(dist_field)
+        out = np.zeros(self.mesh.ndofs, arr.dtype)
+        for d in range(self.k):
+            out[self.gids[d][self.gmask[d]]] = arr[d][self.gmask[d]]
+        return out
+
+
+def shard_unstructured(model, num_devices: int | None = None, devices=None):
+    """Distribute a model on ANY unstructured mesh: the factorized
+    extruded sharding for prismatic meshes, the generic indexed sharding
+    otherwise."""
+    from fustpu.mesh.extruded import ExtrudedHexMesh
+
+    cls = (ExtrudedShardedModel if isinstance(model.mesh, ExtrudedHexMesh)
+           else IndexedShardedModel)
+    return cls(model, num_devices=num_devices, devices=devices)

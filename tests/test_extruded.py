@@ -153,3 +153,22 @@ def test_detection_any_axis():
     y2 = ops.stiffness_apply_extruded(x, d.extruded_op, ex.ndofs)
     err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
     assert err < 1e-12, err
+
+
+def test_extruded_bf16x3_accuracy():
+    """The f32 default precision of the extruded apply is the bf16x3
+    decomposition (as for the fused kernel): operator rel-err vs the f64
+    reference must stay ~1e-5 (only the lo*lo term is dropped)."""
+    mex, _ = _cyl()
+    d64 = Discretization(mex, jnp.float64)
+    d32 = Discretization(mex, jnp.float32)
+    rng = np.random.default_rng(0)
+    x64 = rng.standard_normal(mex.ndofs)
+    y64 = ops.stiffness_apply_extruded(jnp.asarray(x64), d64.extruded_op,
+                                       mex.ndofs)
+    y32 = ops.stiffness_apply_extruded(
+        jnp.asarray(x64, jnp.float32), d32.extruded_op, mex.ndofs,
+        precision="bf16x3")
+    err = (np.linalg.norm(np.asarray(y32, np.float64) - np.asarray(y64))
+           / np.linalg.norm(np.asarray(y64)))
+    assert err < 2e-5, err
