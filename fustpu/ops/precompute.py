@@ -69,6 +69,18 @@ def cell_geometry_factors(mesh: BoxMesh, use_native: bool = True):
     return detJ, G
 
 
+def _det3(J: np.ndarray) -> np.ndarray:
+    """Explicit batched 3x3 determinant — elementwise arithmetic instead
+    of LAPACK-per-matrix (np.linalg.det is ~10x slower on (N, 3, 3)
+    batches at production cell counts)."""
+    return (J[..., 0, 0] * (J[..., 1, 1] * J[..., 2, 2]
+                            - J[..., 1, 2] * J[..., 2, 1])
+            - J[..., 0, 1] * (J[..., 1, 0] * J[..., 2, 2]
+                              - J[..., 1, 2] * J[..., 2, 0])
+            + J[..., 0, 2] * (J[..., 1, 0] * J[..., 2, 1]
+                              - J[..., 1, 1] * J[..., 2, 0]))
+
+
 def cell_detJ(mesh) -> np.ndarray:
     """detJ only (cells, nq) — for mass-type setup where the 6-component
     metric G (6x the memory, plus a batched inverse) is not needed."""
@@ -81,7 +93,7 @@ def cell_detJ(mesh) -> np.ndarray:
     for s in range(0, nc, _CHUNK):
         e = min(s + _CHUNK, nc)
         J = _jacobians(corners[s:e], grads)
-        detJ[s:e] = np.abs(np.linalg.det(J)) * wts
+        detJ[s:e] = np.abs(_det3(J)) * wts
     return detJ
 
 

@@ -156,6 +156,20 @@ def stiffness_apply_mm(op: MMStiffness, x: jax.Array,
     return fold(op, r)
 
 
+def _fold_axis0_np(A: np.ndarray, P: int) -> np.ndarray:
+    """(nc*n, ...) expanded axis -> (nc*P + 1, ...) overlap-add, numpy
+    host (the adjoint of the window; O(N) adds instead of the dense
+    window matmul, which costs minutes at 10^8-DOF setup)."""
+    n = P + 1
+    ncells = A.shape[0] // n
+    rest = A.shape[1:]
+    B = A.reshape(ncells, n, *rest)
+    out = np.zeros((ncells * P + 1, *rest))
+    out[:ncells * P] += B[:, :P].reshape(ncells * P, *rest)
+    out[P::P] += B[:, P]
+    return out
+
+
 def mass_diagonal(nc, P: int, detJ_cells: np.ndarray,
                   coeff: np.ndarray | None = None) -> np.ndarray:
     """The assembled (global) mass diagonal, float64 host: fold of
@@ -164,8 +178,7 @@ def mass_diagonal(nc, P: int, detJ_cells: np.ndarray,
     dJ = to_expanded_layout(detJ_cells[..., None], nc, n)[..., 0]
     if coeff is not None:
         dJ = dJ * expand_cell_field(np.asarray(coeff), n)
-    Ws = [window_matrix(c, P) for c in nc]
-    out = np.einsum("ay,ajk->yjk", Ws[0], dJ, optimize=True)
-    out = np.einsum("by,iyk->ibk", Ws[1].T, out, optimize=True)
-    out = np.einsum("cy,ijy->ijc", Ws[2].T, out, optimize=True)
+    out = _fold_axis0_np(dJ, P)
+    out = np.moveaxis(_fold_axis0_np(np.moveaxis(out, 1, 0), P), 0, 1)
+    out = np.moveaxis(_fold_axis0_np(np.moveaxis(out, 2, 0), P), 0, 2)
     return out
