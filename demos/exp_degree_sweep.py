@@ -1,6 +1,10 @@
 """Degree sweep of the stiffness apply on the real chip — the P-range of
 the reference's quadrature table (numba-cpu/demo_linear_box.py:46-56).
-Usage: python demos/exp_degree_sweep.py [Pmin Pmax] (default 2 10)."""
+Usage: python demos/exp_degree_sweep.py [Pmin Pmax] [--align]
+
+--align picks ncz so ez = ncz*(P+1) sits next to a multiple of 128: the
+kernel's working planes put ez on the TPU lane dimension, and the
+padding tax is the whole P=8..10 "cliff" (BENCH_NOTES r3)."""
 
 import sys
 from pathlib import Path
@@ -19,13 +23,21 @@ from fustpu.utils import benchmarks as B
 
 
 def main():
-    lo = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--align"]
+    align = "--align" in sys.argv
+    lo = int(args[0]) if len(args) > 0 else 2
+    hi = int(args[1]) if len(args) > 1 else 10
     dtype = jnp.float32
     base = B.sync_baseline()
     for P in range(lo, hi + 1):
         nc = 16 if P <= 9 else 12
-        mesh = build_box_mesh((nc, nc, nc), P)
+        ncz = nc
+        if align:
+            # ncz (<= nc) minimising the lane-pad ratio of ez = ncz*n
+            n = P + 1
+            ncz = min(range(2, nc + 1),
+                      key=lambda c: (-(-(c * n) // 128) * 128) / (c * n))
+        mesh = build_box_mesh((nc, nc, ncz), P)
         disc = Discretization(mesh, dtype)
         impl = resolve_stiffness_impl("auto", disc)
         x = jnp.asarray(np.random.default_rng(0).standard_normal(

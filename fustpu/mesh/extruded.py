@@ -156,7 +156,6 @@ def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
     layer = np.full(nc, -1, np.int64)
     foot_cols = np.empty((nc, 2, 2), np.int64)        # footprint by (a, b)
     found = np.zeros(nc, bool)
-    bits = [(4, "a"), (2, "b"), (1, "c")]
     for beta in (2, 0, 1):                            # c-bit most common
         pairs = _AXIS_PAIRS[beta]
         lo_ids = np.array([p[0] for p in pairs])

@@ -98,7 +98,7 @@ class ExtrudedShardedModel:
         smax = max(len(s) for s in stacks_of)
 
         # ---- per-device local rows + padded arrays ------------------------
-        rows_g, rows2d_loc, g_rows = [], [], []
+        rows_g, rows2d_loc = [], []
         for d in range(k):
             sub = mesh.rows2d[stacks_of[d]]            # (sd, n^2)
             uniq, inv = np.unique(sub, return_inverse=True)
