@@ -111,12 +111,28 @@ class WesterveltModel(WaveModelBase):
                                     dtype)
             self.c4_e = jnp.asarray(
                 mm.expand_cell_field(-delta / (rho * c * c), n), dtype)
+            self._pair = False
             if self.impl == "pallas":
-                # two operators with the coefficients folded in
-                self._stiff_op = (
-                    disc.pallas_op(coeff=-1.0 / rho, corner=self._corner),
-                    disc.pallas_op(coeff=-delta / (rho * c * c),
-                                   corner=self._corner))
+                from fustpu.ops import pallas_stiffness as ps
+
+                nn = mesh.degree + 1
+                single_slab = (not self._corner and ps.pallas_fits(
+                    nn, mesh.nc[1], mesh.nc[2], mesh.nc[2] * mesh.degree
+                    + 1))
+                if single_slab:
+                    # ONE fused pass for both stiffness terms, one
+                    # unit-coefficient G (instead of two folded copies)
+                    self._pair = True
+                    self._stiff_op = ps.build_pair(
+                        mesh.nc, mesh.degree, disc._D_host, disc._G_host,
+                        dtype, -1.0 / rho, -delta / (rho * c * c))
+                else:
+                    # y-partitioned / corner: two folded operators
+                    self._stiff_op = (
+                        disc.pallas_op(coeff=-1.0 / rho,
+                                       corner=self._corner),
+                        disc.pallas_op(coeff=-delta / (rho * c * c),
+                                       corner=self._corner))
             else:
                 self._stiff_op = disc.mm_op
 
@@ -240,6 +256,10 @@ class WesterveltModel(WaveModelBase):
                 x = (self.c3_scalar * u_flat
                      + self.c4_scalar * v_flat).reshape(g)
                 b = ps.stiffness_apply_pallas(params["stiff"], x, **kw)
+            elif getattr(self, "_pair", False):
+                b = ps.stiffness_apply_pallas_pair(
+                    params["stiff"], u_flat.reshape(g),
+                    v_flat.reshape(g), **kw)
             else:
                 op3, op4 = params["stiff"]
                 b = (ps.stiffness_apply_pallas(op3, u_flat.reshape(g), **kw)
@@ -250,9 +270,10 @@ class WesterveltModel(WaveModelBase):
             x = (self.c3_scalar * u_flat + self.c4_scalar * v_flat).reshape(g)
             b = mm.stiffness_apply_mm(params["stiff"], x)
         else:
-            b = (mm.stiffness_apply_mm(params["stiff"], u_flat.reshape(g),
-                                       coeff_e=params["c3_e"])
-                 + mm.stiffness_apply_mm(params["stiff"], v_flat.reshape(g),
-                                         coeff_e=params["c4_e"]))
+            # one contraction pass for both terms (coefficients commute
+            # with the in-cell contractions in the expanded layout)
+            b = mm.stiffness_apply_mm_pair(
+                params["stiff"], u_flat.reshape(g), v_flat.reshape(g),
+                params["c3_e"], params["c4_e"])
         return b.reshape(-1)
 

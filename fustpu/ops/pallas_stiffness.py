@@ -236,6 +236,206 @@ def _split_mats(op, precision):
 
 
 # ---------------------------------------------------------------------------
+# Pair kernel: y = A_c1(x1) + A_c2(x2) in ONE fused pass.  Per-cell
+# coefficients commute with the within-cell contractions in the expanded
+# layout, so the two fields combine right after window expansion
+# (u = c1_e*E(x1) + c2_e*E(x2)) and everything downstream runs once, with
+# ONE unit-coefficient G stream instead of two coefficient-folded copies.
+# This is the heterogeneous Westervelt stage (the reference launches two
+# stiffness kernels there, cuda/demo_nonlinear_bowl.py:618-625).
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class PallasStiffnessPair:
+    """Two-field operator: unit-coefficient G stream + a (ncx, 2, ncy,
+    ncz) per-cell coefficient block expanded in-kernel (0/1 matmul along
+    z, sublane repeat along y — the corner kernel's machinery)."""
+
+    def __init__(self, G, Wy, WzT, Dey, Dez, C, UzT, D_host: tuple):
+        self.G = G            # (ncx, n, 6, ey, ez)
+        self.Wy = Wy
+        self.WzT = WzT
+        self.Dey = Dey
+        self.Dez = Dez
+        self.C = C            # (ncx, 2, ncy, ncz)
+        self.UzT = UzT        # (ncz, ez) 0/1 cell->node expansion
+        self.D_host = D_host
+
+    def tree_flatten(self):
+        return ((self.G, self.Wy, self.WzT, self.Dey, self.Dez, self.C,
+                 self.UzT), self.D_host)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, D_host=aux)
+
+
+def build_pair(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
+               c1_cells: np.ndarray, c2_cells: np.ndarray
+               ) -> PallasStiffnessPair:
+    """c1/c2: per-cell coefficient fields (any shape broadcastable to
+    nc).  Only single-slab meshes (pallas_fits) — callers fall back to
+    two coefficient-folded operators otherwise."""
+    n = P + 1
+    ncx, ncy, ncz = nc
+    C = np.stack([np.broadcast_to(np.asarray(c, np.float64), nc)
+                  for c in (c1_cells, c2_cells)], axis=1)
+    UzT = np.zeros((ncz, ncz * n))
+    UzT[np.repeat(np.arange(ncz), n), np.arange(ncz * n)] = 1.0
+    return PallasStiffnessPair(
+        G=jnp.asarray(pack_G(G_cells, nc, n), dtype),
+        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
+        WzT=jnp.asarray(mm.window_matrix(ncz, P).T, dtype),
+        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
+        Dez=jnp.asarray(mm.deriv_block_matrix(ncz, D_1d), dtype),
+        C=jnp.asarray(C, dtype),
+        UzT=jnp.asarray(UzT, dtype),
+        D_host=tuple(map(tuple, np.asarray(D_1d, np.float64))),
+    )
+
+
+def _mk_kernel_pair(n: int, P: int, ncx: int, D: tuple, precision):
+    """Same plane-phased structure as _mk_kernel; the s==0 step expands
+    BOTH fields and combines them with the in-kernel-expanded per-cell
+    coefficients."""
+    D = tuple(tuple(float(v) for v in row) for row in D)
+    presplit = precision == "bf16x3"
+
+    def kernel(*refs):
+        x1_refs = refs[:n]
+        x2_refs = refs[n:2 * n]
+        if presplit:
+            (G_ref, C_ref, UzT_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref,
+             DezH_ref, DezL_ref, o_ref, u_sc, r_sc, xc_sc,
+             ce_sc) = refs[2 * n:]
+            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
+                            (DeyH_ref[...], DeyL_ref[...]),
+                            (DezH_ref[...], DezL_ref[...]))
+        else:
+            (G_ref, C_ref, UzT_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref,
+             o_ref, u_sc, r_sc, xc_sc, ce_sc) = refs[2 * n:]
+            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                            Dez_ref[...])
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
+
+        @pl.when(jnp.logical_and(i < ncx, s == 0))
+        def _expand():
+            Wy, WzT, _, _ = mats()
+            UzT_ = UzT_ref[...]
+            for m in range(2):
+                cell = matmul(C_ref[0, m], UzT_, C10, b_exact=True)
+                ce_sc[m] = jnp.repeat(cell, n, axis=0)
+            for p in range(n):
+                t1 = matmul(Wy, x1_refs[p][0], C10, a_exact=True)
+                u1 = matmul(t1, WzT, C10, b_exact=True)
+                t2 = matmul(Wy, x2_refs[p][0], C10, a_exact=True)
+                u2 = matmul(t2, WzT, C10, b_exact=True)
+                u_sc[p] = ce_sc[0] * u1 + ce_sc[1] * u2
+            r_sc[...] = jnp.zeros(r_sc.shape, r_sc.dtype)
+
+        for q in range(n):
+            @pl.when(jnp.logical_and(i < ncx, s == q))
+            def _plane(q=q):
+                _, _, Dey, Dez = mats()
+                u_q = u_sc[q]
+                wx = None
+                for r in range(n):
+                    term = D[q][r] * u_sc[r]
+                    wx = term if wx is None else wx + term
+                wy = matmul(Dey, u_q, C10)
+                wz = matmul(u_q, Dez, ((1,), (1,)))
+                G = lambda m: G_ref[0, 0, m]
+                f0 = G(0) * wx + G(1) * wy + G(2) * wz
+                f1 = G(1) * wx + G(3) * wy + G(4) * wz
+                f2 = G(2) * wx + G(4) * wy + G(5) * wz
+                ryz = matmul(Dey, f1, ((0,), (0,))) + matmul(f2, Dez, C10)
+                for p in range(n):
+                    add = D[q][p] * f0 + (ryz if p == q else 0.0)
+                    r_sc[p] += add
+
+        @pl.when(jnp.logical_and(i < ncx, s == n - 1))
+        def _fold():
+            Wy, WzT, _, _ = mats()
+            for p in range(n):
+                z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
+                F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
+                if p == 0:
+                    o_ref[0] = F + jnp.where(i > 0, xc_sc[...],
+                                             jnp.zeros(F.shape, f32))
+                elif p < P:
+                    o_ref[p] = F
+                else:
+                    xc_sc[...] = F
+
+        @pl.when(jnp.logical_and(i == ncx, s == n - 1))
+        def _flush():
+            o_ref[0] = xc_sc[...]
+            for p in range(1, P):
+                o_ref[p] = jnp.zeros_like(xc_sc)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def stiffness_apply_pallas_pair(op: PallasStiffnessPair, x1: jax.Array,
+                                x2: jax.Array, interpret: bool = False,
+                                precision="auto") -> jax.Array:
+    """y_grid = A_c1(x1) + A_c2(x2), one fused pass."""
+    if precision == "auto":
+        precision = _HI if x1.dtype == jnp.float64 else "bf16x3"
+    ncx, n, _, ey, ez = op.G.shape
+    gx, gy, gz = x1.shape
+    P = n - 1
+    ncy, ncz = ey // n, ez // n
+    if not pallas_fits(n, ncy, ncz, gz):
+        raise ValueError(
+            "no VMEM-feasible tiling for this mesh; use the mm path")
+
+    def x_spec(p):
+        return pl.BlockSpec(
+            (1, gy, gz),
+            lambda i, s, p=p: (jnp.minimum(i * P + p, gx - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def g_index(i, s):
+        return (jnp.minimum(i, ncx - 1),
+                jnp.where(i == ncx, n - 1, s), 0, 0, 0)
+
+    kernel = _mk_kernel_pair(n, P, ncx, op.D_host, precision)
+    vmem = pltpu.VMEM
+    dtype = x1.dtype
+    mats = _split_mats(op, precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncx + 1, n),
+        in_specs=[x_spec(p) for p in range(n)] * 2 + [
+            pl.BlockSpec((1, 1, 6, ey, ez), g_index, memory_space=vmem),
+            pl.BlockSpec((1, 2, ncy, ncz),
+                         lambda i, s: (jnp.minimum(i, ncx - 1), 0, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),       # UzT
+        ] + [pl.BlockSpec(memory_space=vmem) for _ in mats],
+        out_specs=pl.BlockSpec((P, gy, gz), lambda i, s: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct(((ncx + 1) * P, gy, gz), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, ey, ez), dtype),    # combined u planes
+            pltpu.VMEM((n, ey, ez), dtype),    # reverse accumulators
+            pltpu.VMEM((gy, gz), dtype),       # x overlap carry
+            pltpu.VMEM((2, ey, ez), dtype),    # expanded coefficients
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*([x1] * n), *([x2] * n), op.G, op.C, op.UzT, *mats)
+    return out[:gx]
+
+
+# ---------------------------------------------------------------------------
 # Corner-streamed kernel: recompute G in VMEM from per-cell trilinear
 # Jacobian coefficients (36 floats/cell + 1 material coefficient) instead of
 # streaming 6 floats per quadrature point.  At P=4 the G stream is 85% of

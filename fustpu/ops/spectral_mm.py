@@ -170,6 +170,26 @@ def _fold_axis0_np(A: np.ndarray, P: int) -> np.ndarray:
     return out
 
 
+def stiffness_apply_mm_pair(op: MMStiffness, x1: jax.Array, x2: jax.Array,
+                            c1_e: jax.Array, c2_e: jax.Array) -> jax.Array:
+    """y = A_c1(x1) + A_c2(x2) in ONE contraction pass.
+
+    Per-cell coefficients are constant within each cell, so they commute
+    with the within-cell derivative contractions once the fields are in
+    the expanded (windowed) layout: combine u = c1_e*E(x1) + c2_e*E(x2)
+    there and run a single unit-coefficient middle+fold.  Halves the
+    heavy work of the heterogeneous Westervelt stage, which needs
+    A_{-1/rho}(u) + A_{-delta/(rho c^2)}(v) (the reference launches two
+    stiffness kernels, cuda/demo_nonlinear_bowl.py:618-625)."""
+    u = expand(op, x1) * c1_e + expand(op, x2) * c2_e
+    w = [_axis_mm(op.Dt[ax], u, ax) for ax in range(3)]
+    G = op.G
+    idx = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+    f = [G[a] * w[0] + G[b] * w[1] + G[c] * w[2] for a, b, c in idx]
+    r = sum(_axis_mm(op.Dt[ax], f[ax], ax, transpose=True) for ax in range(3))
+    return fold(op, r)
+
+
 def mass_diagonal(nc, P: int, detJ_cells: np.ndarray,
                   coeff: np.ndarray | None = None) -> np.ndarray:
     """The assembled (global) mass diagonal, float64 host: fold of

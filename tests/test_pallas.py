@@ -194,3 +194,44 @@ def test_build_auto_force_parts_single_slab():
     err = (np.linalg.norm(np.asarray(y) - np.asarray(y_ref))
            / np.linalg.norm(np.asarray(y_ref)))
     assert err < 1e-12, err
+
+
+def test_pallas_pair_matches_two_ops():
+    """Pair kernel (one fused pass, unit-coefficient G) == two
+    coefficient-folded applies, f64 exact and bf16x3 within the
+    validated budget."""
+    P = 3
+    mesh = build_box_mesh((3, 4, 2), P, perturb=0.12, seed=5)
+    _, G = pre.cell_geometry_factors(mesh)
+    elem = HexElement(P)
+    rng = np.random.default_rng(0)
+    c1 = rng.uniform(0.5, 2.0, mesh.nc)
+    c2 = rng.uniform(-1.5, -0.5, mesh.nc)
+    x1 = jnp.asarray(rng.standard_normal(mesh.grid_shape))
+    x2 = jnp.asarray(rng.standard_normal(mesh.grid_shape))
+    op1 = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                             coeff=c1)
+    op2 = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64,
+                             coeff=c2)
+    yr = mm.stiffness_apply_mm(op1, x1) + mm.stiffness_apply_mm(op2, x2)
+    opp = ps.build_pair(mesh.nc, P, elem.deriv_1d, G, jnp.float64, c1, c2)
+    yp = ps.stiffness_apply_pallas_pair(opp, x1, x2, interpret=True,
+                                        precision=ps._HI)
+    err = float(jnp.linalg.norm(yp - yr) / jnp.linalg.norm(yr))
+    assert err < 1e-12, err
+    # mm pair formulation too
+    opu = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G, jnp.float64)
+    c1e = jnp.asarray(mm.expand_cell_field(c1, P + 1))
+    c2e = jnp.asarray(mm.expand_cell_field(c2, P + 1))
+    ym = mm.stiffness_apply_mm_pair(opu, x1, x2, c1e, c2e)
+    err = float(jnp.linalg.norm(ym - yr) / jnp.linalg.norm(yr))
+    assert err < 1e-12, err
+    # bf16x3 accuracy
+    opp32 = ps.build_pair(mesh.nc, P, elem.deriv_1d, G, jnp.float32,
+                          c1, c2)
+    y32 = ps.stiffness_apply_pallas_pair(
+        opp32, jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32),
+        interpret=True, precision="bf16x3")
+    err = float(jnp.linalg.norm(y32.astype(jnp.float64) - yr)
+                / jnp.linalg.norm(yr))
+    assert err < 3e-5, err
