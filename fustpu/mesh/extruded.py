@@ -135,20 +135,28 @@ def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
     tol = (float(np.linalg.norm(hi - lo)) or 1.0) * tol_rel
     tr = [d for d in range(3) if d != axis]           # transverse axes
 
-    col_id, ncols = cluster_points(verts[:, tr], tol)
-    counts = np.bincount(col_id, minlength=ncols)
+    # cluster only vertices referenced by cells (imported files may carry
+    # orphan nodes from point/line elements — they must not break the
+    # column structure)
+    used = np.zeros(len(verts), bool)
+    used[cells.reshape(-1)] = True
+    uidx = np.nonzero(used)[0]
+    col_of_used, ncols = cluster_points(verts[uidx][:, tr], tol)
+    col_id = np.full(len(verts), -1, np.int64)
+    col_id[uidx] = col_of_used
+    counts = np.bincount(col_of_used, minlength=ncols)
     if counts.min() != counts.max() or counts[0] < 2:
         return None
     nvz = int(counts[0])
     nz = nvz - 1
-    # rank of each vertex within its column (by the axis coordinate)
-    order = np.lexsort((verts[:, axis], col_id))
-    rank = np.empty(len(verts), np.int64)
-    rank[order] = np.arange(len(verts)) - np.repeat(
+    # rank of each used vertex within its column (by the axis coordinate)
+    order = uidx[np.lexsort((verts[uidx, axis], col_of_used))]
+    rank = np.full(len(verts), -1, np.int64)
+    rank[order] = np.arange(len(uidx)) - np.repeat(
         np.arange(ncols) * nvz, nvz)
     # (column, rank) -> vertex id
     vtab = np.empty((ncols, nvz), np.int64)
-    vtab[col_id, rank] = np.arange(len(verts))
+    vtab[col_id[order], rank[order]] = order
 
     colc = col_id[cells]                              # (nc, 8)
     rankc = rank[cells]

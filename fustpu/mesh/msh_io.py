@@ -313,7 +313,10 @@ def _parse_binary41(data: bytes, path: str):
     coords = np.empty((int(nnodes), 3))
     at = 0
     for _ in range(int(nblk)):
-        _, off = ints(off, 3)                         # dim, tag, parametric
+        (_, _, parametric), off = ints(off, 3)
+        if parametric:
+            raise ValueError(
+                f"{path}: parametric node blocks are not supported")
         (nn,), off = szts(off, 1)
         ids, off = szts(off, int(nn))
         xyz, off = dbls(off, 3 * int(nn))

@@ -584,6 +584,41 @@ class IndexedShardedModel:
             b = b + v * d["fvec"]
         return b / mm_
 
+    def probe_fn(self, points):
+        """Traced per-step sampler: the lowest device owning ALL of a
+        point's cell DOFs contributes; psum replicates the trace."""
+        from fustpu.mesh.unstructured import UPointSampler
+
+        smp = UPointSampler(self.mesh, points)
+        gdofs = smp._dofs                              # (npts, n^3) global
+        npts = gdofs.shape[0]
+        g2l = np.full((self.k, self.mesh.ndofs), -1, np.int64)
+        for d in range(self.k):
+            g2l[d, self.gids[d][self.gmask[d]]] = np.nonzero(
+                self.gmask[d])[0]
+        owner = np.full(npts, -1, np.int64)
+        ldofs = np.zeros((self.k, npts, gdofs.shape[1]), np.int32)
+        for d in range(self.k):
+            ld = g2l[d, gdofs]
+            ok = (ld >= 0).all(axis=1)
+            newly = ok & (owner < 0)
+            owner[newly] = d
+            ldofs[d][ok] = ld[ok].astype(np.int32)
+        if (owner < 0).any():
+            raise ValueError("probe point spans no single device")
+        own_d = jnp.asarray(owner)
+        ld = jnp.asarray(ldofs)
+        w = jnp.asarray(smp._w)
+
+        def probe(u_loc):
+            mine = jax.lax.axis_index(AXIS)
+            vals = jnp.einsum("pq,pq->p", u_loc[ld[mine]],
+                              w.astype(u_loc.dtype))
+            vals = jnp.where(own_d == mine, vals, 0.0)
+            return jax.lax.psum(vals, AXIS)
+
+        return probe
+
     def collect(self, dist_field) -> np.ndarray:
         if not dist_field.is_fully_addressable:
             from jax.experimental import multihost_utils

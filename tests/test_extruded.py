@@ -172,3 +172,15 @@ def test_extruded_bf16x3_accuracy():
     err = (np.linalg.norm(np.asarray(y32, np.float64) - np.asarray(y64))
            / np.linalg.norm(np.asarray(y64)))
     assert err < 2e-5, err
+
+
+def test_detection_ignores_orphan_vertices():
+    """Imported files can carry nodes referenced only by point/line
+    elements; they must not break the vertex-column structure."""
+    import dataclasses
+
+    bm = build_box_mesh((3, 2, 4), 3)
+    um = from_box(bm, shuffle_seed=11)
+    verts2 = np.vstack([um.vertices, [[9.9, 9.9, 9.9], [1.2, 4.5, 6.7]]])
+    ex = as_extruded(dataclasses.replace(um, vertices=verts2))
+    assert ex is not None

@@ -347,3 +347,29 @@ def test_sharded_nonprismatic_unstructured(k):
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
+
+
+def test_sharded_nonprismatic_probe():
+    """In-scan probes on the generic indexed sharded model match the
+    single-device UPointSampler traces."""
+    from fustpu.mesh.unstructured import UPointSampler, from_box
+    from fustpu.parallel.extruded import shard_unstructured
+
+    bm = build_box_mesh((4, 3, 3), 3, perturb=0.15, seed=4,
+                        hi=(0.006,) * 3)
+    um = from_box(bm, shuffle_seed=9)
+    mat = Material(sound_speed=1480.0, density=1000.0)
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    ext = um.boundary_facets()
+    cen = um.facet_centroids(ext)
+    m = LinearWaveModel(um, mat, src, ext[cen[:, 0] < 1e-9],
+                        ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
+    dt, _ = m.cfl_dt(0.4)
+    pts = np.array([[0.002, 0.003, 0.003], [0.004, 0.002, 0.004]])
+    pfn = UPointSampler(um, pts).jax_probe()
+    _, ys = m.solve(m.init_state(), dt, 10, probe=lambda s: pfn(s.u))
+    sm = shard_unstructured(m, num_devices=8)
+    _, dys = sm.solve(sm.init_state(), dt, 10, probe=sm.probe_fn(pts))
+    err = (np.linalg.norm(np.asarray(ys) - np.asarray(dys))
+           / max(np.linalg.norm(np.asarray(ys)), 1e-300))
+    assert err < 1e-12, err
