@@ -233,10 +233,11 @@ class WesterveltModel(WaveModelBase):
                 # both stiffness terms in ONE apply (linearity)
                 x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
                 return ops.stiffness_apply_extruded(x, params["stiff"], nd)
-            return (ops.stiffness_apply_extruded(
-                        u_flat, params["stiff"], nd, params["c3_x"])
-                    + ops.stiffness_apply_extruded(
-                        v_flat, params["stiff"], nd, params["c4_x"]))
+            # one factorized pass for both terms (coefficients commute
+            # with the in-cell contractions in the expanded layout)
+            return ops.stiffness_apply_extruded_pair(
+                u_flat, v_flat, params["stiff"], nd,
+                params["c3_x"], params["c4_x"])
         if self.impl == "indexed":
             from fustpu.ops import operators as ops
 

@@ -220,6 +220,43 @@ def stiffness_apply_extruded(x_flat: jax.Array, op: ExtrudedStiffness,
     return y2.reshape(-1)
 
 
+def stiffness_apply_extruded_pair(x1: jax.Array, x2: jax.Array,
+                                  op: ExtrudedStiffness, ndofs: int,
+                                  c1_e: jax.Array, c2_e: jax.Array,
+                                  precision="auto") -> jax.Array:
+    """y = A_c1(x1) + A_c2(x2) in one factorized pass: per-cell
+    coefficients commute with the within-cell contractions once the
+    fields are in the gathered/expanded layout, so the two fields
+    combine right after the z-window (the heterogeneous Westervelt
+    stage; see stiffness_apply_mm_pair)."""
+    if precision == "auto":
+        precision = _PRECISION
+    mm = _mk_einsum(precision, x1.dtype)
+    gz = op.Wz.shape[1]
+    _, ns, n, _, ez = op.G6.shape
+    g1 = x1.reshape(-1, gz)[op.rows]
+    g2 = x2.reshape(-1, gz)[op.rows]
+    u = (mm("ez,qz->qe", op.Wz, g1, a_exact=True).reshape(ns, n, n, ez)
+         * c1_e
+         + mm("ez,qz->qe", op.Wz, g2, a_exact=True).reshape(ns, n, n, ez)
+         * c2_e)
+    wx = mm("ai,qije->qaje", op.D, u)
+    wy = mm("bj,qije->qibe", op.D, u)
+    wz = mm("fe,qije->qijf", op.Dz, u)
+    G = op.G6
+    f0 = G[0] * wx + G[1] * wy + G[2] * wz
+    f1 = G[1] * wx + G[3] * wy + G[4] * wz
+    f2 = G[2] * wx + G[4] * wy + G[5] * wz
+    r = mm("ai,qaje->qije", op.D, f0)
+    r = r + mm("bj,qibe->qije", op.D, f1)
+    r = r + mm("fe,qijf->qije", op.Dz, f2)
+    vals = mm("ez,qije->qijz", op.Wz, r,
+              a_exact=True).reshape(ns * n * n, gz)
+    y2 = jnp.zeros((ndofs // gz, gz), x1.dtype)
+    y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
+    return y2.reshape(-1)
+
+
 def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             coeff: jax.Array, dofmap: jax.Array,
                             D: jax.Array, ndofs: int) -> jax.Array:

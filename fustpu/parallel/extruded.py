@@ -274,9 +274,8 @@ class ExtrudedShardedModel:
             x = m.c3_scalar * u2 + m.c4_scalar * v2
             b = xops.stiffness_apply_extruded(flat(x), op, nd)
         else:
-            b = (xops.stiffness_apply_extruded(flat(u2), op, nd, d["c3_x"])
-                 + xops.stiffness_apply_extruded(flat(v2), op, nd,
-                                                 d["c4_x"]))
+            b = xops.stiffness_apply_extruded_pair(
+                flat(u2), flat(v2), op, nd, d["c3_x"], d["c4_x"])
         b = self._exchange(ctx, b.reshape(shp))
         b = b - (v2 * v2) * d["mvec2"]
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
