@@ -118,7 +118,7 @@ class WesterveltModel(WaveModelBase):
                 nn = mesh.degree + 1
                 single_slab = (not self._corner and ps.pallas_fits(
                     nn, mesh.nc[1], mesh.nc[2], mesh.nc[2] * mesh.degree
-                    + 1))
+                    + 1, pair=True))
                 if single_slab:
                     # ONE fused pass for both stiffness terms, one
                     # unit-coefficient G (instead of two folded copies)

@@ -738,10 +738,16 @@ def _vmem_bytes(n, ncy, ncz, gy, gz, itemsize=4, corner=False) -> int:
     return u + racc + g_blk + x_in + out + xc + mats + temps
 
 
-def pallas_fits(n, ncy, ncz, gz, corner=False) -> bool:
+def pallas_fits(n, ncy, ncz, gz, corner=False, pair=False) -> bool:
     P = n - 1
     gy = ncy * P + 1
-    return _vmem_bytes(n, ncy, ncz, gy, gz, corner=corner) < 14 * 2**20
+    need = _vmem_bytes(n, ncy, ncz, gy, gz, corner=corner)
+    if pair:
+        # pair kernel: 2 coefficient scratch planes + doubled x-plane IO
+        ey, ez = ncy * n, ncz * n
+        need += (2 * _pad(ey, 8) * _pad(ez, 128)
+                 + 2 * n * _pad(gy, 8) * _pad(gz, 128)) * 4
+    return need < 14 * 2**20
 
 
 def _slab_sizes(ncy: int, k: int) -> list:
