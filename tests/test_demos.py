@@ -58,3 +58,10 @@ def test_demo_sharded_box_cli(tmp_path):
     assert "Solve time per step" in out
     assert list(tmp_path.glob("s_sharded_box_probe.txt")), "probe missing"
     assert list(tmp_path.glob("s_sharded_box.vtk")), "vtk missing"
+
+
+def test_demo_nonlinear_box_two_layer():
+    """Heterogeneous (two-layer) Westervelt through the demo CLI."""
+    out = run_demo("demo_nonlinear_box.py", "--two-layer")
+    assert "two-layer medium" in out
+    assert "Solve time per step" in out
