@@ -121,6 +121,7 @@ class ShardedModel:
         self.impl = stiffness_impl or getattr(model, "impl", "mm")
         from fustpu.ops import pallas_stiffness as ps
 
+        self._pair = False
         # per-device y-slab partition for the fused kernel: if the local
         # block doesn't fit the single-slab VMEM budget, run the kernel
         # per y-slab (PallasStiffnessSplit) — mm only when no partition
@@ -174,11 +175,29 @@ class ShardedModel:
                     coeffs = [-1.0 / rho_f,
                               -delta_f / (rho_f * c_f * c_f)]
             G_pad = pad_cells_flat(disc._G_host)
-            for k, cf in enumerate(coeffs):
-                cf_pad = None if cf is None else pad_cell3(
-                    np.broadcast_to(cf, mesh.nc))
-                Gp = ps.pack_G(G_pad, nc, n, coeff=cf_pad)
-                dist[f"Gp{k}"] = grid.put(_split_pallas_G(Gp, S), dtype)
+            # heterogeneous Westervelt on single-slab devices: ONE
+            # unit-coefficient G tile + a per-cell coefficient block, and
+            # the stage runs the pair kernel (see pallas_stiffness)
+            self._pair = (len(coeffs) == 2 and self._y_sizes is None)
+            if self._pair:
+                dist["Gp0"] = grid.put(
+                    _split_pallas_G(ps.pack_G(G_pad, nc, n), S), dtype)
+                C = np.stack([pad_cell3(np.broadcast_to(cf, mesh.nc))
+                              for cf in coeffs], axis=1)  # (ncx,2,ncy,ncz)
+                lx, ly, lz = self.lc
+                Cs = C.reshape(S[0], lx, 2, S[1], ly, S[2], lz)
+                dist["Cp"] = grid.put(np.ascontiguousarray(
+                    Cs.transpose(0, 3, 5, 1, 2, 4, 6)), dtype)
+                UzT = np.zeros((lz, lz * n))
+                UzT[np.repeat(np.arange(lz), n), np.arange(lz * n)] = 1.0
+                repl["UzT"] = repl_put(UzT)
+            else:
+                for k, cf in enumerate(coeffs):
+                    cf_pad = None if cf is None else pad_cell3(
+                        np.broadcast_to(cf, mesh.nc))
+                    Gp = ps.pack_G(G_pad, nc, n, coeff=cf_pad)
+                    dist[f"Gp{k}"] = grid.put(_split_pallas_G(Gp, S),
+                                              dtype)
         else:
             # local (per-device) matmul-form matrices — same on every device
             repl["W"] = tuple(
@@ -264,6 +283,20 @@ class ShardedModel:
                             G=ctx["dist"]["G"])
         return mm.stiffness_apply_mm(op, x, coeff_e=coeff_e)
 
+    def _local_pair_stiffness(self, ctx, u, v):
+        from fustpu.ops import pallas_stiffness as ps
+
+        op = ps.PallasStiffnessPair(
+            G=ctx["dist"]["Gp0"], Wy=ctx["repl"]["Wy0"],
+            WzT=ctx["repl"]["WzT"], Dey=ctx["repl"]["Dey0"],
+            Dez=ctx["repl"]["Dez"], C=ctx["dist"]["Cp"],
+            UzT=ctx["repl"]["UzT"], D_host=self._D_host)
+        kw = {}
+        if getattr(self.model, "_pallas_precision", None) is not None:
+            kw["precision"] = self.model._pallas_precision
+        return ps.stiffness_apply_pallas_pair(
+            op, u, v, interpret=self._pallas_interpret, **kw)
+
     def _local_rhs(self, ctx, t, u, v):
         d = ctx["dist"]
         model = self.model
@@ -288,6 +321,8 @@ class ShardedModel:
         if model.uniform:
             b = self._local_stiffness(
                 ctx, model.c3_scalar * u + model.c4_scalar * v)
+        elif self.impl == "pallas" and self._pair:
+            b = self._local_pair_stiffness(ctx, u, v)
         elif self.impl == "pallas":
             b = (self._local_stiffness(ctx, u, op_idx=0)
                  + self._local_stiffness(ctx, v, op_idx=1))

@@ -373,3 +373,31 @@ def test_sharded_nonprismatic_probe():
     err = (np.linalg.norm(np.asarray(ys) - np.asarray(dys))
            / max(np.linalg.norm(np.asarray(ys)), 1e-300))
     assert err < 1e-12, err
+
+
+def test_sharded_heterogeneous_pallas_pair():
+    """Heterogeneous Westervelt sharded on the per-device PAIR kernel
+    (one unit-G pass + per-cell coefficient block per stage) ==
+    single-device at 1e-12, including ghost padding (non-dividing
+    cells)."""
+    nc = (5, 4, 2)
+    mesh = build_box_mesh(nc, 3, hi=(0.006,) * 3)
+    cs = np.full(nc, 1480.0)
+    cs[2:] = 1600.0
+    rho = np.full(nc, 1000.0)
+    rho[2:] = 1060.0
+    mat = Material(sound_speed=cs, density=rho, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    model = WesterveltModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            mesh.all_boundary_facets(),
+                            dtype=jnp.float64, stiffness_impl="mm")
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 12)
+    sm = ShardedModel(model, sh.DeviceGrid.create((2, 2, 2)),
+                      stiffness_impl="pallas")
+    assert sm._pair and any(sm.cell_pad)
+    ss, _ = sm.solve(sm.init_state(), dt, 12)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u))
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
