@@ -188,33 +188,39 @@ def stiffness_apply_extruded(x_flat: jax.Array, op: ExtrudedStiffness,
                              precision="auto") -> jax.Array:
     """y_flat = A_stiff(x_flat) on a factorized (n2d, gz) DOF layout.
     `coeff_e`: optional (ns, 1, 1, ez) per-cell coefficient
-    (expand_coeff_extruded).  `precision`: "auto" = full precision —
-    measured on TPU, the bf16x3 decomposition HELPS small meshes (piston
-    627k: 1.94 -> 1.76 ms/step) but HURTS production ones (bowl 6.7M:
-    26 -> 32 ms/step; the hi/lo split passes add HBM traffic to
-    bandwidth-bound einsums), so it stays opt-in (BENCH_NOTES r3)."""
+    (expand_coeff_extruded).  `precision`: "auto" = full precision.
+    Both cheaper schemes are measured NET LOSSES at production size and
+    stay opt-in: "bf16x3" (all contractions decomposed; bowl 26->32
+    ms/step) and "mixed" (decompose only the O(ez)-deep z contractions;
+    bowl 26->28) — the apply is HBM-traffic-bound, so the hi/lo split
+    passes cost more than the MXU emulation they avoid (BENCH_NOTES
+    r3)."""
     if precision == "auto":
         precision = _PRECISION
-    mm = _mk_einsum(precision, x_flat.dtype)
+    if precision == "mixed":
+        mmz = _mk_einsum("bf16x3", x_flat.dtype)
+        mmd = _mk_einsum(_PRECISION, x_flat.dtype)
+    else:
+        mmz = mmd = _mk_einsum(precision, x_flat.dtype)
     gz = op.Wz.shape[1]
     _, ns, n, _, ez = op.G6.shape
     x2 = x_flat.reshape(-1, gz)
     g = x2[op.rows]                                   # (ns*n^2, gz) rows
-    u = mm("ez,qz->qe", op.Wz, g, a_exact=True).reshape(ns, n, n, ez)
-    wx = mm("ai,qije->qaje", op.D, u)
-    wy = mm("bj,qije->qibe", op.D, u)
-    wz = mm("fe,qije->qijf", op.Dz, u)
+    u = mmz("ez,qz->qe", op.Wz, g, a_exact=True).reshape(ns, n, n, ez)
+    wx = mmd("ai,qije->qaje", op.D, u)
+    wy = mmd("bj,qije->qibe", op.D, u)
+    wz = mmz("fe,qije->qijf", op.Dz, u)
     G = op.G6
     f0 = G[0] * wx + G[1] * wy + G[2] * wz
     f1 = G[1] * wx + G[3] * wy + G[4] * wz
     f2 = G[2] * wx + G[4] * wy + G[5] * wz
     if coeff_e is not None:
         f0, f1, f2 = f0 * coeff_e, f1 * coeff_e, f2 * coeff_e
-    r = mm("ai,qaje->qije", op.D, f0)
-    r = r + mm("bj,qibe->qije", op.D, f1)
-    r = r + mm("fe,qijf->qije", op.Dz, f2)
-    vals = mm("ez,qije->qijz", op.Wz, r,
-              a_exact=True).reshape(ns * n * n, gz)
+    r = mmd("ai,qaje->qije", op.D, f0)
+    r = r + mmd("bj,qibe->qije", op.D, f1)
+    r = r + mmz("fe,qijf->qije", op.Dz, f2)
+    vals = mmz("ez,qije->qijz", op.Wz, r,
+               a_exact=True).reshape(ns * n * n, gz)
     y2 = jnp.zeros((ndofs // gz, gz), x_flat.dtype)
     y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
     return y2.reshape(-1)
@@ -228,30 +234,35 @@ def stiffness_apply_extruded_pair(x1: jax.Array, x2: jax.Array,
     coefficients commute with the within-cell contractions once the
     fields are in the gathered/expanded layout, so the two fields
     combine right after the z-window (the heterogeneous Westervelt
-    stage; see stiffness_apply_mm_pair)."""
+    stage; see stiffness_apply_mm_pair).  `precision` as in
+    stiffness_apply_extruded."""
     if precision == "auto":
         precision = _PRECISION
-    mm = _mk_einsum(precision, x1.dtype)
+    if precision == "mixed":
+        mmz = _mk_einsum("bf16x3", x1.dtype)
+        mmd = _mk_einsum(_PRECISION, x1.dtype)
+    else:
+        mmz = mmd = _mk_einsum(precision, x1.dtype)
     gz = op.Wz.shape[1]
     _, ns, n, _, ez = op.G6.shape
     g1 = x1.reshape(-1, gz)[op.rows]
     g2 = x2.reshape(-1, gz)[op.rows]
-    u = (mm("ez,qz->qe", op.Wz, g1, a_exact=True).reshape(ns, n, n, ez)
+    u = (mmz("ez,qz->qe", op.Wz, g1, a_exact=True).reshape(ns, n, n, ez)
          * c1_e
-         + mm("ez,qz->qe", op.Wz, g2, a_exact=True).reshape(ns, n, n, ez)
+         + mmz("ez,qz->qe", op.Wz, g2, a_exact=True).reshape(ns, n, n, ez)
          * c2_e)
-    wx = mm("ai,qije->qaje", op.D, u)
-    wy = mm("bj,qije->qibe", op.D, u)
-    wz = mm("fe,qije->qijf", op.Dz, u)
+    wx = mmd("ai,qije->qaje", op.D, u)
+    wy = mmd("bj,qije->qibe", op.D, u)
+    wz = mmz("fe,qije->qijf", op.Dz, u)
     G = op.G6
     f0 = G[0] * wx + G[1] * wy + G[2] * wz
     f1 = G[1] * wx + G[3] * wy + G[4] * wz
     f2 = G[2] * wx + G[4] * wy + G[5] * wz
-    r = mm("ai,qaje->qije", op.D, f0)
-    r = r + mm("bj,qibe->qije", op.D, f1)
-    r = r + mm("fe,qijf->qije", op.Dz, f2)
-    vals = mm("ez,qije->qijz", op.Wz, r,
-              a_exact=True).reshape(ns * n * n, gz)
+    r = mmd("ai,qaje->qije", op.D, f0)
+    r = r + mmd("bj,qibe->qije", op.D, f1)
+    r = r + mmz("fe,qijf->qije", op.Dz, f2)
+    vals = mmz("ez,qije->qijz", op.Wz, r,
+               a_exact=True).reshape(ns * n * n, gz)
     y2 = jnp.zeros((ndofs // gz, gz), x1.dtype)
     y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
     return y2.reshape(-1)
