@@ -8,6 +8,8 @@ Variants (same grid, block specs, scratch and carry structure):
            the 6 G loads + metric transform, and the accumulator updates
   mxu    — the 4 per-plane matmuls + window expand/fold only; the
            pointwise transform replaced by pass-through
+  ywin   — full math, but the y-axis window expand/fold run as exact
+           sublane reshape/concat VPU ops instead of 0/1 matmuls
 
     python demos/exp_kernel_anatomy.py [--nc 32] [--degree 4]
 """
@@ -47,12 +49,38 @@ def make_variant(op, x, variant, precision="bf16x3"):
         matmul = ps._mk_matmul(precision, f32)
         C10 = ((1,), (0,))
 
+        ncy = ey // n
+
+        def ywin_expand(xp):
+            # (gy, gz) -> (ey, gz): overlapping y windows via sublane
+            # reshape/concat (rows b*P..b*P+P per block; the shared end
+            # row is row (b+1)*P of the shifted view — exact, no matmul)
+            a = xp[:gy - 1].reshape(ncy, P, gz)
+            b = xp[1:].reshape(ncy, P, gz)[:, P - 1:P]
+            return jnp.concatenate([a, b], axis=1).reshape(ey, gz)
+
+        def ywin_fold(z):
+            # (ey, gz) -> (gy, gz): overlap-add (adjoint of ywin_expand)
+            A = z.reshape(ncy, n, gz)
+            main = A[:, :P].reshape(ncy * P, gz)
+            main = jnp.concatenate(
+                [main, jnp.zeros((1, gz), z.dtype)], axis=0)
+            ends = jnp.concatenate(
+                [jnp.zeros((ncy, P - 1, gz), z.dtype), A[:, P:]], axis=1)
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, gz), z.dtype),
+                 ends.reshape(ncy * P, gz)], axis=0)
+            return main + shifted
+
         @pl.when(jnp.logical_and(i < ncx, s == 0))
         def _expand():
             Wy, WzT, _, _ = mats()
             for p in range(n):
                 if variant == "vpu":
                     u_sc[p] = G_ref[0, 0, 0] + 0.0
+                elif variant == "ywin":
+                    t = ywin_expand(x_refs[p][0])
+                    u_sc[p] = matmul(t, WzT, C10, b_exact=True)
                 else:
                     t = matmul(Wy, x_refs[p][0], C10, a_exact=True)
                     u_sc[p] = matmul(t, WzT, C10, b_exact=True)
@@ -63,7 +91,7 @@ def make_variant(op, x, variant, precision="bf16x3"):
             def _plane(q=q):
                 _, _, Dey, Dez = mats()
                 u_q = u_sc[q]
-                if variant in ("full", "vpu"):
+                if variant != "mxu":
                     wx = None
                     for r in range(n):
                         term = D[q][r] * u_sc[r]
@@ -99,6 +127,9 @@ def make_variant(op, x, variant, precision="bf16x3"):
             for p in range(n):
                 if variant == "vpu":
                     F = r_sc[p][:gy, :gz]
+                elif variant == "ywin":
+                    z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
+                    F = ywin_fold(z)
                 else:
                     z = matmul(r_sc[p], WzT, ((1,), (1,)), b_exact=True)
                     F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
@@ -161,6 +192,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nc", type=int, default=32)
     p.add_argument("--degree", type=int, default=4)
+    p.add_argument("--variants", default="",
+                   help="comma list (default: all)")
     args = p.parse_args()
 
     mesh = build_box_mesh((args.nc,) * 3, args.degree)
@@ -170,17 +203,25 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         mesh.grid_shape), jnp.float32)
     base = B.sync_baseline()
-    times = {}
-    for variant in ("full", "vpu", "mxu"):
+    times, outs = {}, {}
+    variants = (tuple(args.variants.split(","))
+                if args.variants else ("full", "vpu", "mxu", "ywin"))
+    for variant in variants:
         fn = make_variant(op, x, variant)
-        _ = fn(x)
+        outs[variant] = fn(x)
         t, _ = B.time_apply(lambda p_, v: fn(v), None, x, chain=50,
                             reps=5, baseline=base)
         times[variant] = t
         print(f"{variant:<5}: {t*1e3:.3f} ms", flush=True)
-    resid = times["full"] - times["vpu"] - times["mxu"]
-    print(f"full - vpu - mxu = {resid*1e3:+.3f} ms "
-          "(negative => the units overlap; ~0 => serial)")
+    if "ywin" in outs and "full" in outs:
+        err = float(jnp.linalg.norm(outs["ywin"] - outs["full"])
+                    / jnp.linalg.norm(outs["full"]))
+        print(f"ywin vs full rel-err: {err:.2e} (sublane windows are "
+              "exact; expect ~the bf16x3 term-order noise)")
+    if all(k in times for k in ("full", "vpu", "mxu")):
+        resid = times["full"] - times["vpu"] - times["mxu"]
+        print(f"full - vpu - mxu = {resid*1e3:+.3f} ms "
+              "(negative => the units overlap; ~0 => serial)")
 
 
 if __name__ == "__main__":
