@@ -227,3 +227,21 @@ def test_vtk_unstructured_writer(tmp_path):
     i = txt.index("LOOKUP_TABLE")
     vals = np.asarray([float(x) for x in txt[i + 2:i + 2 + mesh.ndofs]])
     assert np.allclose(vals, u, rtol=1e-6)
+
+
+def test_graft_entry_compiles():
+    """entry() must stay jittable on the flagship model (the round
+    driver compile-checks it; r3 caught a grid/flat state mismatch
+    here)."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert all(np.all(np.isfinite(np.asarray(o))) for o in out)
