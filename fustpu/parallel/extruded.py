@@ -289,6 +289,35 @@ class ExtrudedShardedModel:
             b = b + v2 * d["fvec"]
         return b / mm_
 
+    # ---------------- distributed reductions ------------------------------
+    def _mult_weights(self) -> np.ndarray:
+        """(k, nloc) 1/multiplicity weights (0 on pad entries): shared
+        rows/DOFs are stored on every owner, so global reductions weight
+        them down — the unstructured analogue of
+        sharding.ownership_weights."""
+        ids, mask = self._ids_mask()
+        counts = np.zeros(int(ids.max()) + 1, np.int64)
+        for d in range(self.k):
+            counts[ids[d][mask[d]]] += 1
+        w = np.zeros(ids.shape)
+        w[mask] = 1.0 / counts[ids[mask]]
+        return w
+
+    def _ids_mask(self):
+        return self.rowsg, self.rowmask
+
+    def global_dot(self, x, y) -> float:
+        """Distributed dot product of device-sharded fields (host-side
+        over addressable shards — a post-processing tool here, like the
+        reference's norm checks)."""
+        x = np.asarray(x)
+        w = self._mult_weights()
+        w = w.reshape(w.shape + (1,) * (x.ndim - 2))
+        return float(np.sum(x * np.asarray(y) * w))
+
+    def global_norm(self, x) -> float:
+        return float(np.sqrt(self.global_dot(x, x)))
+
     # ---------------- public API ---------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
                    ) -> timestepping.RKState:
@@ -530,6 +559,12 @@ class IndexedShardedModel:
     solve = ExtrudedShardedModel.solve
     step = ExtrudedShardedModel.step
     cfl_dt = ExtrudedShardedModel.cfl_dt
+    _mult_weights = ExtrudedShardedModel._mult_weights
+    global_dot = ExtrudedShardedModel.global_dot
+    global_norm = ExtrudedShardedModel.global_norm
+
+    def _ids_mask(self):
+        return self.gids, self.gmask
 
     def _local_rows(self, flat: np.ndarray, pad: float) -> np.ndarray:
         """Global flat field -> (k, nloc) per-device DOF blocks (the

@@ -401,3 +401,32 @@ def test_sharded_heterogeneous_pallas_pair():
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u))
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
+
+
+def test_sharded_unstructured_reductions_and_checkpoint(tmp_path):
+    """Multiplicity-weighted reductions and exact checkpoint restart on
+    the sharded imported mesh (the reference's Allreduce-norm and — a
+    capability it lacks — resume)."""
+    from fustpu.models.timestepping import RKState
+    from fustpu.parallel.extruded import shard_unstructured
+    from fustpu.utils.io import load_checkpoint, save_checkpoint
+
+    model = _cyl_model(LinearWaveModel)
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 15)
+    sm = shard_unstructured(model, num_devices=8)
+    ss, _ = sm.solve(sm.init_state(), dt, 15)
+    n_sh = sm.global_norm(ss.u)
+    n_si = float(np.linalg.norm(np.asarray(ref.u)))
+    assert abs(n_sh - n_si) / n_si < 1e-12
+    ck = save_checkpoint(str(tmp_path / "ck"), RKState(
+        u=sm.collect(ss.u), v=sm.collect(ss.v), ku=sm.collect(ss.ku),
+        kv=sm.collect(ss.kv), t=np.asarray(ss.t)), step=15)
+    arrs, step, _ = load_checkpoint(ck)
+    assert step == 15
+    s2 = sm.init_state(t0=float(arrs["t"]), u0=arrs["u"], v0=arrs["v"])
+    s3, _ = sm.solve(s2, dt, 5)
+    s4, _ = sm.solve(ss, dt, 5)
+    err = (np.linalg.norm(sm.collect(s3.u) - sm.collect(s4.u))
+           / np.linalg.norm(sm.collect(s4.u)))
+    assert err < 1e-12, err
