@@ -66,9 +66,20 @@ def main():
     parser.add_argument("--mesh", default="",
                         help="pre-built tagged .msh (tag 1 = bowl cap, "
                              "tag 2 = absorbing); implies unstructured")
+    parser.add_argument("--devices", type=int, default=1,
+                        help="shard the flagship over k devices (box "
+                             "partition for structured geometries, RCB "
+                             "for imported meshes; on a CPU host virtual "
+                             "devices are forced)")
     args = parser.parse_args()
     if args.mesh:
         args.geometry = "unstructured"
+    if args.devices > 1 and args.platform == "cpu":
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            f"--xla_force_host_platform_device_count={args.devices}")
     apply_platform(args)
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)
@@ -136,6 +147,23 @@ def main():
     model = WesterveltModel(
         mesh, mat, src, aperture, absorbing,
         dtype=pick_dtype(args.dtype), source_delays=delays)
+    if args.devices > 1:
+        if hasattr(mesh, "nc"):      # structured: box partition
+            from fustpu.parallel.models import ShardedModel
+            from fustpu.parallel.sharding import DeviceGrid
+
+            S = [args.devices, 1, 1]
+            for f in (2, 2):         # prefer 2D grids when divisible
+                if S[0] % f == 0 and S[0] > f:
+                    S = [S[0] // f, S[1] * f, S[2]]
+            model = ShardedModel(model, DeviceGrid.create(tuple(S)))
+            print(f"sharded over device grid {tuple(S)}")
+        else:                        # imported mesh: RCB partition
+            from fustpu.parallel.extruded import shard_unstructured
+
+            model = shard_unstructured(model, args.devices)
+            print(f"sharded over {model.k} devices "
+                  f"({model.num_shared} shared interface entries)")
     dt, _ = model.cfl_dt(0.4)
     tf = domain_length / mat.sound_speed + args.periods / src.frequency
     nsteps = int(tf / dt) + 1
@@ -145,19 +173,21 @@ def main():
     if args.output:
         # axial pressure plane snapshot (reference 357 x 179 grid,
         # cuda/demo_nonlinear_bowl.py:136-141)
+        u_host = (model.collect(state.u) if hasattr(model, "collect")
+                  else np.asarray(state.u))
         structured = hasattr(mesh, "nc")
         if structured:
-            pts, vals = fev.eval_plane(mesh, np.asarray(state.u), axis=2,
+            pts, vals = fev.eval_plane(mesh, u_host, axis=2,
                                        coord=zc, n0=357, n1=179)
         else:
             pts = fev.plane_points(mesh, axis=2, coord=zc, n0=357, n1=179)
-            vals = mesh.evaluate(np.asarray(state.u), pts)
+            vals = mesh.evaluate(u_host, pts)
         p = fio.save_point_cloud(f"{args.output}_pressure_plane.txt",
                                  pts, vals, cols=(0, 1))
         print(f"wrote {p}")
         ev = (lambda f, q: fev.evaluate(mesh, f, q)) if structured \
             else mesh.evaluate
-        focal_p = ev(np.asarray(state.u), focus[None, :])[0]
+        focal_p = ev(u_host, focus[None, :])[0]
         print(f"pressure at focus: {focal_p:.1f} Pa")
 
 

@@ -65,3 +65,13 @@ def test_demo_nonlinear_box_two_layer():
     out = run_demo("demo_nonlinear_box.py", "--two-layer")
     assert "two-layer medium" in out
     assert "Solve time per step" in out
+
+
+def test_demo_bowl_sharded_cli(tmp_path):
+    """Flagship bowl sharded over 8 virtual devices through the CLI —
+    both the structured box partition and (via unstructured geometry)
+    the imported-mesh RCB path."""
+    out = run_demo("demo_nonlinear_bowl.py", "--elements", "12",
+                   "--devices", "8", "--output", str(tmp_path / "b"))
+    assert "sharded over device grid" in out
+    assert "pressure at focus" in out
