@@ -15,8 +15,12 @@ A ground-up JAX/XLA/Pallas re-design of the capabilities of
   with halo exchange over ICI (``lax.ppermute``) instead of MPI; multi-host
   process groups via ``jax.distributed`` (fustpu.parallel.multihost).
 - Unstructured conforming hex meshes imported from tagged Gmsh ``.msh``
-  files (fustpu.mesh.unstructured / msh_io), solved on the explicit-dofmap
-  indexed path.
+  files, ASCII or binary (fustpu.mesh.unstructured / msh_io).  Prismatic
+  topologies (extrusions along any axis — every practical piston/column/
+  bowl-fitted mesh) auto-detect and run a factorized fast path at
+  ~structured speed (fustpu.mesh.extruded); anything else uses the
+  explicit-dofmap indexed path.  Both shard over any device count
+  (fustpu.parallel.extruded.shard_unstructured).
 
 Unlike the reference (CUDA thread-per-dof kernels + atomics + MPI halo
 exchange), assembly here is deterministic: on structured box meshes the
@@ -36,3 +40,7 @@ from fustpu.parallel.models import ShardedModel
 from fustpu.parallel.sharding import DeviceGrid
 from fustpu.mesh.msh_io import read_msh, write_msh
 from fustpu.mesh.unstructured import UnstructuredHexMesh
+from fustpu.mesh.extruded import ExtrudedHexMesh, as_extruded
+from fustpu.parallel.extruded import (ExtrudedShardedModel,
+                                      IndexedShardedModel,
+                                      shard_unstructured)
