@@ -72,8 +72,9 @@ def test_non_extruded_returns_none():
     assert as_extruded(from_box(bm)) is None
 
 
-def test_operator_matches_indexed_with_coeff():
-    mex, _ = _cyl()
+@pytest.mark.parametrize("P", [2, 3, 5])
+def test_operator_matches_indexed_with_coeff(P):
+    mex, _ = _cyl(P=P)
     d = Discretization(mex, jnp.float64)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal(mex.ndofs))
