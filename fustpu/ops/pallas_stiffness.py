@@ -111,7 +111,7 @@ def _mk_matmul(precision, f32):
 
     def matmul(a, b, dims, a_exact=False, b_exact=False):
         dn = (dims, ((), ()))
-        if precision == "bf16x3":
+        if precision in ("bf16x3", "bf16x3w"):
             d = lambda p, q: jax.lax.dot_general(
                 p, q, dn, preferred_element_type=f32,
                 precision=jax.lax.Precision.DEFAULT)
@@ -120,6 +120,28 @@ def _mk_matmul(precision, f32):
                       else (exact(a) if a_exact else split(a)))
             bh, bl = (b if isinstance(b, tuple)
                       else (exact(b) if b_exact else split(b)))
+            if precision == "bf16x3w" and not (al is None and bl is None):
+                # WIDE form: one dispatch computes all hi/lo products.
+                # At this kernel's operand sizes ~80% of MXU time is
+                # per-dispatch overhead (BENCH_NOTES r3 width microbench:
+                # 39 -> 61 -> 85 TFLOP/s at N=160/320/640), so a single
+                # (2M, K) x (K, 2N) op — 4/3 the FLOPs incl. the
+                # discarded lo*lo block — beats three narrow ones.
+                afree = 1 - dims[0][0]
+                bfree = 1 - dims[1][0]
+                M = ah.shape[afree]
+                N = bh.shape[bfree]
+                aa = (ah if al is None
+                      else jnp.concatenate([ah, al], axis=afree))
+                bb = (bh if bl is None
+                      else jnp.concatenate([bh, bl], axis=bfree))
+                r = d(aa, bb)                   # (A*, B*) free-dim order
+                out = r[:M, :N]
+                if bl is not None:
+                    out = out + r[:M, N:]
+                if al is not None:
+                    out = out + r[M:, :N]
+                return out
             out = d(ah, bh)
             if bl is not None:
                 out = out + d(ah, bl)
@@ -142,7 +164,7 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
     In bf16x3 mode the window/derivative matrices arrive PRE-SPLIT as bf16
     (hi, lo) pairs (windows exact, lo=None) — splitting them per plane in
     the kernel was measurable VPU work on every apply."""
-    presplit = precision == "bf16x3"
+    presplit = precision in ("bf16x3", "bf16x3w")
     # python floats are weak-typed (np.float64 scalars would promote the
     # whole accumulation chain to f64 under x64)
     D = tuple(tuple(float(v) for v in row) for row in D)
@@ -226,7 +248,7 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
 def _split_mats(op, precision):
     """Matrix inputs for the kernel: bf16 (hi, lo) pre-splits in bf16x3
     mode (windows are exact in bf16 — hi only), the originals otherwise."""
-    if precision != "bf16x3":
+    if precision not in ("bf16x3", "bf16x3w"):
         return [op.Wy, op.WzT, op.Dey, op.Dez]
     bf = jnp.bfloat16
     hi = lambda a: a.astype(bf)
@@ -299,7 +321,7 @@ def _mk_kernel_pair(n: int, P: int, ncx: int, D: tuple, precision):
     BOTH fields and combines them with the in-kernel-expanded per-cell
     coefficients."""
     D = tuple(tuple(float(v) for v in row) for row in D)
-    presplit = precision == "bf16x3"
+    presplit = precision in ("bf16x3", "bf16x3w")
 
     def kernel(*refs):
         x1_refs = refs[:n]
