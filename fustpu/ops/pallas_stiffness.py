@@ -258,6 +258,212 @@ def _split_mats(op, precision):
 
 
 # ---------------------------------------------------------------------------
+# Two-slab kernel (EXPERIMENTAL, measured NET LOSS — kept as a recorded
+# negative result): consecutive x-slab PAIRS side by side in 128-aligned
+# lane halves, so the y contractions dispatch once at double width
+# (~80% of the kernel's MXU time is per-dispatch overhead, BENCH_NOTES
+# r3).  Bit-exact vs the production kernel, but measured 2.76 ms vs
+# 0.42 at P=4/32^3 — the partial-width lane-half scratch updates
+# (u_sc[p, :, off:off+ez]) fall off a Mosaic vectorization cliff that
+# dwarfs the dispatch savings.  Not reachable from any production path.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class PallasStiffness2:
+    """Two-slab operator: G packed per slab PAIR with each slab's planes
+    in a 128-aligned lane half; ncx padded to even with a zero-G ghost
+    slab."""
+
+    def __init__(self, G2, Wy, WzT, Dey, Dez, statics: tuple):
+        self.G2 = G2          # (ncx2, n, 6, ey, 2, ezp) zero-padded lanes
+        self.Wy = Wy
+        self.WzT = WzT
+        self.Dey = Dey
+        self.Dez = Dez
+        self.statics = statics  # (D_host, ncx_true, ez)
+
+    def tree_flatten(self):
+        return ((self.G2, self.Wy, self.WzT, self.Dey, self.Dez),
+                self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+def build_slab2(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
+                coeff: np.ndarray | None = None) -> PallasStiffness2:
+    n = P + 1
+    ncx, ncy, ncz = nc
+    ez = ncz * n
+    ezp = _pad(ez, 128)
+    Gp = pack_G(G_cells, nc, n, coeff)               # (ncx, n, 6, ey, ez)
+    ncx2 = -(-ncx // 2)
+    G2 = np.zeros((2 * ncx2, n, 6, ncy * n, ezp))
+    G2[:ncx, ..., :ez] = Gp
+    G2 = np.ascontiguousarray(
+        G2.reshape(ncx2, 2, n, 6, ncy * n, ezp).transpose(0, 2, 3, 4, 1, 5))
+    return PallasStiffness2(
+        G2=jnp.asarray(G2, dtype),
+        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
+        WzT=jnp.asarray(mm.window_matrix(ncz, P).T, dtype),
+        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
+        Dez=jnp.asarray(mm.deriv_block_matrix(ncz, D_1d), dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))), ncx, ez),
+    )
+
+
+def _mk_kernel_slab2(n: int, P: int, ncx: int, ncx2: int, ez: int,
+                     ezp: int, D: tuple, precision):
+    """Per grid step I: slabs (2I, 2I+1) in lane halves [0:ezp] and
+    [ezp:2ezp] of the scratch planes.  The y contractions and the
+    x-direction VPU work run once over the full double-width planes; the
+    z contractions and window expand/fold run per half (Dez couples only
+    within a slab's own z extent)."""
+    D = tuple(tuple(float(v) for v in row) for row in D)
+    presplit = precision in ("bf16x3", "bf16x3w")
+
+    def kernel(*refs):
+        x_refs = refs[:2 * n]                 # n planes per slab
+        if presplit:
+            (G_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref, DezH_ref,
+             DezL_ref, o_ref, u_sc, r_sc, xc_sc) = refs[2 * n:]
+            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
+                            (DeyH_ref[...], DeyL_ref[...]),
+                            (DezH_ref[...], DezL_ref[...]))
+        else:
+            (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
+             xc_sc) = refs[2 * n:]
+            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                            Dez_ref[...])
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
+        H = (slice(0, ez), slice(ezp, ezp + ez))   # real lanes per half
+
+        @pl.when(jnp.logical_and(i < ncx2, s == 0))
+        def _expand():
+            Wy, WzT, _, _ = mats()
+            for p in range(n):
+                for h in range(2):
+                    t = matmul(Wy, x_refs[h * n + p][0], C10, a_exact=True)
+                    u_sc[p, :, H[h]] = matmul(t, WzT, C10, b_exact=True)
+            r_sc[...] = jnp.zeros(r_sc.shape, r_sc.dtype)
+
+        for q in range(n):
+            @pl.when(jnp.logical_and(i < ncx2, s == q))
+            def _plane(q=q):
+                _, _, Dey, Dez = mats()
+                u_q = u_sc[q]                      # (ey, 2*ezp) both slabs
+                wx = None
+                for r in range(n):
+                    term = D[q][r] * u_sc[r]
+                    wx = term if wx is None else wx + term
+                wy = matmul(Dey, u_q, C10)         # ONE double-width dispatch
+                G = lambda m, h: G_ref[0, 0, m, :, h, :ez]
+                for h in range(2):
+                    wz_h = matmul(u_sc[q, :, H[h]], Dez, ((1,), (1,)))
+                    wx_h = wx[:, H[h]]
+                    wy_h = wy[:, H[h]]
+                    f0 = (G(0, h) * wx_h + G(1, h) * wy_h
+                          + G(2, h) * wz_h)
+                    f1 = (G(1, h) * wx_h + G(3, h) * wy_h
+                          + G(4, h) * wz_h)
+                    f2 = (G(2, h) * wx_h + G(4, h) * wy_h
+                          + G(5, h) * wz_h)
+                    ryz = (matmul(Dey, f1, ((0,), (0,)))
+                           + matmul(f2, Dez, C10))
+                    for p in range(n):
+                        if p == q:
+                            r_sc[p, :, H[h]] += D[q][p] * f0 + ryz
+                        else:
+                            r_sc[p, :, H[h]] += D[q][p] * f0
+
+        @pl.when(jnp.logical_and(i < ncx2, s == n - 1))
+        def _fold():
+            Wy, WzT, _, _ = mats()
+            # fold both slabs; within the pair, slab A's last plane
+            # overlap-adds into slab B's first; B's last becomes the
+            # cross-step carry
+            F = [[None] * n, [None] * n]
+            for h in range(2):
+                for p in range(n):
+                    z = matmul(r_sc[p, :, H[h]], WzT, ((1,), (1,)),
+                               b_exact=True)
+                    F[h][p] = matmul(Wy, z, ((0,), (0,)), a_exact=True)
+            o_ref[0] = F[0][0] + jnp.where(i > 0, xc_sc[...],
+                                           jnp.zeros(F[0][0].shape, f32))
+            for p in range(1, P):
+                o_ref[p] = F[0][p]
+            o_ref[P] = F[0][P] + F[1][0]
+            for p in range(1, P):
+                o_ref[P + p] = F[1][p]
+            xc_sc[...] = F[1][P]
+
+        @pl.when(jnp.logical_and(i == ncx2, s == n - 1))
+        def _flush():
+            o_ref[0] = xc_sc[...]
+            for p in range(1, 2 * P):
+                o_ref[p] = jnp.zeros_like(xc_sc)
+
+    return kernel
+
+
+def _apply_slab2(op: PallasStiffness2, x: jax.Array,
+                 interpret: bool = False, precision="auto") -> jax.Array:
+    if precision == "auto":
+        precision = _HI if x.dtype == jnp.float64 else "bf16x3"
+    D_host, ncx, ez = op.statics
+    ncx2, n = op.G2.shape[0], op.G2.shape[1]
+    ey = op.Dey.shape[0]
+    ezp = op.G2.shape[5]
+    gx, gy, gz = x.shape
+    P = n - 1
+    ncy, ncz = ey // n, ez // n
+    if not pallas_fits(n, ncy, ncz, gz):
+        raise ValueError("no VMEM-feasible tiling; use the mm path")
+
+    def x_spec(h, p):
+        return pl.BlockSpec(
+            (1, gy, gz),
+            lambda i, s, h=h, p=p: (
+                jnp.minimum(i * 2 * P + h * P + p, gx - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def g_index(i, s):
+        return (jnp.minimum(i, ncx2 - 1),
+                jnp.where(i == ncx2, n - 1, s), 0, 0, 0, 0)
+
+    kernel = _mk_kernel_slab2(n, P, ncx, ncx2, ez, ezp, D_host, precision)
+    vmem = pltpu.VMEM
+    dtype = x.dtype
+    mats = _split_mats(op, precision)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncx2 + 1, n),
+        in_specs=[x_spec(h, p) for h in range(2) for p in range(n)] + [
+            pl.BlockSpec((1, 1, 6, ey, 2, ezp), g_index,
+                         memory_space=vmem),
+        ] + [pl.BlockSpec(memory_space=vmem) for _ in mats],
+        out_specs=pl.BlockSpec((2 * P, gy, gz), lambda i, s: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct(((ncx2 + 1) * 2 * P, gy, gz),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, ey, 2 * ezp), dtype),
+            pltpu.VMEM((n, ey, 2 * ezp), dtype),
+            pltpu.VMEM((gy, gz), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*[x] * (2 * n), op.G2, *mats)
+    return out[:gx]
+
+
+# ---------------------------------------------------------------------------
 # Pair kernel: y = A_c1(x1) + A_c2(x2) in ONE fused pass.  Per-cell
 # coefficients commute with the within-cell contractions in the expanded
 # layout, so the two fields combine right after window expansion

@@ -235,3 +235,23 @@ def test_pallas_pair_matches_two_ops():
     err = float(jnp.linalg.norm(y32.astype(jnp.float64) - yr)
                 / jnp.linalg.norm(yr))
     assert err < 3e-5, err
+
+
+def test_slab2_kernel_matches_mm():
+    """The experimental two-slab kernel (a recorded performance negative
+    result, BENCH_NOTES r3) must stay mathematically exact, including
+    odd slab counts (zero-G ghost slab)."""
+    for nc in [(4, 3, 2), (5, 2, 3)]:
+        P = 3
+        mesh = build_box_mesh(nc, P, perturb=0.12, seed=5)
+        _, G = pre.cell_geometry_factors(mesh)
+        elem = HexElement(P)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            mesh.grid_shape), jnp.float64)
+        op_m = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G,
+                                  jnp.float64)
+        yr = mm.stiffness_apply_mm(op_m, x)
+        op2 = ps.build_slab2(mesh.nc, P, elem.deriv_1d, G, jnp.float64)
+        y2 = ps._apply_slab2(op2, x, interpret=True, precision=ps._HI)
+        err = float(jnp.linalg.norm(y2 - yr) / jnp.linalg.norm(yr))
+        assert err < 1e-12, (nc, err)
