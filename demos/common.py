@@ -63,6 +63,26 @@ def apply_platform(args):
             jax.config.update("jax_enable_x64", True)
 
 
+def force_host_devices(k: int):
+    """Request k virtual CPU devices.  APPENDS to any pre-existing
+    XLA_FLAGS (setdefault silently did nothing when the variable was
+    already set, and `--devices k --platform cpu` then failed later with
+    fewer host devices than requested).  Must run before the first JAX
+    backend use."""
+    import os
+
+    flag = f"--xla_force_host_platform_device_count={k}"
+    existing = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in existing:
+        import re
+
+        existing = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", flag, existing)
+        os.environ["XLA_FLAGS"] = existing
+    else:
+        os.environ["XLA_FLAGS"] = (existing + " " + flag).strip()
+
+
 def _gcd_chunk(args) -> int:
     """Chunk size that hits every requested cadence exactly."""
     import math

@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from demos.common import apply_platform, demo_argparser, pick_dtype  # noqa: E402
+from demos.common import (apply_platform, demo_argparser, force_host_devices,  # noqa: E402
+                          pick_dtype)
 from fustpu.config import Material, Source  # noqa: E402
 from fustpu.mesh import msh_io, shapes  # noqa: E402
 from fustpu.mesh.unstructured import UPointSampler  # noqa: E402
@@ -53,11 +54,7 @@ def main():
                         "host virtual devices are forced)")
     args = p.parse_args()
     if args.devices > 1 and args.platform == "cpu":
-        import os
-
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_force_host_platform_device_count={args.devices}")
+        force_host_devices(args.devices)
     apply_platform(args)
     mat = Material(sound_speed=1500.0, density=1000.0)
     src = Source(frequency=0.5e6, amplitude=60000.0)

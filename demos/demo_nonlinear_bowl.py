@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
-from demos.common import apply_platform, demo_argparser, pick_dtype, run_demo  # noqa: E402
+from demos.common import (apply_platform, demo_argparser, force_host_devices,  # noqa: E402
+                          pick_dtype, run_demo)
 from fustpu.config import Material, Source  # noqa: E402
 from fustpu.mesh.box import build_box_mesh, build_mapped_mesh  # noqa: E402
 from fustpu.models import sources  # noqa: E402
@@ -75,11 +76,7 @@ def main():
     if args.mesh:
         args.geometry = "unstructured"
     if args.devices > 1 and args.platform == "cpu":
-        import os
-
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_force_host_platform_device_count={args.devices}")
+        force_host_devices(args.devices)
     apply_platform(args)
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)

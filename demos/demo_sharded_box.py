@@ -21,7 +21,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from demos.common import demo_argparser, pick_dtype, run_demo  # noqa: E402
+from demos.common import (demo_argparser, force_host_devices,  # noqa: E402
+                          pick_dtype, run_demo)
 
 
 def main():
@@ -33,9 +34,7 @@ def main():
     args = p.parse_args()
 
     if args.platform != "default":
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_force_host_platform_device_count={args.devices}")
+        force_host_devices(args.devices)
     import jax
 
     if args.platform == "cpu":

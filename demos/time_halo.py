@@ -17,6 +17,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from demos.common import force_host_devices  # noqa: E402
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -28,9 +30,7 @@ def main():
     args = p.parse_args()
 
     if args.platform == "cpu":
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            f"--xla_force_host_platform_device_count={args.devices}")
+        force_host_devices(args.devices)
     import jax
 
     if args.platform == "cpu":

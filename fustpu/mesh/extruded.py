@@ -231,7 +231,10 @@ def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
             np.asarray(_FACET_CORNERS)[pairs[:, 1]], axis=1), axis=1)
         fk = face_keys(cells_canon[pairs[:, 0]])      # (nf, 6, 4)
         hitf, hitl = np.nonzero((fk == want[:, None, :]).all(axis=2))
-        if hitf.size < pairs.shape[0]:
+        if np.unique(hitf).size < pairs.shape[0]:
+            # per-row coverage: a facet row with zero matches must not be
+            # masked by another row matching twice (degenerate cells with
+            # colliding sorted face keys) — every row needs >= 1 hit
             return None                               # inconsistent tags
         lf_new = np.empty(pairs.shape[0], np.int64)
         lf_new[hitf] = hitl                           # last hit wins (dup-safe)

@@ -80,6 +80,18 @@ def read_msh(path: str, degree: int,
         raise ValueError(f"{path}: not a Gmsh .msh file")
     version_s, ftype, dsize = head[1].split()[:3]
     if int(ftype) == 1:                               # binary payloads
+        # endianness probe: gmsh writes the int 1 right after the format
+        # line; a big-endian writer produces 0x01000000 — parsing its
+        # little-endian payload would yield garbage coordinates with no
+        # clear error, so check up front.
+        import numpy as _np
+
+        probe_off = len(head[0]) + 1 + len(head[1]) + 1
+        probe = int(_np.frombuffer(data, "<i4", 1, probe_off)[0])
+        if probe != 1:
+            raise ValueError(
+                f"{path}: binary .msh endianness probe is {probe} "
+                "(expected 1) — big-endian files are not supported")
         if float(version_s) < 4.0:
             parsed = _parse_binary22(data, path)
         else:

@@ -79,7 +79,19 @@ class LinearWaveModel(WaveModelBase):
         self._corner = impl == "pallas_corner"
         self.impl = "pallas" if self._corner else impl
         self.c2_scalar = self.c2_e = self.c2_cells = self.c2_x = None
-        if self.impl == "extruded":
+        if self.impl == "extruded_pallas":
+            # prismatic imported mesh, fused kernel (TPU production path;
+            # interpret mode drives it on CPU backends in tests)
+            from fustpu.models.discretization import on_tpu
+
+            self._ext_interpret = not on_tpu()
+            if self.uniform:
+                self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
+                self._stiff_op = disc.extruded_pallas_op()
+            else:
+                self._stiff_op = disc.extruded_pallas_op(
+                    coeff=np.broadcast_to(-1.0 / rho, (mesh.num_cells,)))
+        elif self.impl == "extruded":
             # prismatic imported mesh: factorized row-gather path
             from fustpu.ops import operators as ops
 
@@ -169,9 +181,20 @@ class LinearWaveModel(WaveModelBase):
             b = b + a_s.astype(self.dtype) * params["s_sin"]
         if "fvec" in params:
             b = b + v * params["fvec"]
-        return b / params["m"]
+        from fustpu.ops import vector as vec
+
+        return vec.pointwise_divide(b, params["m"])  # the diagonal solve
 
     def _apply_stiffness(self, params, u_flat):
+        if self.impl == "extruded_pallas":
+            from fustpu.ops import pallas_extruded as pex
+
+            kw = ({} if self._pallas_precision is None
+                  else {"precision": self._pallas_precision})
+            b = pex.stiffness_apply_extruded_pallas(
+                u_flat, params["stiff"], self.mesh.ndofs,
+                interpret=self._ext_interpret, **kw)
+            return self.c2_scalar * b if self.uniform else b
         if self.impl == "extruded":
             from fustpu.ops import operators as ops
 

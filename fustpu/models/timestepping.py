@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from fustpu.config import RK4_A, RK4_B, RK4_C
+from fustpu.ops import vector as vec
 
 
 class RKState(NamedTuple):
@@ -57,13 +58,13 @@ def rk4_step(rhs: Callable, params, state: RKState, dt, tf=None) -> RKState:
         a_i = u.dtype.type(RK4_A[i])
         b_i = u.dtype.type(RK4_B[i])
         c_i = u.dtype.type(RK4_C[i])
-        un = u0 + a_i * dt * ku
-        vn = v0 + a_i * dt * kv
+        un = vec.axpy(a_i * dt, ku, u0)      # reference "~ RK (axpy a)"
+        vn = vec.axpy(a_i * dt, kv, v0)
         tn = t + c_i * dt
-        ku = vn
+        ku = vec.copy(vn)                    # f0: ku = v
         kv = rhs(params, tn, un, vn)
-        u = u + b_i * dt * ku
-        v = v + b_i * dt * kv
+        u = vec.axpy(b_i * dt, ku, u)        # reference "~ RK (axpy b)"
+        v = vec.axpy(b_i * dt, kv, v)
     return RKState(u=u, v=v, ku=ku, kv=kv, t=t + dt)
 
 

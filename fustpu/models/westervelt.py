@@ -79,7 +79,27 @@ class WesterveltModel(WaveModelBase):
         self.c3_scalar = self.c4_scalar = None
         self.c3_e = self.c4_e = self.c3_cells = self.c4_cells = None
         self.c3_x = self.c4_x = None
-        if self.impl == "extruded":
+        if (self.impl == "extruded_pallas" and not self.uniform
+                and not disc.ext_pallas_fits(pair=True)):
+            # the pair kernel's VMEM budget (doubled field IO + the ce
+            # block) is tighter than the single kernel's — fall back to
+            # the XLA pair path rather than fail at Mosaic compile
+            self.impl = "extruded"
+        if self.impl == "extruded_pallas":
+            from fustpu.models.discretization import on_tpu
+
+            self._ext_interpret = not on_tpu()
+            if self.uniform:
+                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
+                self.c4_scalar = dtype(-float(delta.flat[0])
+                                       / float((rho * c * c).flat[0]))
+                self._stiff_op = disc.extruded_pallas_op()
+            else:
+                nc_ = (mesh.num_cells,)
+                self._stiff_op = disc.extruded_pallas_pair_op(
+                    np.broadcast_to(-1.0 / rho, nc_),
+                    np.broadcast_to(-delta / (rho * c * c), nc_))
+        elif self.impl == "extruded":
             from fustpu.ops import operators as ops
 
             self._stiff_op = disc.extruded_op
@@ -208,10 +228,12 @@ class WesterveltModel(WaveModelBase):
         return p
 
     def _rhs(self, params, t, u, v):
+        from fustpu.ops import vector as vec
+
         # unsteady LHS: m = m0 + mass(u; -2 beta / rho^2 c^4) — diagonal
         m = params["m0"] + u * params["mvec2"]
         b = self._apply_stiffness(params, u, v)
-        b = b - (v * v) * params["mvec2"]     # + nl * v^2 mass term
+        b = b - vec.square(v) * params["mvec2"]   # + nl * v^2 mass term
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
             t, self.source, self.c_src)
         dt_ = self.dtype
@@ -222,9 +244,23 @@ class WesterveltModel(WaveModelBase):
             b = b + dg_s.astype(dt_) * params["s2_sin"]
         if "fvec" in params:
             b = b + v * params["fvec"]
-        return b / m
+        return vec.pointwise_divide(b, m)     # the diagonal solve
 
     def _apply_stiffness(self, params, u_flat, v_flat):
+        if self.impl == "extruded_pallas":
+            from fustpu.ops import pallas_extruded as pex
+
+            kw = ({} if self._pallas_precision is None
+                  else {"precision": self._pallas_precision})
+            nd = self.mesh.ndofs
+            if self.uniform:
+                x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
+                return pex.stiffness_apply_extruded_pallas(
+                    x, params["stiff"], nd,
+                    interpret=self._ext_interpret, **kw)
+            return pex.stiffness_apply_extruded_pallas_pair(
+                u_flat, v_flat, params["stiff"], nd,
+                interpret=self._ext_interpret, **kw)
         if self.impl == "extruded":
             from fustpu.ops import operators as ops
 

@@ -148,11 +148,17 @@ def _mk_matmul(precision, f32):
             if al is not None:
                 out = out + d(al, bh)
             return out
-        if isinstance(a, tuple):
-            a = a[0] if a[1] is None else a[0] + a[1]
-        if isinstance(b, tuple):
-            b = b[0] if b[1] is None else b[0] + b[1]
-        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+        def unsplit(m):
+            # reconstruct full precision from a bf16 (hi, lo) pair in f32
+            # (adding in bf16 would re-round away the lo part)
+            if not isinstance(m, tuple):
+                return m
+            hi, lo = m
+            hi = hi.astype(f32)
+            return hi if lo is None else hi + lo.astype(f32)
+
+        return jax.lax.dot_general(unsplit(a), unsplit(b), dn,
+                                   preferred_element_type=f32,
                                    precision=precision)
 
     return matmul
@@ -619,9 +625,10 @@ def stiffness_apply_pallas_pair(op: PallasStiffnessPair, x1: jax.Array,
     gx, gy, gz = x1.shape
     P = n - 1
     ncy, ncz = ey // n, ez // n
-    if not pallas_fits(n, ncy, ncz, gz):
+    if not pallas_fits(n, ncy, ncz, gz, pair=True):
         raise ValueError(
-            "no VMEM-feasible tiling for this mesh; use the mm path")
+            "no VMEM-feasible tiling for the pair kernel on this mesh; "
+            "use two coefficient-folded operators (or the mm path)")
 
     def x_spec(p):
         return pl.BlockSpec(

@@ -177,8 +177,14 @@ class ShardedModel:
             G_pad = pad_cells_flat(disc._G_host)
             # heterogeneous Westervelt on single-slab devices: ONE
             # unit-coefficient G tile + a per-cell coefficient block, and
-            # the stage runs the pair kernel (see pallas_stiffness)
-            self._pair = (len(coeffs) == 2 and self._y_sizes is None)
+            # the stage runs the pair kernel (see pallas_stiffness).  The
+            # pair kernel costs extra VMEM (2 coefficient scratch planes +
+            # doubled x-plane IO), so gate on its own budget — in the band
+            # where only the plain kernel fits, fall back to two folded
+            # operators instead of failing at Mosaic compile.
+            self._pair = (len(coeffs) == 2 and self._y_sizes is None
+                          and ps.pallas_fits(n, self.lc[1], self.lc[2],
+                                             self.lgrid[2], pair=True))
             if self._pair:
                 dist["Gp0"] = grid.put(
                     _split_pallas_G(ps.pack_G(G_pad, nc, n), S), dtype)

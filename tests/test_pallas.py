@@ -255,3 +255,128 @@ def test_slab2_kernel_matches_mm():
         y2 = ps._apply_slab2(op2, x, interpret=True, precision=ps._HI)
         err = float(jnp.linalg.norm(y2 - yr) / jnp.linalg.norm(yr))
         assert err < 1e-12, (nc, err)
+
+
+# ---------------------------------------------------------------------------
+# Corner-streamed kernel (memory-capacity mode): G recomputed in VMEM from
+# 37 floats/cell.  Geometry is trilinear per cell throughout fustpu, so the
+# corner kernel is mathematically EXACT vs the G-stream/mm paths (same
+# closed-form Jacobian), not an approximation — gate at 1e-12 f64.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("P", [2, 3, 4])
+def test_pallas_corner_matches_mm(P):
+    """build_auto(corners=...) == matmul path at f64/HIGHEST (interpret)."""
+    mesh = build_box_mesh((4, 3, 2), P, hi=(1.0, 0.8, 1.3),
+                          perturb=0.15, seed=7)
+    rng = np.random.default_rng(P)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, elem = _mm_reference(mesh, P, coeff, x)
+    op_c = ps.build_auto(mesh.nc, P, elem.deriv_1d, None, jnp.float64,
+                         coeff=coeff.reshape(-1),
+                         corners=mesh.cell_corners_flat)
+    assert isinstance(op_c, ps.PallasStiffnessCorner)
+    y = np.asarray(ps.stiffness_apply_pallas(op_c, x, interpret=True,
+                                             precision=ps._HI))
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
+
+
+def test_pallas_corner_y_split_matches_mm():
+    """Corner kernel through the y-partitioned route
+    (build_auto(corners, force_parts>1)) stays exact."""
+    P = 3
+    mesh = build_box_mesh((3, 5, 2), P, hi=(1.0, 1.7, 1.1),
+                          perturb=0.12, seed=13)
+    elem = HexElement(P)
+    rng = np.random.default_rng(4)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x)
+    op_sp = ps.build_auto(mesh.nc, P, elem.deriv_1d, None, jnp.float64,
+                          coeff=coeff.reshape(-1), force_parts=3,
+                          corners=mesh.cell_corners_flat)
+    assert isinstance(op_sp, ps.PallasStiffnessSplit)
+    assert isinstance(op_sp.parts[0], ps.PallasStiffnessCorner)
+    y = np.asarray(ps.stiffness_apply_pallas(op_sp, x, interpret=True,
+                                             precision=ps._HI))
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
+
+
+def test_pallas_corner_bf16x3_accuracy():
+    """Corner kernel under the production f32/bf16x3 configuration stays
+    within the validated operator-error budget."""
+    P = 4
+    mesh = build_box_mesh((3, 3, 2), P, perturb=0.1, seed=9)
+    elem = HexElement(P)
+    rng = np.random.default_rng(5)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x64 = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x64)
+    op_c = ps.build_auto(mesh.nc, P, elem.deriv_1d, None, jnp.float32,
+                         coeff=coeff.reshape(-1),
+                         corners=mesh.cell_corners_flat)
+    y = np.asarray(ps.stiffness_apply_pallas(
+        op_c, jnp.asarray(x64, jnp.float32), interpret=True,
+        precision="bf16x3")).astype(np.float64)
+    err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert err < 5e-5, err
+
+
+def test_model_pallas_corner_solve_matches_mm():
+    """Model-level stiffness_impl='pallas_corner' == mm physics (the
+    production knob for the capacity mode, interpret mode on CPU)."""
+    import fustpu.ops.pallas_stiffness as psm
+
+    from fustpu.config import Material, Source
+    from fustpu.models.linear import LinearWaveModel
+
+    mesh = build_box_mesh((3, 3, 3), 3, hi=(0.01,) * 3, perturb=0.1,
+                          seed=11)
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=1e6, amplitude=1e5)
+    kw = dict(dtype=jnp.float64)
+    m_mm = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                           mesh.all_boundary_facets(),
+                           stiffness_impl="mm", **kw)
+    m_c = LinearWaveModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                          mesh.all_boundary_facets(),
+                          stiffness_impl="pallas_corner", **kw)
+    assert m_c._corner and m_c.impl == "pallas"
+    orig = psm.stiffness_apply_pallas
+
+    def interp(op, x, interpret=False, precision=ps._HI):
+        return orig(op, x, interpret=True, precision=precision)
+
+    psm.stiffness_apply_pallas = interp
+    try:
+        dt, _ = m_mm.cfl_dt(0.5)
+        s1, _ = m_mm.solve(m_mm.init_state(), dt, 5)
+        s2, _ = m_c.solve(m_c.init_state(), dt, 5)
+    finally:
+        psm.stiffness_apply_pallas = orig
+    err = (np.linalg.norm(np.asarray(s1.u) - np.asarray(s2.u))
+           / max(np.linalg.norm(np.asarray(s1.u)), 1e-300))
+    assert err < 1e-11, err
+
+
+@pytest.mark.parametrize("P", [3, 4])
+def test_pallas_bf16x3w_accuracy(P):
+    """The opt-in wide-dispatch bf16x3w precision (one merged hi/lo
+    dispatch) computes the same 3-term decomposition as bf16x3 — same
+    error budget vs the f64 reference."""
+    mesh = build_box_mesh((4, 3, 2), P, hi=(1.0, 0.8, 1.3),
+                          perturb=0.15, seed=7)
+    rng = np.random.default_rng(P)
+    coeff = rng.uniform(0.5, 2.0, mesh.nc)
+    x = jnp.asarray(rng.standard_normal(mesh.grid_shape), jnp.float64)
+    y_ref, _, _ = _mm_reference(mesh, P, coeff, x)
+    yw = _run_pallas(mesh, P, coeff, x, "bf16x3w")
+    err = np.linalg.norm(yw - y_ref) / np.linalg.norm(y_ref)
+    assert err < 2e-5, err
+    # and bit-identical term set: bf16x3w == bf16x3 up to summation order
+    y3 = _run_pallas(mesh, P, coeff, x, "bf16x3")
+    drift = np.linalg.norm(yw - y3) / np.linalg.norm(y3)
+    assert drift < 1e-6, drift
