@@ -105,13 +105,37 @@ class Discretization:
     def extruded_op(self):
         """Factorized stiffness operator for prismatic-topology meshes
         (fustpu.mesh.extruded.ExtrudedHexMesh): row gather/scatter with
-        the structured z axis on the lanes — the production path for
+        the structured z axis on the lanes — the portable XLA path for
         imported piston-class meshes (~the speed class of the structured
-        paths, vs ~10x off for the per-element indexed path)."""
+        paths, vs ~10x off for the per-element indexed path).  On TPU the
+        fused kernel (extruded_pallas_op) replaces its einsum middle."""
         from fustpu.ops import operators as ops
 
         return ops.build_extruded_stiffness(self.mesh, self._G_host,
                                             self._D_host, self.dtype)
+
+    def extruded_pallas_op(self, coeff=None):
+        """Fused-kernel stiffness operator for extruded meshes
+        (fustpu.ops.pallas_extruded): one VMEM pass between the XLA row
+        gather and scatter — the TPU production path for imported
+        meshes."""
+        from fustpu.ops import pallas_extruded as pex
+
+        return pex.build_extruded(self.mesh, self._G_host, self._D_host,
+                                  self.dtype, coeff=coeff)
+
+    def extruded_pallas_pair_op(self, c1, c2):
+        from fustpu.ops import pallas_extruded as pex
+
+        return pex.build_extruded_pair(self.mesh, self._G_host,
+                                       self._D_host, self.dtype, c1, c2)
+
+    def ext_pallas_fits(self, pair: bool = False) -> bool:
+        from fustpu.ops import pallas_extruded as pex
+
+        mesh = self.mesh
+        return pex.ext_pallas_fits(self.P + 1, mesh.nstacks, mesh.nz,
+                                   mesh.gz, pair=pair)
 
     @functools.cached_property
     def indexed_op(self) -> tuple:
@@ -196,24 +220,32 @@ class Discretization:
             np.asarray(flat).reshape(self.mesh.grid_shape), self.dtype)
 
 
-def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
-    """'auto' picks the fused Pallas kernel on TPU backends when the slab
-    fits VMEM, else the XLA matmul formulation; unstructured meshes use
-    the factorized extruded path when the topology is prismatic, the
-    explicit-dofmap indexed path otherwise."""
-    if not disc.structured:
-        from fustpu.mesh.extruded import ExtrudedHexMesh
-
-        if isinstance(disc.mesh, ExtrudedHexMesh) and impl != "indexed":
-            return "extruded"
-        return "indexed"
-    if impl != "auto":
-        return impl
+def on_tpu() -> bool:
     try:
         import jax
 
         dev = jax.devices()[0]
-        on_tpu = "tpu" in dev.platform.lower() or "tpu" in str(dev).lower()
+        return "tpu" in dev.platform.lower() or "tpu" in str(dev).lower()
     except Exception:
-        on_tpu = False
-    return "pallas" if (on_tpu and disc.pallas_fits()) else "mm"
+        return False
+
+
+def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
+    """'auto' picks the fused Pallas kernel on TPU backends when the slab
+    fits VMEM, else the XLA matmul formulation.  Unstructured meshes with
+    prismatic topology use the factorized extruded path — fused kernel
+    ('extruded_pallas') on TPU when the stack batch fits VMEM, XLA
+    einsums ('extruded') otherwise; non-prismatic meshes use the
+    explicit-dofmap indexed path."""
+    if not disc.structured:
+        from fustpu.mesh.extruded import ExtrudedHexMesh
+
+        if isinstance(disc.mesh, ExtrudedHexMesh) and impl != "indexed":
+            if impl in ("extruded", "extruded_pallas"):
+                return impl
+            return ("extruded_pallas"
+                    if on_tpu() and disc.ext_pallas_fits() else "extruded")
+        return "indexed"
+    if impl != "auto":
+        return impl
+    return "pallas" if (on_tpu() and disc.pallas_fits()) else "mm"

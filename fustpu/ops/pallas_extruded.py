@@ -1,0 +1,402 @@
+"""Fully-fused Pallas TPU kernel for the EXTRUDED (imported prismatic
+mesh) stiffness apply — the production path for every piston/column/
+bowl-fitted import.
+
+The XLA factorized path (fustpu.ops.operators.stiffness_apply_extruded)
+materialises ~10 full passes over the (ns, n, n, ez) intermediates in HBM
+and pays the ~18x f32 MXU-emulation tax on its einsums (bf16x3 splits at
+the XLA level ADD traffic and regress at production size — BENCH_NOTES
+r3).  This kernel gives imported meshes the same single-pass treatment
+that took the structured apply from 0.86 to 0.43 ms (the reference runs
+its imports through the SAME full-speed kernel as box meshes,
+/root/reference/cuda/operators.py:73-192):
+
+- the row gather/scatter stay in XLA (vectorized row ops on the
+  factorized dof = row2d*gz + z numbering), ordered so gathered planes
+  land directly in kernel block layout: g[q, s, :] = x2[rows2d[s, q]],
+  i.e. footprint-node-major, stacks on the SUBLANES, z on the LANES;
+- everything between — z-window expansion, all three derivative
+  contractions, the 6-component metric transform, reverse contractions,
+  z-fold — happens in VMEM in ONE kernel, with the G stream DMA'd per
+  footprint-node plane (the inner grid dimension) and bf16x3 matmul
+  decomposition free in VMEM;
+- grid (ns_pad/S, n^2): the outer dimension walks stack-batches of S
+  stacks (independent — stacks only couple through the XLA scatter-add);
+  the inner dimension phases the metric transform one footprint node
+  (i, j) at a time so the G block stays (6, S, ez).
+
+Structure per stack-batch:
+  s == 0      u = zwin(g) [one (n^2 S, gz)x(gz, ez) matmul];
+              wz = u @ Dz^T [one matmul];  wx, wy by static-scalar
+              1D-derivative arithmetic over (S, ez) planes (the
+              footprint axes are length n = P+1: compile-time unrolled).
+  each s      (f0, f1, f2) = G(s) . (wx, wy, wz) pointwise, IN PLACE.
+  s == n^2-1  reverse static contractions + f2 @ Dz [one matmul];
+              z-fold [one matmul]; write the (n^2, S, gz) out block.
+
+Per-cell coefficients fold into G at build time; the heterogeneous
+Westervelt pair form (y = A_c1(x1) + A_c2(x2)) combines the two fields
+right after the z-window against an in-kernel (2, S, ez) coefficient
+block, exactly like the structured pair kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fustpu.ops import spectral_mm as mm
+from fustpu.ops.pallas_stiffness import _mk_matmul, _pad
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasExtruded:
+    """Fused extruded stiffness operator.
+
+    Gt:   (n^2, 6, ns_pad, ez) metric stream, footprint-node-major
+          (coefficient folded in at build; zero rows for stack padding)
+    rows: (n^2, ns_pad) int32 2D-row gather/scatter indices (padding
+          points at row 0 — its contributions are exactly zero)
+    WzT:  (gz, ez) 0/1 z-window, transposed
+    Dz:   (ez, ez) block-diagonal 1D derivative along z
+    statics: (D_host tuple-of-tuples, S)
+    """
+
+    def __init__(self, Gt, rows, WzT, Dz, statics: tuple):
+        self.Gt = Gt
+        self.rows = rows
+        self.WzT = WzT
+        self.Dz = Dz
+        self.statics = statics
+
+    def tree_flatten(self):
+        return (self.Gt, self.rows, self.WzT, self.Dz), self.statics
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasExtrudedPair:
+    """Two-field variant: unit-coefficient Gt + a (2, ns_pad, ez)
+    per-cell coefficient stream (z-expanded), combined at u."""
+
+    def __init__(self, Gt, rows, ce, WzT, Dz, statics: tuple):
+        self.Gt = Gt
+        self.rows = rows
+        self.ce = ce
+        self.WzT = WzT
+        self.Dz = Dz
+        self.statics = statics
+
+    def tree_flatten(self):
+        return (self.Gt, self.rows, self.ce, self.WzT, self.Dz), self.statics
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+# ---------------------------------------------------------------------------
+# VMEM feasibility + stack-batch size selection
+# ---------------------------------------------------------------------------
+
+def _ext_vmem_bytes(n: int, S: int, ez: int, gz: int, pair: bool,
+                    itemsize: int = 4) -> int:
+    """Estimated VMEM footprint: 4 full-plane scratch sets (u / wx / wy /
+    wz, transform in place, reverse reuses u), double-buffered in/out/G
+    blocks, the z matrices, and live temporaries."""
+    q = n * n * S
+    ezp, gzp = _pad(ez, 128), _pad(gz, 128)
+    planes = 4 * q * ezp
+    gin = 2 * q * gzp * (2 if pair else 1)
+    out = 2 * q * gzp
+    gblk = 2 * 6 * S * ezp
+    ce = 2 * 2 * S * ezp if pair else 0
+    mats = 2 * (gzp * ezp + ezp * ezp)
+    temps = 6 * S * ezp + 2 * q * ezp
+    return (planes + gin + out + gblk + ce + mats + temps) * itemsize
+
+
+_S_CANDIDATES = (256, 192, 160, 128, 96, 80, 64, 48, 40, 32, 24, 16, 8)
+
+
+def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
+                     pair: bool = False) -> int | None:
+    """Largest stack-batch size (multiple of 8) whose working set fits
+    VMEM; None when even S=8 does not fit (very deep extrusions — the
+    XLA factorized path remains)."""
+    cap = _pad(max(ns, 1), 8)
+    for S in _S_CANDIDATES:
+        if S > cap:
+            continue
+        if _ext_vmem_bytes(n, S, ez, gz, pair) < 14 * 2**20:
+            return S
+    return None
+
+
+def ext_pallas_fits(n: int, ns: int, nz: int, gz: int,
+                    pair: bool = False) -> bool:
+    return pick_stack_batch(n, ns, nz * n, gz, pair) is not None
+
+
+# ---------------------------------------------------------------------------
+# Build (host, float64 in / device dtype out)
+# ---------------------------------------------------------------------------
+
+def _stack_G(mesh, G_cells, coeff=None) -> np.ndarray:
+    """(cells, n^3, 6) -> (ns, nz, n, n, n, 6) in stack order, with an
+    optional per-cell coefficient folded in."""
+    n = mesh.degree + 1
+    ns, nz = mesh.nstacks, mesh.nz
+    Gs = np.asarray(G_cells, np.float64)[mesh.stack_cells].reshape(
+        ns, nz, n, n, n, 6)
+    if coeff is not None:
+        cs = np.asarray(coeff, np.float64).reshape(-1)[mesh.stack_cells]
+        Gs = Gs * cs[:, :, None, None, None, None]
+    return Gs
+
+
+def _pack(Gs: np.ndarray, rows2d: np.ndarray, S: int):
+    """(ns, nz, n, n, n, 6) + (ns, n^2) -> kernel layouts (Gt, rows_t,
+    ns_pad)."""
+    ns, nz, n = Gs.shape[0], Gs.shape[1], Gs.shape[2]
+    ez = nz * n
+    ns_pad = -(-ns // S) * S
+    Gt = np.zeros((n * n, 6, ns_pad, ez))
+    Gt[:, :, :ns] = Gs.transpose(2, 3, 5, 0, 1, 4).reshape(n * n, 6, ns, ez)
+    rows_t = np.zeros((n * n, ns_pad), np.int32)
+    rows_t[:, :ns] = np.asarray(rows2d, np.int64).T
+    return Gt, rows_t, ns_pad
+
+
+def build_extruded(mesh, G_cells, D_1d, dtype,
+                   coeff: np.ndarray | None = None) -> PallasExtruded:
+    """mesh: ExtrudedHexMesh; G_cells: (cells, n^3, 6) float64 host;
+    coeff: optional per-cell coefficient folded into the stream."""
+    n = mesh.degree + 1
+    gz = mesh.gz
+    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz)
+    if S is None:
+        raise ValueError("no VMEM-feasible stack batch; use the XLA "
+                         "extruded path")
+    Gs = _stack_G(mesh, G_cells, coeff)
+    Gt, rows_t, _ = _pack(Gs, mesh.rows2d, S)
+    return PallasExtruded(
+        Gt=jnp.asarray(Gt, dtype),
+        rows=jnp.asarray(rows_t),
+        WzT=jnp.asarray(mm.window_matrix(mesh.nz, mesh.degree).T, dtype),
+        Dz=jnp.asarray(mm.deriv_block_matrix(mesh.nz, D_1d), dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))), S),
+    )
+
+
+def build_extruded_pair(mesh, G_cells, D_1d, dtype, c1_cells,
+                        c2_cells) -> PallasExtrudedPair:
+    """Unit-coefficient stream + (2, ns_pad, ez) z-expanded per-cell
+    coefficients (the heterogeneous Westervelt stage)."""
+    n = mesh.degree + 1
+    gz = mesh.gz
+    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=True)
+    if S is None:
+        raise ValueError("no VMEM-feasible stack batch for the pair "
+                         "kernel; use the XLA extruded pair path")
+    Gs = _stack_G(mesh, G_cells)
+    Gt, rows_t, ns_pad = _pack(Gs, mesh.rows2d, S)
+    ce = np.zeros((2, ns_pad, mesh.nz * n))
+    for m, c in enumerate((c1_cells, c2_cells)):
+        cs = np.asarray(c, np.float64).reshape(-1)[mesh.stack_cells]
+        ce[m, :mesh.nstacks] = np.repeat(cs, n, axis=1)
+    return PallasExtrudedPair(
+        Gt=jnp.asarray(Gt, dtype),
+        rows=jnp.asarray(rows_t),
+        ce=jnp.asarray(ce, dtype),
+        WzT=jnp.asarray(mm.window_matrix(mesh.nz, mesh.degree).T, dtype),
+        Dz=jnp.asarray(mm.deriv_block_matrix(mesh.nz, D_1d), dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))), S),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool):
+    n2 = n * n
+    D = tuple(tuple(float(v) for v in row) for row in D)
+
+    def kernel(*refs):
+        if pair:
+            g1_ref, g2_ref, ce_ref = refs[:3]
+            refs = refs[3:]
+        else:
+            (g1_ref,) = refs[:1]
+            refs = refs[1:]
+        (G_ref, WzT_ref, Dz_ref, o_ref, u_sc, wx_sc, wy_sc,
+         wz_sc) = refs
+        mats = lambda: (WzT_ref[...], Dz_ref[...])
+        s = pl.program_id(1)
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
+        gz = o_ref.shape[2]
+        ez = u_sc.shape[1]
+        pslice = lambda q: slice(q * S, (q + 1) * S)
+
+        @pl.when(s == 0)
+        def _forward():
+            WzT, Dz = mats()
+            if pair:
+                # z-window both fields (staging through wx/wy scratch),
+                # combine against the in-kernel coefficient planes
+                wx_sc[...] = matmul(g1_ref[...].reshape(n2 * S, gz), WzT,
+                                    C10, b_exact=True)
+                wy_sc[...] = matmul(g2_ref[...].reshape(n2 * S, gz), WzT,
+                                    C10, b_exact=True)
+                ce0 = ce_ref[0]
+                ce1 = ce_ref[1]
+                for q in range(n2):
+                    u_sc[pslice(q)] = (ce0 * wx_sc[pslice(q)]
+                                       + ce1 * wy_sc[pslice(q)])
+            else:
+                u_sc[...] = matmul(g1_ref[...].reshape(n2 * S, gz), WzT,
+                                   C10, b_exact=True)
+            wz_sc[...] = matmul(u_sc[...], Dz, ((1,), (1,)))
+            # footprint derivatives: wx[a,j] = sum_i D[a][i] u[i,j],
+            # wy[i,b] = sum_j D[b][j] u[i,j] — static-scalar VPU work
+            for a in range(n):
+                for j in range(n):
+                    acc = None
+                    for i in range(n):
+                        t = D[a][i] * u_sc[pslice(i * n + j)]
+                        acc = t if acc is None else acc + t
+                    wx_sc[pslice(a * n + j)] = acc
+            for i in range(n):
+                for b in range(n):
+                    acc = None
+                    for j in range(n):
+                        t = D[b][j] * u_sc[pslice(i * n + j)]
+                        acc = t if acc is None else acc + t
+                    wy_sc[pslice(i * n + b)] = acc
+
+        # metric transform at footprint node s = (p1, p2), IN PLACE
+        # (every plane is read and written exactly once, at its phase)
+        dsl = pl.ds(s * S, S)
+        G = lambda m: G_ref[0, m]
+        wx = wx_sc[dsl]
+        wy = wy_sc[dsl]
+        wz = wz_sc[dsl]
+        wx_sc[dsl] = G(0) * wx + G(1) * wy + G(2) * wz
+        wy_sc[dsl] = G(1) * wx + G(3) * wy + G(4) * wz
+        wz_sc[dsl] = G(2) * wx + G(4) * wy + G(5) * wz
+
+        @pl.when(s == n2 - 1)
+        def _reverse():
+            WzT, Dz = mats()
+            # r[i,j] = sum_a D[a][i] f0[a,j] + sum_b D[b][j] f1[i,b]
+            # (reuses u_sc — u is dead after the forward sweep)
+            for i in range(n):
+                for j in range(n):
+                    acc = None
+                    for a in range(n):
+                        t = D[a][i] * wx_sc[pslice(a * n + j)]
+                        acc = t if acc is None else acc + t
+                    for b in range(n):
+                        acc = acc + D[b][j] * wy_sc[pslice(i * n + b)]
+                    u_sc[pslice(i * n + j)] = acc
+            r = u_sc[...] + matmul(wz_sc[...], Dz, C10)
+            vals = matmul(r, WzT, ((1,), (1,)), b_exact=True)
+            o_ref[...] = vals.reshape(n2, S, gz)
+
+    return kernel
+
+
+def _call(op, gs, pair: bool, interpret: bool, precision):
+    D_host, S = op.statics
+    n2, _, ns_pad, ez = op.Gt.shape
+    n = int(round(n2 ** 0.5))
+    gz = op.WzT.shape[0]
+    nb = ns_pad // S
+    dtype = gs[0].dtype
+    # the z matrices are passed at full precision and split IN-KERNEL in
+    # bf16x3 mode: pre-split bf16 matrices as pallas inputs are LOSSY on
+    # TPU Mosaic (~1e-3-class operator error; BENCH_NOTES r4)
+    mats = [op.WzT, op.Dz]
+    kernel = _mk_kernel(n, S, D_host, precision, pair)
+    vmem = pltpu.VMEM
+    io_spec = pl.BlockSpec((n2, S, gz), lambda b, s: (0, b, 0),
+                           memory_space=vmem)
+    in_specs = [io_spec] * len(gs)
+    args = list(gs)
+    if pair:
+        in_specs.append(pl.BlockSpec((2, S, ez), lambda b, s: (0, b, 0),
+                                     memory_space=vmem))
+        args.append(op.ce)
+    in_specs.append(pl.BlockSpec((1, 6, S, ez),
+                                 lambda b, s: (s, 0, b, 0),
+                                 memory_space=vmem))
+    args.append(op.Gt)
+    in_specs += [pl.BlockSpec(memory_space=vmem) for _ in mats]
+    args += mats
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, n2),
+        in_specs=in_specs,
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((n2, ns_pad, gz), dtype),
+        scratch_shapes=[pltpu.VMEM((n2 * S, ez), dtype) for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Applies (jit-traceable; XLA row gather / scatter around the kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("ndofs", "interpret", "precision"))
+def stiffness_apply_extruded_pallas(x_flat: jax.Array, op: PallasExtruded,
+                                    ndofs: int, interpret: bool = False,
+                                    precision="auto") -> jax.Array:
+    """y_flat = A_stiff(x_flat) on the factorized (n2d, gz) DOF layout,
+    fused kernel.  Same contract as operators.stiffness_apply_extruded
+    (coefficients folded into Gt at build)."""
+    if precision == "auto":
+        precision = _HI if x_flat.dtype == jnp.float64 else "bf16x3"
+    gz = op.WzT.shape[0]
+    x2 = x_flat.reshape(-1, gz)
+    g = x2[op.rows]                                    # (n^2, ns_pad, gz)
+    vals = _call(op, [g], False, interpret, precision)
+    y2 = jnp.zeros((ndofs // gz, gz), x_flat.dtype)
+    y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
+    return y2.reshape(-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ndofs", "interpret", "precision"))
+def stiffness_apply_extruded_pallas_pair(x1: jax.Array, x2: jax.Array,
+                                         op: PallasExtrudedPair,
+                                         ndofs: int,
+                                         interpret: bool = False,
+                                         precision="auto") -> jax.Array:
+    """y = A_c1(x1) + A_c2(x2), one fused pass (unit-coefficient stream,
+    fields combined after the z-window against the ce block)."""
+    if precision == "auto":
+        precision = _HI if x1.dtype == jnp.float64 else "bf16x3"
+    gz = op.WzT.shape[0]
+    g1 = x1.reshape(-1, gz)[op.rows]
+    g2 = x2.reshape(-1, gz)[op.rows]
+    vals = _call(op, [g1, g2], True, interpret, precision)
+    y2 = jnp.zeros((ndofs // gz, gz), x1.dtype)
+    y2 = y2.at[op.rows].add(vals, mode="promise_in_bounds")
+    return y2.reshape(-1)

@@ -101,9 +101,12 @@ def build(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
 def _mk_matmul(precision, f32):
     """2D dot with contraction dims; bf16x3 drops only the lo*lo term and
     skips the lo term entirely for operands flagged exact-in-bf16 (the 0/1
-    window matrices).  Operands may be passed pre-split as (hi, lo) bf16
-    pairs (lo=None for exact operands) — build-time splitting of the
-    static derivative/window matrices removes per-plane split VPU work."""
+    window matrices).  All splits happen IN-KERNEL on full-precision
+    operands (Mosaic CSEs repeated splits at no cost).  Tuple operands
+    ((hi, lo) bf16 pairs) remain accepted for the bf16x3 path, but must
+    NOT be produced outside the kernel: bf16 matrices passed as pallas
+    inputs are numerically lossy on TPU Mosaic (~8.6e-4 operator error
+    vs ~1e-5 — the r3 pre-split regression, BENCH_NOTES r4)."""
 
     def split(a):
         hi = a.astype(jnp.bfloat16)
@@ -166,28 +169,18 @@ def _mk_matmul(precision, f32):
 
 def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
     """Kernel specialised for degree (n = P+1) with D as static scalars.
-
-    In bf16x3 mode the window/derivative matrices arrive PRE-SPLIT as bf16
-    (hi, lo) pairs (windows exact, lo=None) — splitting them per plane in
-    the kernel was measurable VPU work on every apply."""
-    presplit = precision in ("bf16x3", "bf16x3w")
+    Window/derivative matrices arrive at full precision; bf16x3 splits
+    happen per matmul in-kernel (CSE'd by Mosaic)."""
     # python floats are weak-typed (np.float64 scalars would promote the
     # whole accumulation chain to f64 under x64)
     D = tuple(tuple(float(v) for v in row) for row in D)
 
     def kernel(*refs):
         x_refs = refs[:n]                      # n x-node planes (1, gy, gz)
-        if presplit:
-            (G_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref, DezH_ref,
-             DezL_ref, o_ref, u_sc, r_sc, xc_sc) = refs[n:]
-            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
-                            (DeyH_ref[...], DeyL_ref[...]),
-                            (DezH_ref[...], DezL_ref[...]))
-        else:
-            (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
-             xc_sc) = refs[n:]
-            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
-                            Dez_ref[...])
+        (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
+         xc_sc) = refs[n:]
+        mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                        Dez_ref[...])
         i = pl.program_id(0)
         s = pl.program_id(1)
         f32 = o_ref.dtype
@@ -252,15 +245,14 @@ def _mk_kernel(n: int, P: int, ncx: int, D: tuple, precision):
 
 
 def _split_mats(op, precision):
-    """Matrix inputs for the kernel: bf16 (hi, lo) pre-splits in bf16x3
-    mode (windows are exact in bf16 — hi only), the originals otherwise."""
-    if precision not in ("bf16x3", "bf16x3w"):
-        return [op.Wy, op.WzT, op.Dey, op.Dez]
-    bf = jnp.bfloat16
-    hi = lambda a: a.astype(bf)
-    lo = lambda a: (a - a.astype(bf).astype(a.dtype)).astype(bf)
-    return [hi(op.Wy), hi(op.WzT), hi(op.Dey), lo(op.Dey),
-            hi(op.Dez), lo(op.Dez)]
+    """Matrix inputs for the kernel: ALWAYS the full-precision originals.
+    (An r3 micro-optimisation passed bf16 (hi, lo) pre-splits as kernel
+    inputs in bf16x3 mode; measured perf-NEUTRAL at the time, and in r4
+    found to be numerically LOSSY on TPU Mosaic — ~8.6e-4 operator error
+    vs the validated ~1e-5 with in-kernel splits, which Mosaic CSEs at no
+    cost.  Splits happen inside _mk_matmul.)"""
+    del precision
+    return [op.Wy, op.WzT, op.Dey, op.Dez]
 
 
 # ---------------------------------------------------------------------------
@@ -327,21 +319,13 @@ def _mk_kernel_slab2(n: int, P: int, ncx: int, ncx2: int, ez: int,
     z contractions and window expand/fold run per half (Dez couples only
     within a slab's own z extent)."""
     D = tuple(tuple(float(v) for v in row) for row in D)
-    presplit = precision in ("bf16x3", "bf16x3w")
 
     def kernel(*refs):
         x_refs = refs[:2 * n]                 # n planes per slab
-        if presplit:
-            (G_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref, DezH_ref,
-             DezL_ref, o_ref, u_sc, r_sc, xc_sc) = refs[2 * n:]
-            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
-                            (DeyH_ref[...], DeyL_ref[...]),
-                            (DezH_ref[...], DezL_ref[...]))
-        else:
-            (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
-             xc_sc) = refs[2 * n:]
-            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
-                            Dez_ref[...])
+        (G_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref, o_ref, u_sc, r_sc,
+         xc_sc) = refs[2 * n:]
+        mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                        Dez_ref[...])
         i = pl.program_id(0)
         s = pl.program_id(1)
         f32 = o_ref.dtype
@@ -533,23 +517,14 @@ def _mk_kernel_pair(n: int, P: int, ncx: int, D: tuple, precision):
     BOTH fields and combines them with the in-kernel-expanded per-cell
     coefficients."""
     D = tuple(tuple(float(v) for v in row) for row in D)
-    presplit = precision in ("bf16x3", "bf16x3w")
 
     def kernel(*refs):
         x1_refs = refs[:n]
         x2_refs = refs[n:2 * n]
-        if presplit:
-            (G_ref, C_ref, UzT_ref, WyH_ref, WzTH_ref, DeyH_ref, DeyL_ref,
-             DezH_ref, DezL_ref, o_ref, u_sc, r_sc, xc_sc,
-             ce_sc) = refs[2 * n:]
-            mats = lambda: ((WyH_ref[...], None), (WzTH_ref[...], None),
-                            (DeyH_ref[...], DeyL_ref[...]),
-                            (DezH_ref[...], DezL_ref[...]))
-        else:
-            (G_ref, C_ref, UzT_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref,
-             o_ref, u_sc, r_sc, xc_sc, ce_sc) = refs[2 * n:]
-            mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
-                            Dez_ref[...])
+        (G_ref, C_ref, UzT_ref, Wy_ref, WzT_ref, Dey_ref, Dez_ref,
+         o_ref, u_sc, r_sc, xc_sc, ce_sc) = refs[2 * n:]
+        mats = lambda: (Wy_ref[...], WzT_ref[...], Dey_ref[...],
+                        Dez_ref[...])
         i = pl.program_id(0)
         s = pl.program_id(1)
         f32 = o_ref.dtype

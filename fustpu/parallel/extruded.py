@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fustpu.models import sources, timestepping
 from fustpu.models.westervelt import WesterveltModel
 from fustpu.ops import operators as xops
+from fustpu.ops import spectral_mm as mm
 
 try:  # jax >= 0.6 exports shard_map at top level
     shard_map = jax.shard_map
@@ -144,18 +145,75 @@ class ExtrudedShardedModel:
                 6, len(sc), n, n, ez)
 
         # ---- distributed context ------------------------------------------
-        eop = disc.extruded_op
         put = self._put
         dist = {
-            "G6": put(G6),
-            "rows": put(loc_rows.reshape(k, -1), np.int32),
             "shl": put(shl, np.int32),
             "shm": put(shm[..., None].astype(self.dtype)),
         }
-        repl = {
-            "Wz": self._repl(eop.Wz), "Dz": self._repl(eop.Dz),
-            "D": self._repl(eop.D),
-        }
+        repl = {}
+
+        # per-device stiffness engine: the fused Pallas kernel when the
+        # base model resolved to it (TPU production path; interpret mode
+        # on CPU meshes in tests), the XLA einsum path otherwise
+        self._ext_pallas = model.impl == "extruded_pallas"
+        from fustpu.models.discretization import on_tpu
+
+        self._pallas_interpret = not on_tpu()
+        hetero_pair = self.kind == "westervelt" and not model.uniform
+        if self._ext_pallas:
+            from fustpu.ops import pallas_extruded as pex
+
+            S_b = pex.pick_stack_batch(n, smax, ez, gz, pair=hetero_pair)
+            if S_b is None:  # pragma: no cover - guarded by model resolve
+                raise ValueError("no VMEM-feasible stack batch per device")
+            smax_pad = -(-smax // S_b) * S_b
+            # (k, n^2, 6, smax_pad, ez) footprint-node-major stream
+            Gt = np.zeros((k, n * n, 6, smax_pad, ez))
+            Gt[:, :, :, :smax] = G6.transpose(0, 3, 4, 1, 2, 5).reshape(
+                k, n * n, 6, smax, ez)
+            rows_t = np.zeros((k, n * n, smax_pad), np.int32)
+            rows_t[:, :, :smax] = loc_rows.transpose(0, 2, 1)
+            def coeff_local(c_cells):
+                """(num_cells,) per-cell coefficient -> (k, smax, ez)
+                z-expanded device blocks."""
+                c_cells = np.asarray(c_cells, np.float64).reshape(-1)
+                out = np.zeros((k, smax, ez))
+                for d in range(k):
+                    cs = c_cells[mesh.stack_cells[stacks_of[d]]]
+                    out[d, :len(cs)] = np.repeat(cs, n, axis=1)
+                return out
+
+            nc_ = (mesh.num_cells,)
+            c_f, rho_f, _, _ = model.material.cell_fields(nc_)
+            if not model.uniform and self.kind == "linear":
+                # fold the per-cell coefficient into the stream
+                cl = coeff_local(np.broadcast_to(-1.0 / rho_f, nc_))
+                Gt[:, :, :, :smax] *= cl[:, None, None, :, :]
+            self._pex_statics = (tuple(map(tuple, np.asarray(
+                disc._D_host, np.float64))), S_b)
+            dist["Gt"] = put(Gt)
+            dist["rows_t"] = put(rows_t, np.int32)
+            if hetero_pair:
+                delta_f = np.broadcast_to(np.asarray(
+                    model.material.diffusivity_of_sound(
+                        model.source.angular_frequency), np.float64), nc_)
+                ce = np.zeros((k, 2, smax_pad, ez))
+                ce[:, 0, :smax] = coeff_local(
+                    np.broadcast_to(-1.0 / rho_f, nc_))
+                ce[:, 1, :smax] = coeff_local(
+                    -delta_f / (rho_f * c_f * c_f))
+                dist["ce_p"] = put(ce)
+            repl["WzTp"] = self._repl(
+                mm.window_matrix(mesh.nz, mesh.degree).T)
+            repl["Dzp"] = self._repl(
+                mm.deriv_block_matrix(mesh.nz, disc._D_host))
+        else:
+            eop = disc.extruded_op
+            dist["G6"] = put(G6)
+            dist["rows"] = put(loc_rows.reshape(k, -1), np.int32)
+            repl["Wz"] = self._repl(eop.Wz)
+            repl["Dz"] = self._repl(eop.Dz)
+            repl["D"] = self._repl(eop.D)
 
         def put_vec(a):
             # global flat diagonal -> per-device (nloc, gz) rows; pad rows
@@ -245,21 +303,48 @@ class ExtrudedShardedModel:
             rows=ctx["dist"]["rows"], G6=ctx["dist"]["G6"],
             Wz=ctx["repl"]["Wz"], Dz=ctx["repl"]["Dz"], D=ctx["repl"]["D"])
 
+    def _local_stiffness(self, ctx, x_flat, coeff_e=None):
+        """Single-field per-device apply: fused kernel or XLA einsums."""
+        nd = self.nloc * self.gz
+        if self._ext_pallas:
+            from fustpu.ops import pallas_extruded as pex
+
+            op = pex.PallasExtruded(
+                Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
+                WzT=ctx["repl"]["WzTp"], Dz=ctx["repl"]["Dzp"],
+                statics=self._pex_statics)
+            return pex.stiffness_apply_extruded_pallas(
+                x_flat, op, nd, interpret=self._pallas_interpret)
+        return xops.stiffness_apply_extruded(x_flat, self._local_op(ctx),
+                                             nd, coeff_e=coeff_e)
+
+    def _local_pair_stiffness(self, ctx, u_flat, v_flat):
+        nd = self.nloc * self.gz
+        if self._ext_pallas:
+            from fustpu.ops import pallas_extruded as pex
+
+            op = pex.PallasExtrudedPair(
+                Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
+                ce=ctx["dist"]["ce_p"], WzT=ctx["repl"]["WzTp"],
+                Dz=ctx["repl"]["Dzp"], statics=self._pex_statics)
+            return pex.stiffness_apply_extruded_pallas_pair(
+                u_flat, v_flat, op, nd, interpret=self._pallas_interpret)
+        d = ctx["dist"]
+        return xops.stiffness_apply_extruded_pair(
+            u_flat, v_flat, self._local_op(ctx), nd, d["c3_x"], d["c4_x"])
+
     def _local_rhs(self, ctx, t, u2, v2):
         """u2, v2: (nloc, gz) device-local row blocks (consistent)."""
         d = ctx["dist"]
         m = self.model
-        op = self._local_op(ctx)
-        nd = self.nloc * self.gz
         flat = lambda a: a.reshape(-1)
         shp = (self.nloc, self.gz)
         if self.kind == "linear":
             if m.uniform:
-                b = m.c2_scalar * xops.stiffness_apply_extruded(
-                    flat(u2), op, nd)
+                b = m.c2_scalar * self._local_stiffness(ctx, flat(u2))
             else:
-                b = xops.stiffness_apply_extruded(flat(u2), op, nd,
-                                                  coeff_e=d["c2_x"])
+                b = self._local_stiffness(ctx, flat(u2),
+                                          coeff_e=d.get("c2_x"))
             b = self._exchange(ctx, b.reshape(shp))
             a_c, a_s = sources.linear_source_coeffs(t, m.source, m.c_src)
             b = b + a_c.astype(self.dtype) * d["s_cos"]
@@ -272,10 +357,9 @@ class ExtrudedShardedModel:
         mm_ = d["m0"] + u2 * d["mvec2"]
         if m.uniform:
             x = m.c3_scalar * u2 + m.c4_scalar * v2
-            b = xops.stiffness_apply_extruded(flat(x), op, nd)
+            b = self._local_stiffness(ctx, flat(x))
         else:
-            b = xops.stiffness_apply_extruded_pair(
-                flat(u2), flat(v2), op, nd, d["c3_x"], d["c4_x"])
+            b = self._local_pair_stiffness(ctx, flat(u2), flat(v2))
         b = self._exchange(ctx, b.reshape(shp))
         b = b - (v2 * v2) * d["mvec2"]
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(

@@ -185,3 +185,136 @@ def test_detection_ignores_orphan_vertices():
     verts2 = np.vstack([um.vertices, [[9.9, 9.9, 9.9], [1.2, 4.5, 6.7]]])
     ex = as_extruded(dataclasses.replace(um, vertices=verts2))
     assert ex is not None
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel for the extruded layout (fustpu.ops.pallas_extruded)
+# — interpret mode on CPU, gated against the XLA factorized path (itself
+# oracle-gated above) at the reference's 1e-12 f64 tolerance.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("P", [2, 3, 4])
+def test_pallas_extruded_matches_xla(P):
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=P)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(P)
+    x = jnp.asarray(rng.standard_normal(mex.ndofs))
+    coeff = rng.uniform(0.5, 2.0, mex.num_cells)
+    ce = ops.expand_coeff_extruded(mex, coeff, jnp.float64)
+    y1 = ops.stiffness_apply_extruded(x, d.extruded_op, mex.ndofs,
+                                      coeff_e=ce)
+    op = pex.build_extruded(mex, d._G_host, d._D_host, jnp.float64,
+                            coeff=coeff)
+    y2 = pex.stiffness_apply_extruded_pallas(x, op, mex.ndofs,
+                                             interpret=True,
+                                             precision=pex._HI)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+
+
+def test_pallas_extruded_pair_matches_xla():
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=3)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(rng.standard_normal(mex.ndofs))
+    x2 = jnp.asarray(rng.standard_normal(mex.ndofs))
+    c1 = rng.uniform(0.5, 2.0, mex.num_cells)
+    c2 = rng.uniform(-1.5, -0.5, mex.num_cells)
+    ce1 = ops.expand_coeff_extruded(mex, c1, jnp.float64)
+    ce2 = ops.expand_coeff_extruded(mex, c2, jnp.float64)
+    yr = ops.stiffness_apply_extruded_pair(x1, x2, d.extruded_op,
+                                           mex.ndofs, ce1, ce2)
+    opp = pex.build_extruded_pair(mex, d._G_host, d._D_host, jnp.float64,
+                                  c1, c2)
+    yp = pex.stiffness_apply_extruded_pallas_pair(
+        x1, x2, opp, mex.ndofs, interpret=True, precision=pex._HI)
+    err = float(jnp.linalg.norm(yp - yr) / jnp.linalg.norm(yr))
+    assert err < 1e-12, err
+
+
+def test_pallas_extruded_bf16x3_accuracy():
+    """Production f32/bf16x3 configuration within the validated operator
+    error budget (same scheme as the structured kernel)."""
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=4)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(mex.ndofs))
+    coeff = rng.uniform(0.5, 2.0, mex.num_cells)
+    ce = ops.expand_coeff_extruded(mex, coeff, jnp.float64)
+    y1 = np.asarray(ops.stiffness_apply_extruded(x, d.extruded_op,
+                                                 mex.ndofs, coeff_e=ce))
+    op32 = pex.build_extruded(mex, d._G_host, d._D_host, jnp.float32,
+                              coeff=coeff)
+    y2 = np.asarray(pex.stiffness_apply_extruded_pallas(
+        jnp.asarray(x, jnp.float32), op32, mex.ndofs, interpret=True,
+        precision="bf16x3")).astype(np.float64)
+    err = np.linalg.norm(y2 - y1) / np.linalg.norm(y1)
+    assert err < 5e-5, err
+
+
+def test_pallas_extruded_multiblock():
+    """More stacks than one stack-batch (ns > S forced small via a
+    build-level repack) — exercises the outer grid dimension and the
+    zero-G stack padding."""
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=2, nz=3)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(mex.ndofs))
+    y1 = ops.stiffness_apply_extruded(x, d.extruded_op, mex.ndofs)
+    op = pex.build_extruded(mex, d._G_host, d._D_host, jnp.float64)
+    # force S=8 so the 33 stacks span 5 blocks (with 7 padded stacks)
+    Gs = pex._stack_G(mex, d._G_host)
+    Gt, rows_t, _ = pex._pack(Gs, mex.rows2d, 8)
+    op8 = pex.PallasExtruded(
+        Gt=jnp.asarray(Gt, jnp.float64), rows=jnp.asarray(rows_t),
+        WzT=op.WzT, Dz=op.Dz, statics=(op.statics[0], 8))
+    y2 = pex.stiffness_apply_extruded_pallas(x, op8, mex.ndofs,
+                                             interpret=True,
+                                             precision=pex._HI)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("cls,hetero", [
+    (LinearWaveModel, False), (LinearWaveModel, True),
+    (WesterveltModel, False), (WesterveltModel, True)])
+def test_model_extruded_pallas_matches_xla(cls, hetero):
+    """Model-level stiffness_impl='extruded_pallas' (the TPU production
+    path for imported meshes, interpret mode here) == the XLA extruded
+    path over 10 RK4 steps."""
+    mex, _ = _cyl()
+    if hetero:
+        zc = np.array([mex.vertices[c].mean(axis=0)[2]
+                       for c in mex.cells])
+        c_cells = np.where(zc < 0.01, 1500.0, 1650.0)
+        mat = Material(sound_speed=c_cells, density=1000.0,
+                       nonlinearity=3.5, attenuation_dB=0.3)
+    else:
+        mat = Material(sound_speed=1500.0, density=1000.0,
+                       nonlinearity=3.5, attenuation_dB=0.3)
+    if cls is LinearWaveModel and hetero:
+        # heterogeneous linear folds the coefficient into the stream
+        pass
+    src = Source(frequency=0.5e6, amplitude=1e5)
+    outs = []
+    for impl in ("extruded", "extruded_pallas"):
+        m = cls(mex, mat, src, mex.boundary_facets(1),
+                mex.boundary_facets(2), dtype=jnp.float64,
+                stiffness_impl=impl)
+        assert m.impl == impl
+        if impl == "extruded_pallas":
+            assert m._ext_interpret  # CPU backend here
+        dt, _ = m.cfl_dt(0.4)
+        s, _ = m.solve(m.init_state(), dt, 10)
+        outs.append(np.asarray(s.u).ravel())
+    err = (np.linalg.norm(outs[0] - outs[1])
+           / max(np.linalg.norm(outs[0]), 1e-300))
+    assert err < 1e-11, err

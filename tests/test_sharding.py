@@ -430,3 +430,41 @@ def test_sharded_unstructured_reductions_and_checkpoint(tmp_path):
     err = (np.linalg.norm(sm.collect(s3.u) - sm.collect(s4.u))
            / np.linalg.norm(sm.collect(s4.u)))
     assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("model_cls,hetero", [
+    (LinearWaveModel, False), (WesterveltModel, False),
+    (WesterveltModel, True)])
+def test_sharded_extruded_pallas_matches_single(model_cls, hetero):
+    """Per-device FUSED kernel (stiffness_impl='extruded_pallas',
+    interpret mode on the CPU device mesh) through ExtrudedShardedModel
+    == the single-device solve at 1e-12 — the sharded production path
+    for imported meshes."""
+    from fustpu.mesh import msh_io
+    from fustpu.mesh.shapes import cylinder_mesh
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1, nz=4)
+    p = msh_io.write_msh("/tmp/_shard_cyl3.msh", p if False else v, c, t)
+    mesh = msh_io.read_msh(p, 3)
+    if hetero:
+        zc = np.array([mesh.vertices[cc].mean(axis=0)[2]
+                       for cc in mesh.cells])
+        cs = np.where(zc < 0.01, 1500.0, 1650.0)
+    else:
+        cs = 1500.0
+    mat = Material(sound_speed=cs, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=0.5e6, amplitude=1.0e5)
+    model = model_cls(mesh, mat, src, mesh.boundary_facets(1),
+                      mesh.boundary_facets(2), dtype=jnp.float64,
+                      stiffness_impl="extruded_pallas")
+    assert model.impl == "extruded_pallas"
+    dt, _ = model.cfl_dt(0.4)
+    s, _ = model.solve(model.init_state(), dt, 15)
+    sm = ExtrudedShardedModel(model, num_devices=8)
+    assert sm._ext_pallas and sm._pallas_interpret
+    ss, _ = sm.solve(sm.init_state(), dt, 15)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s.u).ravel())
+           / np.linalg.norm(np.asarray(s.u)))
+    assert err < 1e-12, err
