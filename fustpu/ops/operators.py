@@ -270,8 +270,12 @@ def stiffness_apply_extruded_pair(x1: jax.Array, x2: jax.Array,
 
 def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             coeff: jax.Array, dofmap: jax.Array,
-                            D: jax.Array, ndofs: int) -> jax.Array:
-    """G: (cells, n^3, 6); dofmap: (cells, n^3)."""
+                            D: jax.Array, ndofs: int,
+                            pull=None) -> jax.Array:
+    """G: (cells, n^3, 6); dofmap: (cells, n^3).  `pull`: optional
+    gather_scatter.PullScatter tables — replaces the XLA scatter-add
+    (which serializes on TPU, ~50% of this apply) with the gather-only
+    pull transpose."""
     n = D.shape[0]
     cells = dofmap.shape[0]
     u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
@@ -286,4 +290,8 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
     y = jnp.einsum("qi,cqjk->cijk", D, f0, precision=_PRECISION)
     y = y + jnp.einsum("qj,ciqk->cijk", D, f1, precision=_PRECISION)
     y = y + jnp.einsum("qk,cijq->cijk", D, f2, precision=_PRECISION)
+    if pull is not None:
+        from fustpu.ops.gather_scatter import pull_scatter_dofs
+
+        return pull_scatter_dofs(y, pull)
     return scatter_add_dofs(y.reshape(cells, -1), dofmap, ndofs)

@@ -59,7 +59,8 @@ class ShardedModel:
     base model's choice (fused Pallas kernel per device on TPU, XLA matmul
     formulation elsewhere)."""
 
-    def __init__(self, model, grid: sh.DeviceGrid, stiffness_impl=None):
+    def __init__(self, model, grid: sh.DeviceGrid, stiffness_impl=None,
+                 force_y_parts: int = 0):
         self.model = model
         self.grid = grid
         self.kind = ("westervelt" if isinstance(model, WesterveltModel)
@@ -119,6 +120,14 @@ class ShardedModel:
                                                 Pd), dtype)
 
         self.impl = stiffness_impl or getattr(model, "impl", "mm")
+        # memory-capacity mode: corner-streamed kernel per device (37
+        # floats/cell instead of 6/quad-point — multi-chip runs scale DOF
+        # count, which is exactly where the G stream's memory wall bites)
+        self._corner = (self.impl == "pallas_corner"
+                        or (stiffness_impl is None
+                            and getattr(model, "_corner", False)))
+        if self.impl == "pallas_corner":
+            self.impl = "pallas"
         from fustpu.ops import pallas_stiffness as ps
 
         self._pair = False
@@ -127,9 +136,12 @@ class ShardedModel:
         # per y-slab (PallasStiffnessSplit) — mm only when no partition
         # exists at all.  Never silently: log whichever engages.
         self._y_sizes = None
-        if self.impl == "pallas":
+        if self.impl == "pallas" and force_y_parts > 1:
+            self._y_sizes = tuple(ps._slab_sizes(
+                self.lc[1], min(force_y_parts, self.lc[1])))
+        elif self.impl == "pallas":
             sizes = ps.pick_y_parts(n, self.lc[1], self.lc[2],
-                                    self.lgrid[2])
+                                    self.lgrid[2], corner=self._corner)
             if sizes is None:
                 print("[fustpu] ShardedModel: no VMEM-feasible y "
                       "partition for the per-device block; falling back "
@@ -162,6 +174,26 @@ class ShardedModel:
             repl["WzT"] = repl_put(mm.window_matrix(self.lc[2], Pd).T)
             repl["Dez"] = repl_put(
                 mm.deriv_block_matrix(self.lc[2], disc._D_host))
+            if self._corner:
+                from fustpu.elements import gll
+
+                lz = self.lc[2]
+                nodes = gll.gll_nodes_unit(n)
+                wts = gll.gll_points_weights_unit(n)[1]
+                UzT = np.zeros((lz, lz * n))
+                UzT[np.repeat(np.arange(lz), n), np.arange(lz * n)] = 1.0
+                repl["UzTc"] = repl_put(UzT)
+                repl["zrow"] = repl_put(np.tile(nodes, lz)[None, :])
+                repl["wzrow"] = repl_put(np.tile(wts, lz)[None, :])
+                for j, sj in enumerate(y_sizes):
+                    repl[f"ycol{j}"] = repl_put(
+                        np.tile(nodes, sj)[:, None])
+                    repl[f"wycol{j}"] = repl_put(
+                        np.tile(wts, sj)[:, None])
+                self._corner_statics = (
+                    self._D_host,
+                    tuple(np.asarray(nodes, np.float64)),
+                    tuple(np.asarray(wts, np.float64)))
             if model.uniform:
                 coeffs = [None]
             else:
@@ -174,7 +206,32 @@ class ShardedModel:
                             model.source.angular_frequency)), mesh.nc)
                     coeffs = [-1.0 / rho_f,
                               -delta_f / (rho_f * c_f * c_f)]
-            G_pad = pad_cells_flat(disc._G_host)
+            if self._corner:
+                # corner-streamed capacity mode: per-device (lx, 37, ly,
+                # lz) coefficient tiles; ghost-padded cells get UNIT
+                # geometry with a ZERO material coefficient (the kernel
+                # divides by det(J) — a zero-geometry pad would be 0/0)
+                unit = np.array([[a, b, c] for a in (0, 1) for b in (0, 1)
+                                 for c in (0, 1)], np.float64)
+                corners = np.asarray(mesh.cell_corners_flat, np.float64)
+                corners_pad = np.broadcast_to(
+                    unit, (int(np.prod(nc)), 8, 3)).copy()
+                live = pad_cell3(np.ones(mesh.nc)).reshape(-1) > 0
+                corners_pad[live] = corners
+                for k, cf in enumerate(coeffs):
+                    cf3 = np.ones(mesh.nc) if cf is None \
+                        else np.broadcast_to(cf, mesh.nc)
+                    cf_pad = pad_cell3(cf3).reshape(-1)
+                    T = ps.jacobian_coefficients(corners_pad, cf_pad)
+                    JC = T.reshape(*nc, 37).transpose(0, 3, 1, 2)
+                    lx, ly, lz = self.lc
+                    JCs = JC.reshape(S[0], lx, 37, S[1], ly, S[2], lz)
+                    dist[f"JC{k}"] = grid.put(np.ascontiguousarray(
+                        JCs.transpose(0, 3, 5, 1, 2, 4, 6)), dtype)
+                self._n_ops = len(coeffs)
+                G_pad = None
+            else:
+                G_pad = pad_cells_flat(disc._G_host)
             # heterogeneous Westervelt on single-slab devices: ONE
             # unit-coefficient G tile + a per-cell coefficient block, and
             # the stage runs the pair kernel (see pallas_stiffness).  The
@@ -182,10 +239,13 @@ class ShardedModel:
             # doubled x-plane IO), so gate on its own budget — in the band
             # where only the plain kernel fits, fall back to two folded
             # operators instead of failing at Mosaic compile.
-            self._pair = (len(coeffs) == 2 and self._y_sizes is None
+            self._pair = (not self._corner
+                          and len(coeffs) == 2 and self._y_sizes is None
                           and ps.pallas_fits(n, self.lc[1], self.lc[2],
                                              self.lgrid[2], pair=True))
-            if self._pair:
+            if self._corner:
+                pass
+            elif self._pair:
                 dist["Gp0"] = grid.put(
                     _split_pallas_G(ps.pack_G(G_pad, nc, n), S), dtype)
                 C = np.stack([pad_cell3(np.broadcast_to(cf, mesh.nc))
@@ -254,6 +314,34 @@ class ShardedModel:
 
     # ---------------- local physics (inside shard_map) -------------------
     def _local_stiffness(self, ctx, x, coeff_e=None, op_idx=0):
+        if self.impl == "pallas" and self._corner:
+            from fustpu.ops import pallas_stiffness as ps
+
+            n = self.mesh.degree + 1
+            r = ctx["repl"]
+            JC = ctx["dist"][f"JC{op_idx}"]
+
+            def corner_op(JCj, j):
+                return ps.PallasStiffnessCorner(
+                    JC=JCj, Wy=r[f"Wy{j}"], WzT=r["WzT"],
+                    Dey=r[f"Dey{j}"], Dez=r["Dez"], UzT=r["UzTc"],
+                    ycol=r[f"ycol{j}"], zrow=r["zrow"],
+                    wycol=r[f"wycol{j}"], wzrow=r["wzrow"],
+                    statics=self._corner_statics)
+
+            if self._y_sizes is None:
+                op = corner_op(JC, 0)
+            else:
+                parts, off = [], 0
+                for j, sj in enumerate(self._y_sizes):
+                    parts.append(corner_op(JC[:, :, off:off + sj], j))
+                    off += sj
+                op = ps.PallasStiffnessSplit(tuple(parts), self._y_sizes)
+            kw = {}
+            if getattr(self.model, "_pallas_precision", None) is not None:
+                kw["precision"] = self.model._pallas_precision
+            return ps.stiffness_apply_pallas(
+                op, x, interpret=self._pallas_interpret, **kw)
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps
 

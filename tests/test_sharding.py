@@ -468,3 +468,64 @@ def test_sharded_extruded_pallas_matches_single(model_cls, hetero):
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s.u).ravel())
            / np.linalg.norm(np.asarray(s.u)))
     assert err < 1e-12, err
+
+
+@pytest.mark.parametrize("S,nc", [((2, 2, 1), (4, 4, 4)),
+                                  ((2, 2, 2), (7, 5, 3))])
+def test_sharded_pallas_corner_matches_single(S, nc):
+    """Per-device CORNER-streamed kernel (the multi-chip memory-capacity
+    mode: 37 floats/cell instead of 6/quad-point) == single-device mm,
+    including ghost-padded non-divisible cell counts (pad cells carry
+    unit geometry with zero coefficient — the kernel divides by det)."""
+    model, mat, src = _build(WesterveltModel, nc=nc, degree=2)
+    grid = sh.DeviceGrid.create(S)
+    smodel = ShardedModel(model, grid, stiffness_impl="pallas_corner")
+    assert smodel._corner and smodel.impl == "pallas"
+    dt, _ = model.cfl_dt(0.4)
+    final, _ = model.solve(model.init_state(), dt, 6)
+    ds, _ = smodel.solve(smodel.init_state(), dt, 6)
+    u = smodel.collect(ds.u)
+    err = (np.linalg.norm(u - np.asarray(final.u))
+           / np.linalg.norm(np.asarray(final.u)))
+    assert err < 1e-12, err
+
+
+def test_sharded_pallas_corner_heterogeneous():
+    """Two-layer material through the sharded corner mode (coefficient
+    folded into the per-device 37-channel stream, two streams for the
+    Westervelt pair of stiffness terms)."""
+    L = 0.006
+    mesh = build_box_mesh((4, 4, 4), 2, hi=(L, L, L))
+    cs = np.where(np.arange(4)[:, None, None] < 2, 1480.0, 1650.0)
+    cs = np.broadcast_to(cs, mesh.nc)
+    mat = Material(sound_speed=cs, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    model = WesterveltModel(mesh, mat, src, mesh.boundary_facets("x-"),
+                            mesh.all_boundary_facets(), dtype=jnp.float64)
+    grid = sh.DeviceGrid.create((2, 2, 1))
+    smodel = ShardedModel(model, grid, stiffness_impl="pallas_corner")
+    assert smodel._n_ops == 2 and not smodel._pair
+    dt, _ = model.cfl_dt(0.4)
+    final, _ = model.solve(model.init_state(), dt, 6)
+    ds, _ = smodel.solve(smodel.init_state(), dt, 6)
+    u = smodel.collect(ds.u)
+    err = (np.linalg.norm(u - np.asarray(final.u))
+           / np.linalg.norm(np.asarray(final.u)))
+    assert err < 1e-12, err
+
+
+def test_sharded_pallas_corner_y_split():
+    """Corner mode through the per-device y-slab partition (forced)."""
+    model, mat, src = _build(LinearWaveModel, nc=(4, 6, 4), degree=2)
+    grid = sh.DeviceGrid.create((2, 1, 1))
+    smodel = ShardedModel(model, grid, stiffness_impl="pallas_corner",
+                          force_y_parts=2)
+    assert smodel._y_sizes is not None
+    dt, _ = model.cfl_dt(0.4)
+    final, _ = model.solve(model.init_state(), dt, 6)
+    ds, _ = smodel.solve(smodel.init_state(), dt, 6)
+    u = smodel.collect(ds.u)
+    err = (np.linalg.norm(u - np.asarray(final.u))
+           / np.linalg.norm(np.asarray(final.u)))
+    assert err < 1e-12, err
