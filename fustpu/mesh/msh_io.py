@@ -29,6 +29,8 @@ from fustpu.mesh.unstructured import (_FACET_CORNERS, UnstructuredHexMesh,
 _GMSH_HEX = [0b000, 0b100, 0b110, 0b010, 0b001, 0b101, 0b111, 0b011]
 _HEX_TYPE = 5    # gmsh element type: 8-node hexahedron
 _QUAD_TYPE = 3   # 4-node quadrangle
+_HEX27_TYPE = 12  # 27-node (2nd-order) hexahedron -> isoparametric mesh
+_QUAD9_TYPE = 10  # 9-node quadrangle (2nd-order surface; corners used)
 
 
 def _rowview(a: np.ndarray) -> np.ndarray:
@@ -137,10 +139,10 @@ def read_msh(path: str, degree: int,
             etype, ntags = parts[1], parts[2]
             tags = parts[3:3 + ntags]
             verts = parts[3 + ntags:]
-            if etype == _HEX_TYPE:
+            if etype in (_HEX_TYPE, _HEX27_TYPE):
                 hexes.append(verts)
-            elif etype == _QUAD_TYPE:
-                quads.append((tags[0] if tags else 0, verts))
+            elif etype in (_QUAD_TYPE, _QUAD9_TYPE):
+                quads.append((tags[0] if tags else 0, verts[:4]))
     else:
         body = section("Nodes", required=True)
         k = 1
@@ -171,15 +173,15 @@ def read_msh(path: str, degree: int,
             for j in range(ne):
                 parts = [int(x) for x in body[k + 1 + j].split()]
                 verts = parts[1:]
-                if etype == _HEX_TYPE:
+                if etype in (_HEX_TYPE, _HEX27_TYPE):
                     hexes.append(verts)
-                elif etype == _QUAD_TYPE:
+                elif etype in (_QUAD_TYPE, _QUAD9_TYPE):
                     if ent_id not in surf_tag:
                         raise ValueError(
                             f"{path}: surface entity {ent_id} carries "
                             "quads but no physical tag — tag boundary "
                             "surfaces with physical groups in Gmsh")
-                    quads.append((surf_tag[ent_id], verts))
+                    quads.append((surf_tag[ent_id], verts[:4]))
             k += 1 + ne
 
     return _assemble_mesh(path, node_ids, coords, hexes, quads,
@@ -198,10 +200,27 @@ def _assemble_mesh(path, node_ids, coords, hexes, quads, degree: int,
     for ci, h in enumerate(hexes):
         for k_g, our in enumerate(_GMSH_HEX):
             cells[ci, our] = remap[int(h[k_g])]
+    geom_nodes = None
+    if len(hexes[0]) == 27:
+        # 2nd-order (isoparametric) hexes: carry the full triquadratic
+        # map alongside the trilinear corner shadow
+        from fustpu.elements.hex import GMSH_HEX27_TO_TP
+
+        gn = np.empty((len(hexes), 27), np.int64)
+        for ci, h in enumerate(hexes):
+            for k_g, tp in enumerate(GMSH_HEX27_TO_TP):
+                gn[ci, tp] = remap[int(h[k_g])]
+        geom_nodes = verts[gn]
     quads_l = [(t, [remap[int(v)] for v in vs]) for t, vs in quads]
     mesh = UnstructuredHexMesh(
         degree=degree, vertices=verts, cells=cells,
-        facet_tag_map=_facets_from_quads(cells, quads_l))
+        facet_tag_map=_facets_from_quads(cells, quads_l),
+        geom_nodes=geom_nodes)
+    if geom_nodes is not None:
+        # extrusion canonicalisation would reorder corners without
+        # permuting the quadratic map; curved imports run the indexed
+        # path (geometry fully captured by G either way)
+        detect_extrusion = False
     if detect_extrusion:
         from fustpu.mesh.extruded import as_extruded
 
@@ -227,7 +246,8 @@ def _find_section(data: bytes, name: str, path: str):
     return start, end
 
 
-_NNODES = {_HEX_TYPE: 8, _QUAD_TYPE: 4, 1: 2, 2: 3, 4: 4, 6: 6, 7: 5,
+_NNODES = {_HEX_TYPE: 8, _QUAD_TYPE: 4, _HEX27_TYPE: 27,
+           _QUAD9_TYPE: 9, 1: 2, 2: 3, 4: 4, 6: 6, 7: 5,
            15: 1}
 
 
@@ -265,12 +285,12 @@ def _parse_binary22(data: bytes, path: str):
         blk = np.frombuffer(data, i32, int(nfollow) * rl,
                             off).reshape(int(nfollow), rl)
         off += int(nfollow) * rl * 4
-        if etype == _HEX_TYPE:
+        if etype in (_HEX_TYPE, _HEX27_TYPE):
             hexes.extend(blk[:, 1 + ntags:].tolist())
-        elif etype == _QUAD_TYPE:
+        elif etype in (_QUAD_TYPE, _QUAD9_TYPE):
             for row in blk:
                 tag = int(row[1]) if ntags else 0
-                quads.append((tag, row[1 + ntags:].tolist()))
+                quads.append((tag, row[1 + ntags:1 + ntags + 4].tolist()))
         seen += int(nfollow)
     return path, node_ids, coords, hexes, quads
 
@@ -350,9 +370,9 @@ def _parse_binary41(data: bytes, path: str):
             raise ValueError(f"{path}: unsupported element type {etype}")
         blk, off = szts(off, int(ne) * (1 + nnod))
         blk = blk.reshape(int(ne), 1 + nnod)
-        if etype == _HEX_TYPE:
+        if etype in (_HEX_TYPE, _HEX27_TYPE):
             hexes.extend(blk[:, 1:].astype(np.int64).tolist())
-        elif etype == _QUAD_TYPE:
+        elif etype in (_QUAD_TYPE, _QUAD9_TYPE):
             if int(ent) not in surf_tag:
                 raise ValueError(
                     f"{path}: surface entity {ent} carries quads but no "
@@ -360,7 +380,7 @@ def _parse_binary41(data: bytes, path: str):
                     "groups in Gmsh")
             for row in blk:
                 quads.append((surf_tag[int(ent)],
-                              row[1:].astype(np.int64).tolist()))
+                              row[1:5].astype(np.int64).tolist()))
     return path, node_ids, coords, hexes, quads
 
 

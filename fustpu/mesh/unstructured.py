@@ -61,6 +61,12 @@ class UnstructuredHexMesh:
     vertices: np.ndarray                     # (nv, 3) float64
     cells: np.ndarray                        # (ncells, 8) int
     facet_tag_map: dict                      # tag -> (nf, 2) int32
+    # optional ISOPARAMETRIC degree-2 coordinate map: (ncells, 27, 3)
+    # triquadratic geometry nodes in internal TP order (9i+3j+k;
+    # fustpu.elements.hex.hex27_tabulate).  None = trilinear (hex8).
+    # The reference's precompute is cmap-general via basix
+    # (cpp/common/precompute.hpp:33-94); this is the curved-cell instance.
+    geom_nodes: np.ndarray = None
 
     # ----- sizes ---------------------------------------------------------
     @property
@@ -100,12 +106,22 @@ class UnstructuredHexMesh:
         d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
         return float(d.max(axis=(1, 2)).min())
 
+    @property
+    def geom_degree(self) -> int:
+        return 1 if self.geom_nodes is None else 2
+
     @functools.cached_property
     def _cell_nodes_phys(self) -> np.ndarray:
         """(ncells, n^3, 3) physical coordinates of every cell's GLL nodes
-        (trilinear map of the reference lattice)."""
+        (trilinear or triquadratic map of the reference lattice)."""
         elem = self.element
         # the collocated quadrature lattice IS the (n,n,n) GLL node set
+        if self.geom_nodes is not None:
+            from fustpu.elements.hex import hex27_tabulate
+
+            vals, _ = hex27_tabulate(elem.quad_points)   # (n^3, 27)
+            return np.einsum("qv,cvd->cqd", vals, self.geom_nodes,
+                             optimize=True)
         vals, _ = hex8_tabulate(elem.quad_points)        # (n^3, 8)
         return np.einsum("qv,cvd->cqd", vals, self.cell_corners_flat,
                          optimize=True)

@@ -193,12 +193,25 @@ def stiffness_apply_mm_pair(op: MMStiffness, x1: jax.Array, x2: jax.Array,
 def mass_diagonal(nc, P: int, detJ_cells: np.ndarray,
                   coeff: np.ndarray | None = None) -> np.ndarray:
     """The assembled (global) mass diagonal, float64 host: fold of
-    detJ * coeff over cells.  Apply = x * diag."""
+    detJ * coeff over cells.  Apply = x * diag.
+
+    Strided in-place accumulation: global node (a*P+i, b*P+j, c*P+k) is
+    the step-P slice out[i::P, j::P, k::P], so the fold is n^3 strided
+    adds of (ncx, ncy, ncz) blocks — no expanded-layout transpose, no
+    window matmuls (the transpose path measured ~30 s at 67M DOF;
+    setup-time work, BENCH_NOTES r4)."""
     n = P + 1
-    dJ = to_expanded_layout(detJ_cells[..., None], nc, n)[..., 0]
+    ncx, ncy, ncz = nc
+    dJ = detJ_cells.reshape(ncx, ncy, ncz, n, n, n)
     if coeff is not None:
-        dJ = dJ * expand_cell_field(np.asarray(coeff), n)
-    out = _fold_axis0_np(dJ, P)
-    out = np.moveaxis(_fold_axis0_np(np.moveaxis(out, 1, 0), P), 0, 1)
-    out = np.moveaxis(_fold_axis0_np(np.moveaxis(out, 2, 0), P), 0, 2)
+        dJ = dJ * np.asarray(coeff)[..., None, None, None]
+    out = np.zeros((ncx * P + 1, ncy * P + 1, ncz * P + 1))
+    for i in range(n):
+        oi = out[i::P][:ncx] if i < P else out[P::P]
+        for j in range(n):
+            oj = oi[:, j::P][:, :ncy] if j < P else oi[:, P::P]
+            for k in range(n):
+                ok = (oj[:, :, k::P][:, :, :ncz] if k < P
+                      else oj[:, :, P::P])
+                ok += dJ[:, :, :, i, j, k]
     return out

@@ -16,6 +16,7 @@ import numpy as np
 from fustpu.elements import gll
 from fustpu.elements.hex import FACETS, hex8_tabulate, tabulate_3d_basis
 from fustpu.mesh.box import BoxMesh
+from fustpu.ops.precompute import _geom_dofs_grads
 
 
 def element_mass_matrices(mesh: BoxMesh) -> np.ndarray:
@@ -23,9 +24,8 @@ def element_mass_matrices(mesh: BoxMesh) -> np.ndarray:
     elem = mesh.element
     pts, wts = elem.quad_points, elem.quad_weights
     vals, _ = tabulate_3d_basis(elem, pts)           # (nq, nd)
-    _, ggrads = hex8_tabulate(pts)
-    J = np.einsum("cvp,qvr->cqpr", mesh.cell_corners_flat, ggrads,
-                  optimize=True)
+    gdofs, ggrads = _geom_dofs_grads(mesh, pts)
+    J = np.einsum("cvp,qvr->cqpr", gdofs, ggrads, optimize=True)
     detJ = np.abs(np.linalg.det(J)) * wts            # (cells, nq)
     return np.einsum("qa,cq,qb->cab", vals, detJ, vals, optimize=True)
 
@@ -35,9 +35,8 @@ def element_stiffness_matrices(mesh: BoxMesh) -> np.ndarray:
     elem = mesh.element
     pts, wts = elem.quad_points, elem.quad_weights
     _, grads = tabulate_3d_basis(elem, pts)          # (nq, nd, 3) ref grads
-    _, ggrads = hex8_tabulate(pts)
-    J = np.einsum("cvp,qvr->cqpr", mesh.cell_corners_flat, ggrads,
-                  optimize=True)
+    gdofs, ggrads = _geom_dofs_grads(mesh, pts)
+    J = np.einsum("cvp,qvr->cqpr", gdofs, ggrads, optimize=True)
     detJ = np.abs(np.linalg.det(J)) * wts
     Jinv = np.linalg.inv(J)                          # (c, q, ref, phys)
     # physical gradients of every basis function
@@ -60,8 +59,8 @@ def element_facet_mass_matrices(mesh: BoxMesh,
     out = np.empty((boundary_data.shape[0], n * n, n * n))
     for idx, (cell, lf) in enumerate(boundary_data):
         pts = elem.facet_quad_points(lf)
-        _, ggrads = hex8_tabulate(pts)
-        J = np.einsum("vp,qvr->qpr", mesh.cell_corners_flat[cell], ggrads)
+        gdofs, ggrads = _geom_dofs_grads(mesh, pts)
+        J = np.einsum("vp,qvr->qpr", gdofs[cell], ggrads)
         axis, _ = FACETS[lf]
         free = [ax for ax in range(3) if ax != axis]
         T = J[:, :, free]                            # (q, 3, 2) tangents

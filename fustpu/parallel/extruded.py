@@ -255,6 +255,9 @@ class ExtrudedShardedModel:
         if self.kind == "westervelt" and m.c4_x is not None:
             dist["c4_x"] = put_coeff(m.c4_x)
 
+        # multiplicity weights for traced reductions (shared rows live on
+        # every owner; weight them down so sums count once)
+        dist["rw"] = put(self._mult_weights()[..., None])
         self.ctx = {"dist": dist, "repl": repl}
         self.ctx_spec = {
             "dist": {key: P(AXIS) for key in dist},
@@ -391,16 +394,41 @@ class ExtrudedShardedModel:
         return self.rowsg, self.rowmask
 
     def global_dot(self, x, y) -> float:
-        """Distributed dot product of device-sharded fields (host-side
-        over addressable shards — a post-processing tool here, like the
-        reference's norm checks)."""
-        x = np.asarray(x)
-        w = self._mult_weights()
-        w = w.reshape(w.shape + (1,) * (x.ndim - 2))
-        return float(np.sum(x * np.asarray(y) * w))
+        """Distributed dot product of device-sharded fields: a TRACED
+        shard_map psum over the multiplicity-weighted local blocks (the
+        role of the reference's MPI Allreduce norm checks) — works on
+        multi-process arrays too, no host gather."""
+        if "gdot" not in self._solve_cache:
+            vec = P(AXIS)
+
+            def fn(w, a, b):
+                wl = w.reshape(w.shape[1:])
+                al = a.reshape(a.shape[1:])
+                bl = b.reshape(b.shape[1:])
+                wl = wl.reshape(wl.shape + (1,) * (al.ndim - wl.ndim))
+                return jax.lax.psum(jnp.sum(al * bl * wl), AXIS)
+
+            self._solve_cache["gdot"] = jax.jit(shard_map(
+                fn, mesh=self.device_mesh, in_specs=(vec, vec, vec),
+                out_specs=P(), check_vma=False))
+        return float(self._solve_cache["gdot"](
+            self.ctx["dist"]["rw"], x, y))
 
     def global_norm(self, x) -> float:
         return float(np.sqrt(self.global_dot(x, x)))
+
+    def norm_probe(self):
+        """A per-step probe recording the weighted global l2 norm of u
+        INSIDE the jitted scan (in-run energy diagnostics at scale).
+        Pass to solve(..., probe=...)."""
+
+        def probe(ctx, u2):
+            w = ctx["dist"]["rw"]
+            w = w.reshape(w.shape + (1,) * (u2.ndim - w.ndim))
+            return jnp.sqrt(jax.lax.psum(jnp.sum(u2 * u2 * w), AXIS))
+
+        probe.needs_ctx = True
+        return probe
 
     # ---------------- public API ---------------------------------------------
     def init_state(self, t0: float = 0.0, u0=None, v0=None
@@ -476,7 +504,13 @@ class ExtrudedShardedModel:
                     s = timestepping.rk4_step(
                         self._local_rhs, ctx, s, dt_,
                         tf_ if clamp_tf else None)
-                    return s, (probe(s.u) if probe is not None else None)
+                    if probe is None:
+                        ys = None
+                    elif getattr(probe, "needs_ctx", False):
+                        ys = probe(ctx, s.u)   # e.g. norm_probe
+                    else:
+                        ys = probe(s.u)
+                    return s, ys
 
                 s, ys = jax.lax.scan(body, s, jnp.arange(num_steps))
                 ex = lambda a: a.reshape((1,) + a.shape)
@@ -631,6 +665,7 @@ class IndexedShardedModel:
         if m.fvec_abs is not None:
             dist["fvec"] = put(locvec(m.fvec_abs, 0.0))
         self.has_abs = m.fvec_abs is not None
+        dist["rw"] = put(self._mult_weights())
         self.ctx = {"dist": dist, "repl": repl}
         self.ctx_spec = {
             "dist": {key: P(AXIS) for key in dist},
@@ -646,6 +681,7 @@ class IndexedShardedModel:
     _mult_weights = ExtrudedShardedModel._mult_weights
     global_dot = ExtrudedShardedModel.global_dot
     global_norm = ExtrudedShardedModel.global_norm
+    norm_probe = ExtrudedShardedModel.norm_probe
 
     def _ids_mask(self):
         return self.gids, self.gmask

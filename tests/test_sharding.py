@@ -529,3 +529,44 @@ def test_sharded_pallas_corner_y_split():
     err = (np.linalg.norm(u - np.asarray(final.u))
            / np.linalg.norm(np.asarray(final.u)))
     assert err < 1e-12, err
+
+
+def test_unstructured_traced_reductions():
+    """Traced multiplicity-weighted global_dot/global_norm (shard_map
+    psum — the reference's MPI Allreduce norm checks) match a host-side
+    gather-and-sum at 1e-12, and the in-scan norm_probe records the same
+    values as post-hoc norms."""
+    from fustpu.parallel.extruded import (ExtrudedShardedModel,
+                                          IndexedShardedModel)
+
+    model = _cyl_model(LinearWaveModel)
+    dt, _ = model.cfl_dt(0.4)
+    for cls, mesh_kind in ((ExtrudedShardedModel, "ext"),
+                           (IndexedShardedModel, "idx")):
+        if mesh_kind == "idx":
+            from fustpu.mesh import msh_io
+
+            mesh = msh_io.read_msh("/tmp/_shard_cyl.msh", 3,
+                                   detect_extrusion=False)
+            mat = Material(sound_speed=1500.0, density=1000.0,
+                           nonlinearity=3.5, attenuation_dB=0.3)
+            src = Source(frequency=0.5e6, amplitude=1.0e5)
+            m = LinearWaveModel(mesh, mat, src, mesh.boundary_facets(1),
+                                mesh.boundary_facets(2),
+                                dtype=jnp.float64)
+        else:
+            m = model
+        sm = cls(m, num_devices=8)
+        ss, _ = sm.solve(sm.init_state(), dt, 10)
+        # host reference: collect the global field, plain dot
+        u = sm.collect(ss.u)
+        ref = float(np.dot(u, u))
+        got = sm.global_dot(ss.u, ss.u)
+        assert abs(got - ref) <= 1e-12 * abs(ref), (mesh_kind, got, ref)
+        assert abs(sm.global_norm(ss.u) - np.sqrt(ref)) \
+            <= 1e-12 * np.sqrt(ref)
+        # in-scan probe
+        s2, ys = sm.solve(sm.init_state(), dt, 10, probe=sm.norm_probe())
+        ys = np.asarray(ys)
+        assert ys.shape == (10,)
+        assert abs(ys[-1] - np.sqrt(ref)) <= 1e-11 * np.sqrt(ref)
