@@ -119,6 +119,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     done = 0
     sampler = None
     wall = 0.0
+    chunk_walls = []
     probe = None
     traces = []
     if getattr(args, "probe", None):
@@ -141,7 +142,9 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
             t0 = time.perf_counter()
             state, ys = model.solve(state, dt, k, tf=tf, probe=probe)
             _ = float(jnp.ravel(state.u)[0])  # sync (axon: BUR is a no-op)
-            wall += time.perf_counter() - t0
+            cw = time.perf_counter() - t0
+            wall += cw
+            chunk_walls.append((cw, k))
         if probe is not None:
             traces.append(np.asarray(ys))
         done += k
@@ -175,6 +178,12 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     print(f"Solve time per step: {wall / total:.6f}"
           + (f" (over {total} executed steps incl. {pad} padding)"
              if pad else ""))
+    if len(chunk_walls) > 1:
+        # steady rate excluding the first chunk (first-compile; on axon
+        # the remote compile can dominate short runs)
+        sw = sum(w for w, _ in chunk_walls[1:])
+        sk = sum(k for _, k in chunk_walls[1:])
+        print(f"Solve time per step (steady): {sw / sk:.6f}")
 
     if probe is not None and args.output:
         trace = np.concatenate(traces, axis=0)[:num_steps]
