@@ -160,8 +160,17 @@ class UnstructuredHexMesh:
             np.cumsum(brk, out=grp)
         inverse = np.empty(N, np.int64)
         inverse[order] = grp - 1
-        dofmap = inverse.reshape(self.num_cells, -1).astype(np.int32)
-        return dofmap, int(grp[-1])
+        ndofs = int(grp[-1])
+        # relabel by FIRST TOUCH in cell-major order: consecutive cells'
+        # dofs get consecutive ids, so any cell batch addresses a compact
+        # id window — the locality property the TPU gather/scatter engine
+        # (fustpu.ops.pallas_gather) windows over.  Semantically free
+        # (everything downstream is dofmap-consistent); deterministic.
+        uniq, firstpos = np.unique(inverse, return_index=True)
+        rank = np.empty(ndofs, np.int64)
+        rank[uniq[np.argsort(firstpos)]] = np.arange(ndofs)
+        dofmap = rank[inverse].reshape(self.num_cells, -1).astype(np.int32)
+        return dofmap, ndofs
 
     @functools.cached_property
     def dofmap(self) -> np.ndarray:

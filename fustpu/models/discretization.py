@@ -138,6 +138,15 @@ class Discretization:
                                    mesh.gz, pair=pair)
 
     @functools.cached_property
+    def indexed_engine(self):
+        """Windowed one-hot gather/scatter plan for the indexed path
+        (fustpu.ops.pallas_gather) — one plan serves both directions
+        (built on dofmap.ravel())."""
+        from fustpu.ops import pallas_gather as pg
+
+        return pg.build_plan(self.mesh.dofmap.ravel(), self.mesh.ndofs)
+
+    @functools.cached_property
     def indexed_op(self) -> tuple:
         """(G, dofmap, D) device arrays for the explicit-dofmap stiffness
         (fustpu.ops.operators.stiffness_apply_indexed) — the path for
@@ -240,11 +249,16 @@ def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
     if not disc.structured:
         from fustpu.mesh.extruded import ExtrudedHexMesh
 
-        if isinstance(disc.mesh, ExtrudedHexMesh) and impl != "indexed":
+        if isinstance(disc.mesh, ExtrudedHexMesh) and impl not in (
+                "indexed", "indexed_engine"):
             if impl in ("extruded", "extruded_pallas"):
                 return impl
             return ("extruded_pallas"
                     if on_tpu() and disc.ext_pallas_fits() else "extruded")
+        # general (non-prismatic) unstructured: the windowed one-hot
+        # gather/scatter engine on TPU, plain XLA index ops otherwise
+        if impl == "indexed_engine" or (impl != "indexed" and on_tpu()):
+            return "indexed_engine"
         return "indexed"
     if impl != "auto":
         return impl

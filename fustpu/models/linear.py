@@ -102,10 +102,18 @@ class LinearWaveModel(WaveModelBase):
                 self.c2_x = ops.expand_coeff_extruded(
                     mesh, np.broadcast_to(-1.0 / rho,
                                           (mesh.num_cells,)), dtype)
-        elif self.impl == "indexed":
-            # unstructured: explicit dofmap, per-cell coefficient array
+        elif self.impl in ("indexed", "indexed_engine"):
+            # unstructured: explicit dofmap, per-cell coefficient array;
+            # 'indexed_engine' routes gather/scatter through the windowed
+            # one-hot MXU engine (fustpu.ops.pallas_gather)
             self.c2_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self._stiff_op = disc.indexed_op
+            self._idx_engine = (disc.indexed_engine
+                                if self.impl == "indexed_engine" else None)
+            from fustpu.models.discretization import on_tpu
+
+            self._engine_interpret = (self.impl == "indexed_engine"
+                                      and not on_tpu())
         elif self.uniform:
             self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
             self._stiff_op = (disc.pallas_op(corner=self._corner)
@@ -202,12 +210,14 @@ class LinearWaveModel(WaveModelBase):
                 u_flat, params["stiff"], self.mesh.ndofs,
                 coeff_e=params.get("c2_x"))
             return self.c2_scalar * b if self.uniform else b
-        if self.impl == "indexed":
+        if self.impl in ("indexed", "indexed_engine"):
             from fustpu.ops import operators as ops
 
             G, dofmap, D = params["stiff"]
             return ops.stiffness_apply_indexed(
-                u_flat, G, params["c2_c"], dofmap, D, self.mesh.ndofs)
+                u_flat, G, params["c2_c"], dofmap, D, self.mesh.ndofs,
+                engine=self._idx_engine,
+                engine_interpret=self._engine_interpret)
         u = u_flat.reshape(self.mesh.grid_shape)
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps

@@ -114,11 +114,17 @@ class WesterveltModel(WaveModelBase):
                 self.c4_x = ops.expand_coeff_extruded(
                     mesh, np.broadcast_to(-delta / (rho * c * c), nc_),
                     dtype)
-        elif self.impl == "indexed":
+        elif self.impl in ("indexed", "indexed_engine"):
             self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self.c4_cells = jnp.asarray(
                 (-delta / (rho * c * c)).reshape(-1), dtype)
             self._stiff_op = disc.indexed_op
+            self._idx_engine = (disc.indexed_engine
+                                if self.impl == "indexed_engine" else None)
+            from fustpu.models.discretization import on_tpu
+
+            self._engine_interpret = (self.impl == "indexed_engine"
+                                      and not on_tpu())
         elif self.uniform:
             self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
             self.c4_scalar = dtype(-float(delta.flat[0])
@@ -274,15 +280,17 @@ class WesterveltModel(WaveModelBase):
             return ops.stiffness_apply_extruded_pair(
                 u_flat, v_flat, params["stiff"], nd,
                 params["c3_x"], params["c4_x"])
-        if self.impl == "indexed":
+        if self.impl in ("indexed", "indexed_engine"):
             from fustpu.ops import operators as ops
 
             G, dofmap, D = params["stiff"]
             nd = self.mesh.ndofs
+            kw = dict(engine=self._idx_engine,
+                      engine_interpret=self._engine_interpret)
             return (ops.stiffness_apply_indexed(
-                        u_flat, G, params["c3_c"], dofmap, D, nd)
+                        u_flat, G, params["c3_c"], dofmap, D, nd, **kw)
                     + ops.stiffness_apply_indexed(
-                        v_flat, G, params["c4_c"], dofmap, D, nd))
+                        v_flat, G, params["c4_c"], dofmap, D, nd, **kw))
         g = self.mesh.grid_shape
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps

@@ -271,14 +271,24 @@ def stiffness_apply_extruded_pair(x1: jax.Array, x2: jax.Array,
 def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             coeff: jax.Array, dofmap: jax.Array,
                             D: jax.Array, ndofs: int,
-                            pull=None) -> jax.Array:
+                            pull=None, engine=None,
+                            engine_interpret: bool = False) -> jax.Array:
     """G: (cells, n^3, 6); dofmap: (cells, n^3).  `pull`: optional
     gather_scatter.PullScatter tables — replaces the XLA scatter-add
     (which serializes on TPU, ~50% of this apply) with the gather-only
-    pull transpose."""
+    pull transpose.  `engine`: optional pallas_gather.GatherPlan (built on
+    dofmap.ravel()) — routes BOTH directions through the windowed
+    one-hot MXU engine (the TPU fast path for general unstructured
+    meshes)."""
     n = D.shape[0]
     cells = dofmap.shape[0]
-    u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
+    if engine is not None:
+        from fustpu.ops import pallas_gather as pg
+
+        u = pg.gather(x_flat, engine,
+                      interpret=engine_interpret).reshape(cells, n, n, n)
+    else:
+        u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
     wx = jnp.einsum("qi,cijk->cqjk", D, u, precision=_PRECISION)
     wy = jnp.einsum("qj,cijk->ciqk", D, u, precision=_PRECISION)
     wz = jnp.einsum("qk,cijk->cijq", D, u, precision=_PRECISION)
@@ -290,6 +300,11 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
     y = jnp.einsum("qi,cqjk->cijk", D, f0, precision=_PRECISION)
     y = y + jnp.einsum("qj,ciqk->cijk", D, f1, precision=_PRECISION)
     y = y + jnp.einsum("qk,cijq->cijk", D, f2, precision=_PRECISION)
+    if engine is not None:
+        from fustpu.ops import pallas_gather as pg
+
+        return pg.scatter_add(y.reshape(-1), engine, ndofs,
+                              interpret=engine_interpret)
     if pull is not None:
         from fustpu.ops.gather_scatter import pull_scatter_dofs
 

@@ -332,3 +332,58 @@ def test_msh_binary_v41(tmp_path):
     assert mesh.num_cells == 1 and mesh.ndofs == 27
     assert list(mesh.facet_tag_map) == [42]
     assert len(mesh.boundary_facets(42)) == 1
+
+
+def test_indexed_engine_matches_plain():
+    """The windowed one-hot gather/scatter engine (pallas_gather,
+    interpret mode here; the TPU fast path for general unstructured
+    meshes) reproduces the plain indexed solve."""
+    import jax.numpy as jnp
+
+    from fustpu.config import Material, Source
+    from fustpu.mesh import msh_io
+    from fustpu.mesh.shapes import cylinder_mesh
+    from fustpu.models.linear import LinearWaveModel
+
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1, nz=3)
+    p = msh_io.write_msh("/tmp/_eng_cyl.msh", v, c, t)
+    mesh = msh_io.read_msh(p, 3, detect_extrusion=False)
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=0.5e6, amplitude=1e5)
+    outs = []
+    for impl in ("indexed", "indexed_engine"):
+        m = LinearWaveModel(mesh, mat, src, mesh.boundary_facets(1),
+                            mesh.boundary_facets(2), dtype=jnp.float64,
+                            stiffness_impl=impl)
+        assert m.impl == impl
+        if impl == "indexed_engine":
+            assert m._idx_engine is not None and m._engine_interpret
+        dt, _ = m.cfl_dt(0.4)
+        s, _ = m.solve(m.init_state(), dt, 6)
+        outs.append(np.asarray(s.u).ravel())
+    err = (np.linalg.norm(outs[0] - outs[1])
+           / max(np.linalg.norm(outs[0]), 1e-300))
+    assert err < 1e-11, err
+
+
+def test_gather_engine_primitives():
+    """pallas_gather gather/scatter_add vs plain indexing (interpret),
+    including the split-window and spill paths (tiny WR forces both)."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(3)
+    nsrc, N = 4000, 7000
+    g = np.clip(np.arange(N) * 0.55 + rng.integers(-900, 900, N),
+                0, nsrc - 1).astype(np.int64)
+    plan = pg.build_plan(g, nsrc, WR=8)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float32)
+    out = np.asarray(pg.gather(x, plan, interpret=True))
+    assert np.array_equal(out, np.asarray(x)[g])
+    vals = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    y = np.asarray(pg.scatter_add(vals, plan, nsrc, interpret=True))
+    ref = np.zeros(nsrc, np.float32)
+    np.add.at(ref, g, np.asarray(vals))
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err     # f32 summation-order only
