@@ -177,7 +177,8 @@ def bench_operators(nc: int = 32, degree: int = 4, dtype=jnp.float32,
         resolve_stiffness_impl
 
     if mesh is None:
-        mesh = build_box_mesh((nc, nc, nc), degree)
+        nc3 = nc if isinstance(nc, tuple) else (nc, nc, nc)
+        mesh = build_box_mesh(nc3, degree)
     elem = mesh.element
     detJ, G = pre.cell_geometry_factors(mesh)
     diag = jnp.asarray(mm.mass_diagonal(mesh.nc, degree, detJ), dtype)
