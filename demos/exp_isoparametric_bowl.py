@@ -30,6 +30,11 @@ def main():
     p.add_argument("--elements", type=int, default=24)
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--periods", type=float, default=2.0)
+    p.add_argument("--frequency", type=float, default=0.3e6,
+                   help="source frequency; default 0.3 MHz so the wave "
+                        "is resolved (>2 cells/wavelength) at the "
+                        "default --elements 24 (1.1 MHz needs "
+                        "--elements >= 56)")
     p.add_argument("--platform", choices=["default", "cpu"],
                    default="default")
     args = p.parse_args()
@@ -50,7 +55,7 @@ def main():
     mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
                    attenuation_dB=0.2)
     amplitude = mat.density * mat.sound_speed * 0.38557513826589934
-    src = Source(frequency=1.1e6, amplitude=amplitude)
+    src = Source(frequency=args.frequency, amplitude=amplitude)
     domain_length, Lt = 0.08, 0.05
     aperture_radius, focal_length = 0.016, 0.035
     yc = zc = Lt / 2
