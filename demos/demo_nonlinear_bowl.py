@@ -129,7 +129,16 @@ def main():
         print(f"mesh: {mesh_file} ({mesh.num_cells} hex cells, imported)")
     else:
         aperture = mesh.boundary_facets("x-", predicate=in_aperture)
-        absorbing = mesh.all_boundary_facets()
+        # absorbing on everything EXCEPT the source aperture — the
+        # reference's ds(1)/ds(2) sets are disjoint
+        # (cuda/demo_nonlinear_bowl.py:364-374); earlier rounds absorbed
+        # over the aperture too, damping the source (focal |p| read ~2x
+        # low: -3.39 vs the faithful -6.46 MPa, BENCH_NOTES r4)
+        absorbing = np.concatenate(
+            [mesh.boundary_facets("x-",
+                                  predicate=lambda c: ~in_aperture(c))]
+            + [mesh.boundary_facets(p) for p in
+               ["x+", "y-", "y+", "z-", "z+"]])
     print(f"degree {args.degree}, {args.geometry} bowl, "
           f"Number of degrees-of-freedom: {mesh.ndofs}")
 

@@ -46,9 +46,12 @@ def main():
                        nonlinearity=100.0, attenuation_dB=50.0)
     print(f"Number of degrees-of-freedom: {mesh.ndofs}")
 
+    # Gamma1 = x=0 source plane, Gamma2 = x=L absorbing — disjoint, as in
+    # the reference (cuda/demo_nonlinear_box.py:279-285; absorbing over
+    # the source plane would damp the source)
     model = WesterveltModel(mesh, mat, src,
                             mesh.boundary_facets("x-"),
-                            mesh.all_boundary_facets(),
+                            mesh.boundary_facets("x+"),
                             dtype=pick_dtype(args.dtype))
     if args.two_layer:
         print(f"two-layer medium; stiffness pair pass: "

@@ -44,3 +44,4 @@ from fustpu.mesh.extruded import ExtrudedHexMesh, as_extruded
 from fustpu.parallel.extruded import (ExtrudedShardedModel,
                                       IndexedShardedModel,
                                       shard_unstructured)
+from fustpu.mesh.xdmf_io import read_xdmf, xdmf_to_msh
