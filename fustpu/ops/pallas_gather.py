@@ -87,12 +87,16 @@ def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512) -> int:
 
 def build_plan(indices: np.ndarray, nsrc: int,
                WR: int | None = None) -> GatherPlan:
-    """indices: (N,) int gather targets in [0, nsrc)."""
+    """indices: (N,) int gather targets in [0, nsrc].  Index nsrc is a
+    DEAD slot (gathers 0.0, scatter contributions dropped) — sharded
+    models use it to pad ragged per-device cell counts."""
     g = np.asarray(indices, np.int64).reshape(-1)
     N = g.size
     if WR is None:
         WR = pick_wr(g)
-    ntiles = -(-N // TM)
+    # one padded position is always kept dead so spill arrays can be
+    # length-padded with no-op entries (stacked per-device plans)
+    ntiles = -(-(N + 1) // TM)
     Np = ntiles * TM
     gp = np.zeros(Np, np.int64)
     gp[:N] = g
@@ -138,6 +142,37 @@ def build_plan(indices: np.ndarray, nsrc: int,
         spos=jnp.asarray(np.asarray(spill_pos, np.int64)),
         sidx=jnp.asarray(np.asarray(spill_idx, np.int64)),
         statics=(WR, ntiles, nrows, N))
+
+
+def build_stacked_plans(index_sets, nsrc: int):
+    """Per-device plans with COMMON statics for use under shard_map:
+    `index_sets` is a sequence of equal-length (N,) target arrays (one
+    per device, each in [0, nsrc]); returns (stacked GatherPlan whose
+    leaves carry a leading device axis, statics).  WR is forced to the
+    max over devices; spill arrays are length-padded with no-op entries
+    (dead output position N.., dead target nsrc) — valid because
+    build_plan always keeps one padded position dead."""
+    gs = [np.asarray(g, np.int64).reshape(-1) for g in index_sets]
+    N = gs[0].size
+    if any(g.size != N for g in gs):
+        raise ValueError("per-device index sets must be equal length")
+    wr = max(pick_wr(g) for g in gs)
+    plans = [build_plan(g, nsrc, WR=wr) for g in gs]
+    statics = plans[0].statics
+    S = max(int(p.spos.shape[0]) for p in plans)
+    dead_pos, dead_idx = N, nsrc
+    woff, code, live, spos, sidx = [], [], [], [], []
+    for p in plans:
+        woff.append(np.asarray(p.woff))
+        code.append(np.asarray(p.code))
+        live.append(np.asarray(p.live))
+        ns = int(p.spos.shape[0])
+        spos.append(np.concatenate(
+            [np.asarray(p.spos), np.full(S - ns, dead_pos, np.int64)]))
+        sidx.append(np.concatenate(
+            [np.asarray(p.sidx), np.full(S - ns, dead_idx, np.int64)]))
+    return (np.stack(woff), np.stack(code), np.stack(live),
+            np.stack(spos), np.stack(sidx), statics)
 
 
 def _split3(v, f32):
@@ -240,7 +275,9 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
         interpret=interpret,
     )(plan.woff, plan.code, x2, x2).reshape(-1)
     if plan.spos.shape[0]:
-        out = out.at[plan.spos].set(x_flat.reshape(-1)[plan.sidx],
+        # on the PADDED vectors: pad spill entries (dead position N..,
+        # dead source nsrc) are no-ops before the [:N] truncation
+        out = out.at[plan.spos].set(x2.reshape(-1)[plan.sidx],
                                     mode="promise_in_bounds")
     return out[:N]
 
@@ -275,8 +312,10 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(plan.woff, plan.code, plan.live, vp, y0)
-    y = y2.reshape(-1)[:ndofs]
+    yf = y2.reshape(-1)
     if plan.spos.shape[0]:
-        y = y.at[plan.sidx].add(vals.reshape(-1)[plan.spos],
-                                mode="promise_in_bounds")
-    return y
+        # padded side (spill target nsrc.. lands in dead rows, spill
+        # position N.. reads the zero padding of vp)
+        yf = yf.at[plan.sidx].add(vp.reshape(-1)[plan.spos],
+                                  mode="promise_in_bounds")
+    return yf[:ndofs]

@@ -561,13 +561,16 @@ class IndexedShardedModel:
     reference's read-time partition + IndexMap scatterers
     (/root/reference/cuda/utils.py:8-78)."""
 
-    def __init__(self, model, num_devices: int | None = None, devices=None):
+    def __init__(self, model, num_devices: int | None = None, devices=None,
+                 stiffness_impl: str = "auto"):
         from fustpu.mesh.unstructured import UnstructuredHexMesh
 
         mesh = model.mesh
         if not isinstance(mesh, UnstructuredHexMesh):
             raise TypeError("IndexedShardedModel needs an unstructured "
                             "mesh (use ShardedModel for box meshes)")
+        if stiffness_impl not in ("auto", "indexed", "indexed_engine"):
+            raise ValueError(f"stiffness_impl={stiffness_impl!r}")
         self.model = model
         self.mesh = mesh
         self.kind = ("westervelt" if isinstance(model, WesterveltModel)
@@ -666,6 +669,34 @@ class IndexedShardedModel:
             dist["fvec"] = put(locvec(m.fvec_abs, 0.0))
         self.has_abs = m.fvec_abs is not None
         dist["rw"] = put(self._mult_weights())
+
+        # per-device gather/scatter engine (fustpu.ops.pallas_gather):
+        # the TPU fast path for the indexed apply, mirroring the
+        # single-device 'auto' choice.  Local dofmaps padded with the
+        # DEAD id nloc (padded cells gather 0, contributions dropped);
+        # one stacked plan pytree with forced-common statics drives the
+        # identical per-device trace under shard_map.
+        from fustpu.models.discretization import on_tpu
+
+        if stiffness_impl == "auto":
+            stiffness_impl = "indexed_engine" if on_tpu() else "indexed"
+        self.impl = stiffness_impl
+        self._eng_statics = None
+        if stiffness_impl == "indexed_engine":
+            from fustpu.ops import pallas_gather as pg
+
+            eng_dm = np.full((k, cmax, nd), nloc, np.int64)
+            for d in range(k):
+                eng_dm[d, :len(cells_of[d])] = (
+                    ldm[d, :len(cells_of[d])].astype(np.int64))
+            ew, ec, el, es, ei, self._eng_statics = pg.build_stacked_plans(
+                [eng_dm[d].reshape(-1) for d in range(k)], nloc)
+            dist["eng_woff"] = put(ew, np.int32)
+            dist["eng_code"] = put(ec, np.int32)
+            dist["eng_live"] = put(el, np.float32)
+            dist["eng_spos"] = put(es, np.int64)
+            dist["eng_sidx"] = put(ei, np.int64)
+            self._eng_interpret = not on_tpu()
         self.ctx = {"dist": dist, "repl": repl}
         self.ctx_spec = {
             "dist": {key: P(AXIS) for key in dist},
@@ -713,8 +744,18 @@ class IndexedShardedModel:
         n3 = self.mesh.element.ndofs
         ldm = d["ldm"].reshape(-1, n3)
         D = ctx["repl"]["D"]
-        stiff = lambda x, c: xops.stiffness_apply_indexed(
-            x, d["G"], c, ldm, D, self.nloc)
+        if self._eng_statics is not None:
+            from fustpu.ops import pallas_gather as pg
+
+            plan = pg.GatherPlan(
+                d["eng_woff"], d["eng_code"], d["eng_live"],
+                d["eng_spos"], d["eng_sidx"], self._eng_statics)
+            stiff = lambda x, c: xops.stiffness_apply_indexed(
+                x, d["G"], c, ldm, D, self.nloc, engine=plan,
+                engine_interpret=self._eng_interpret)
+        else:
+            stiff = lambda x, c: xops.stiffness_apply_indexed(
+                x, d["G"], c, ldm, D, self.nloc)
         if self.kind == "linear":
             b = self._exchange(ctx, stiff(u, d["c2"]))
             a_c, a_s = sources.linear_source_coeffs(t, m.source, m.c_src)
@@ -786,12 +827,16 @@ class IndexedShardedModel:
         return out
 
 
-def shard_unstructured(model, num_devices: int | None = None, devices=None):
+def shard_unstructured(model, num_devices: int | None = None, devices=None,
+                       stiffness_impl: str = "auto"):
     """Distribute a model on ANY unstructured mesh: the factorized
     extruded sharding for prismatic meshes, the generic indexed sharding
-    otherwise."""
+    (gather/scatter-engine-backed on TPU) otherwise."""
     from fustpu.mesh.extruded import ExtrudedHexMesh
 
-    cls = (ExtrudedShardedModel if isinstance(model.mesh, ExtrudedHexMesh)
-           else IndexedShardedModel)
-    return cls(model, num_devices=num_devices, devices=devices)
+    if isinstance(model.mesh, ExtrudedHexMesh):
+        return ExtrudedShardedModel(model, num_devices=num_devices,
+                                    devices=devices)
+    return IndexedShardedModel(model, num_devices=num_devices,
+                               devices=devices,
+                               stiffness_impl=stiffness_impl)

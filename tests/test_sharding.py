@@ -349,6 +349,38 @@ def test_sharded_nonprismatic_unstructured(k):
     assert err < 1e-12, err
 
 
+def test_sharded_nonprismatic_engine():
+    """The per-device gather/scatter ENGINE (windowed one-hot MXU path,
+    interpret mode here) inside IndexedShardedModel == single-device at
+    1e-12 — the TPU production configuration for sharded non-prismatic
+    meshes, including ragged per-device cell counts (dead-id padding)
+    and padded spill entries (stacked per-device plans)."""
+    from fustpu.mesh.extruded import as_extruded
+    from fustpu.mesh.unstructured import from_box
+    from fustpu.parallel.extruded import shard_unstructured
+
+    bm = build_box_mesh((4, 3, 3), 3, perturb=0.15, seed=4,
+                        hi=(0.006,) * 3)
+    um = from_box(bm, shuffle_seed=9)
+    assert as_extruded(um) is None
+    mat = Material(sound_speed=1480.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.2)
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    ext = um.boundary_facets()
+    cen = um.facet_centroids(ext)
+    model = WesterveltModel(um, mat, src, ext[cen[:, 0] < 1e-9],
+                            ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 10)
+    sm = shard_unstructured(model, num_devices=5,
+                            stiffness_impl="indexed_engine")
+    assert sm._eng_statics is not None and sm._eng_interpret
+    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
+
+
 def test_sharded_nonprismatic_probe():
     """In-scan probes on the generic indexed sharded model match the
     single-device UPointSampler traces."""
