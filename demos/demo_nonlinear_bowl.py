@@ -55,15 +55,45 @@ def bowl_mapping(focal_length, aperture_radius, yc, zc, Lx):
     return mapping
 
 
+def bodyfit_mapping(focal_length, aperture_radius, yc, zc, Lx, Lt):
+    """GENUINELY NON-PRISMATIC body-fitted bowl: the cap sag of
+    `bowl_mapping` composed with transverse node clustering toward the
+    focal axis whose strength varies along x (peaked near the focus,
+    zero at the cap plane and the domain end).  The domain, its boundary
+    faces and the cap surface are identical to the conformal mesh —
+    only interior node placement differs — but no lattice axis is a
+    translation extrusion any more, so the import runs the explicit-
+    dofmap path through the TPU gather/scatter engine: the honest
+    stand-in for an arbitrary Gmsh body-fitted mesh (the reference's
+    transducer_3d_W workflow, cuda/demo_nonlinear_bowl.py:98-105)."""
+
+    def mapping(p):
+        # cluster first (vanishes on every boundary face), then sag
+        q = p.copy()
+        cx = np.sin(np.pi * np.clip(p[:, 0] / Lx, 0.0, 1.0)) ** 2
+        for ax, c in ((1, yc), (2, zc)):
+            s = np.sin(np.pi * np.clip(p[:, ax] / Lt, 0.0, 1.0)) ** 2
+            q[:, ax] = p[:, ax] - 0.12 * (p[:, ax] - c) * s * cx
+        return bowl_mapping(focal_length, aperture_radius, yc, zc,
+                            Lx)(q)
+
+    return mapping
+
+
 def main():
     parser = demo_argparser(degree=6, periods=8.0)
     parser.add_argument("--geometry",
-                        choices=["conformal", "phased", "unstructured"],
+                        choices=["conformal", "phased", "unstructured",
+                                 "bodyfit"],
                         default="conformal",
                         help="unstructured = export the body-fitted bowl "
                              "mesh to a tagged Gmsh .msh file, re-import "
                              "it, and run on the explicit-dofmap path "
-                             "(the reference's workflow)")
+                             "(the reference's workflow); bodyfit = same "
+                             "round-trip on a GENUINELY non-prismatic "
+                             "mesh (focal-axis node clustering breaks "
+                             "every extrusion axis) — the general-mesh "
+                             "gather/scatter-engine path")
     parser.add_argument("--mesh", default="",
                         help="pre-built tagged .msh (tag 1 = bowl cap, "
                              "tag 2 = absorbing); implies unstructured")
@@ -100,12 +130,14 @@ def main():
         mesh = build_box_mesh((nex, net, net), args.degree,
                               hi=(domain_length, Lt, Lt))
     elif not args.mesh:   # a supplied .msh needs no generated geometry
-        mesh = build_mapped_mesh(
-            (nex, net, net), args.degree,
-            bowl_mapping(focal_length, aperture_radius, yc, zc,
-                         domain_length),
-            hi=(domain_length, Lt, Lt))
-    if args.geometry == "unstructured":
+        mapping = (bodyfit_mapping(focal_length, aperture_radius, yc, zc,
+                                   domain_length, Lt)
+                   if args.geometry == "bodyfit" else
+                   bowl_mapping(focal_length, aperture_radius, yc, zc,
+                                domain_length))
+        mesh = build_mapped_mesh((nex, net, net), args.degree, mapping,
+                                 hi=(domain_length, Lt, Lt))
+    if args.geometry in ("unstructured", "bodyfit"):
         # export the body-fitted bowl as a tagged Gmsh mesh and re-import
         # it: the reference's XDMF read_mesh/read_meshtags workflow
         # (cuda/demo_nonlinear_bowl.py:98-105) through the .msh pipeline
@@ -124,9 +156,15 @@ def main():
                 mesh, {1: cap, 2: other},
                 (args.output or "/tmp/bowl") + "_mesh")
         mesh = msh_io.read_msh(mesh_file, degree=args.degree)
+        if args.geometry == "bodyfit" and hasattr(mesh, "nstacks"):
+            raise SystemExit("bodyfit mesh unexpectedly detected as an "
+                             "extrusion — clustering too weak?")
         aperture = mesh.boundary_facets(1)
         absorbing = mesh.boundary_facets(2)
-        print(f"mesh: {mesh_file} ({mesh.num_cells} hex cells, imported)")
+        kind = ("extruded" if hasattr(mesh, "nstacks")
+                else "general (non-prismatic)")
+        print(f"mesh: {mesh_file} ({mesh.num_cells} hex cells, "
+              f"imported, {kind})")
     else:
         aperture = mesh.boundary_facets("x-", predicate=in_aperture)
         # absorbing on everything EXCEPT the source aperture — the

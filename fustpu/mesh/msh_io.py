@@ -227,7 +227,11 @@ def _assemble_mesh(path, node_ids, coords, hexes, quads, degree: int,
         ex = as_extruded(mesh)
         if ex is not None:
             return ex
-    return mesh
+    # non-prismatic import -> indexed path: sweep-sort cells so the
+    # gather/scatter engine's first-touch windows stay small
+    from fustpu.mesh.unstructured import locality_order
+
+    return locality_order(mesh)
 
 
 def _find_section(data: bytes, name: str, path: str):

@@ -127,18 +127,19 @@ class UnstructuredHexMesh:
                          optimize=True)
 
     @functools.cached_property
-    def _numbering(self) -> tuple[np.ndarray, int]:
-        """(dofmap (ncells, n^3) int32, ndofs) by merging coincident
-        per-cell node coordinates.
+    def _cluster(self) -> tuple[np.ndarray, int]:
+        """(cluster ids (ncells*n^3,) int64, nclusters) by merging
+        coincident per-cell node coordinates — CELL-ORDER-EQUIVARIANT
+        (ids are coordinate-lexicographic, so permuting cells just
+        permutes rows of the reshaped result).
 
         Tolerance clustering via three nested sorts (no quantisation
         grid, hence no bin-boundary straddle that could silently split a
         shared node): group where consecutive sorted x differ by <= tol,
         then subgroup by y within x-groups, then by z.  Coincident nodes
         (roundoff ~1e-15 of the bbox) always sort adjacent and merge;
-        distinct nodes are separated by many orders more than tol.
-        O(N log N); the resulting ids are coordinate-lexicographic
-        (x, y, z ascending — deterministic, gather-friendly locality)."""
+        distinct nodes in valid conforming meshes are separated by many
+        orders more than tol and never do.  O(N log N)."""
         pts = self._cell_nodes_phys.reshape(-1, 3)
         lo, hi = pts.min(axis=0), pts.max(axis=0)
         tol = (float(np.linalg.norm(hi - lo)) or 1.0) * 1e-9
@@ -160,17 +161,20 @@ class UnstructuredHexMesh:
             np.cumsum(brk, out=grp)
         inverse = np.empty(N, np.int64)
         inverse[order] = grp - 1
-        ndofs = int(grp[-1])
-        # relabel by FIRST TOUCH in cell-major order: consecutive cells'
-        # dofs get consecutive ids, so any cell batch addresses a compact
-        # id window — the locality property the TPU gather/scatter engine
-        # (fustpu.ops.pallas_gather) windows over.  Semantically free
-        # (everything downstream is dofmap-consistent); deterministic.
-        uniq, firstpos = np.unique(inverse, return_index=True)
-        rank = np.empty(ndofs, np.int64)
-        rank[uniq[np.argsort(firstpos)]] = np.arange(ndofs)
-        dofmap = rank[inverse].reshape(self.num_cells, -1).astype(np.int32)
-        return dofmap, ndofs
+        return inverse, int(grp[-1])
+
+    @functools.cached_property
+    def _numbering(self) -> tuple[np.ndarray, int]:
+        """(dofmap (ncells, n^3) int32, ndofs): the `_cluster` ids
+        relabelled by FIRST TOUCH in cell-major order — consecutive
+        cells' dofs get consecutive ids, so any cell batch addresses a
+        compact id window, the locality property the TPU gather/scatter
+        engine (fustpu.ops.pallas_gather) windows over.  Semantically
+        free (everything downstream is dofmap-consistent);
+        deterministic."""
+        inverse, ndofs = self._cluster
+        dofmap = _first_touch(inverse, ndofs)
+        return dofmap.reshape(self.num_cells, -1).astype(np.int32), ndofs
 
     @functools.cached_property
     def dofmap(self) -> np.ndarray:
@@ -268,6 +272,76 @@ class UnstructuredHexMesh:
                         optimize=True)
         out[~ok] = np.nan
         return out
+
+
+def _first_touch(inverse: np.ndarray, ndofs: int) -> np.ndarray:
+    """Relabel cluster ids by first occurrence order."""
+    uniq, firstpos = np.unique(inverse, return_index=True)
+    rank = np.empty(ndofs, np.int64)
+    rank[uniq[np.argsort(firstpos)]] = np.arange(ndofs)
+    return rank[inverse]
+
+
+def reorder_cells(mesh: UnstructuredHexMesh,
+                  perm: np.ndarray) -> UnstructuredHexMesh:
+    """The same mesh with cells listed in `perm` order; facet tags and
+    the quadratic coordinate map follow, and the first-touch DOF
+    numbering re-derives in the new order.  Semantically free (a pure
+    relabelling of cells/dofs)."""
+    perm = np.asarray(perm, np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    tags = {}
+    for t, bd in mesh.facet_tag_map.items():
+        bd = np.asarray(bd)
+        tags[t] = np.column_stack(
+            [inv[bd[:, 0]], bd[:, 1]]).astype(np.int32)
+    out = dataclasses.replace(
+        mesh, cells=mesh.cells[perm], facet_tag_map=tags,
+        geom_nodes=(None if mesh.geom_nodes is None
+                    else mesh.geom_nodes[perm]))
+    if "_cluster" in mesh.__dict__:
+        # clustering is cell-order-equivariant: reuse it permuted
+        inverse, ndofs = mesh._cluster
+        out.__dict__["_cluster"] = (
+            inverse.reshape(mesh.num_cells, -1)[perm].reshape(-1), ndofs)
+    return out
+
+
+def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
+    """Reorder cells along the axis sweep that minimises the gather/
+    scatter engine's window size.
+
+    The engine's MXU work is proportional to the window row count WR,
+    which pick_wr sizes from the per-tile id span of the first-touch
+    numbering; the span is the 'front' of the cell ordering (ids live as
+    long as a later cell still touches them).  An axis sweep bounds the
+    front by a cross-section layer, and which axis is best depends on
+    the mesh (demos/exp_cell_order.py: 0.78x one-hot FLOPs on the
+    engine-bench cylinder vs its file order; Morton is 1.7x WORSE — its
+    front straddles octant seams).  Candidates are evaluated on the
+    ACTUAL windowing metric and the file order is kept unless a sweep
+    strictly improves it.  Applied automatically to imported
+    non-prismatic meshes (mesh.msh_io.read_msh) — the layout-tuning
+    counterpart of the reference's TP dof-ordering experiment
+    (/root/reference/cuda/exp_kernel_speed.py:88-104)."""
+    from fustpu.ops.pallas_gather import pick_wr
+
+    inverse, ndofs = mesh._cluster
+    inv2 = inverse.reshape(mesh.num_cells, -1)
+    cent = mesh.vertices[mesh.cells].mean(axis=1)
+    cands = [None]
+    for ax in range(3):
+        keys = tuple(cent[:, a] for a in range(3) if a != ax) \
+            + (cent[:, ax],)
+        cands.append(np.lexsort(keys))
+    best, best_wr = None, None
+    for perm in cands:
+        flat = (inv2 if perm is None else inv2[perm]).reshape(-1)
+        wr = pick_wr(_first_touch(flat, ndofs))
+        if best_wr is None or wr < best_wr:
+            best, best_wr = perm, wr
+    return mesh if best is None else reorder_cells(mesh, best)
 
 
 class UPointSampler:

@@ -5,22 +5,24 @@ bound) — ~90% of the indexed stiffness apply (BENCH_NOTES r2/r4).  This
 module re-expresses both directions as dense one-hot contractions over
 per-tile WINDOWS of the DOF vector, so the work runs on the MXU/VPU:
 
-- gather  out[p] = x[g[p]]:  per tile of TM outputs, a window of the
-  (rows, 128)-shaped DOF storage is selected by scalar-prefetch; the
-  in-kernel one-hot row matrix H (TM, 2*WR) picks each element's row via
-  an MXU matmul (exact: x enters as a 3-term bf16 split), and a masked
-  lane reduction picks the lane.
+- gather  out[p] = x[g[p]]:  per tile of TM outputs, ONE (WR, 128)
+  window of the DOF storage is DMA'd in at a row-granular (8-aligned)
+  start chosen per tile; the in-kernel one-hot row matrix H (TM, WR)
+  picks each element's row via an MXU matmul (exact: x enters as a
+  3-term bf16 split), and a masked lane reduction picks the lane.
 - scatter y[g[p]] += v[p]:   the TRANSPOSED one-hot contraction
-  H^T @ (v ⊙ lane-one-hot) accumulates a (2*WR, 128) window contribution
+  H^T @ (v ⊙ lane-one-hot) accumulates a (WR, 128) window contribution
   on the MXU (f32 accumulate, deterministic), added into y by an
   in-kernel read-modify-write DMA (sequential grid orders overlapping
   windows).
 
 Windows exist because of the mesh's first-touch DOF numbering
 (fustpu.mesh.unstructured._numbering): a cell batch addresses a compact
-id range.  Tiles whose range exceeds one contiguous window get a second,
-independently-placed window (the 'far-face' dofs of earlier cell
-layers); the residue (~0.2%) spills to a plain XLA gather/scatter.
+id range.  Window starts are row-granular (multiples of 8 sublanes for
+the f32 (8,128) tiling), so a single window sized to the worst tile
+span covers every tile — the earlier two-block-aligned-window design
+paid DOUBLE the one-hot FLOPs for the same coverage.  Ids a tile still
+cannot reach (WR capped at 512) spill to a plain XLA gather/scatter.
 
 The reference's equivalent is cuda.atomic.add / coalesced gathers on a
 layout-agnostic kernel (/root/reference/cuda/operators.py:55-70,190);
@@ -44,9 +46,10 @@ TM = 2048           # outputs per tile
 
 @jax.tree_util.register_pytree_node_class
 class GatherPlan:
-    """woff (ntiles, 2) int32 window-block offsets; code (ntiles*TM, 1)
-    packed hi*128+lo (2*WR*128 = dead); live (ntiles*TM, 1) 0/1;
-    spill_pos/spill_idx device arrays; statics (WR, ntiles, nrows, N)."""
+    """woff (ntiles, 1) int32 window ROW starts (multiples of 8); code
+    (ntiles*TM, 1) packed hi*128+lo relative to the window (WR*128 =
+    dead); live (ntiles*TM, 1) 0/1; spill_pos/spill_idx device arrays;
+    statics (WR, ntiles, nrows, N)."""
 
     def __init__(self, woff, code, live, spos, sidx, statics):
         self.woff = woff
@@ -66,21 +69,17 @@ class GatherPlan:
 
 
 def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512) -> int:
-    """Smallest window block (rows of 128) whose single-window coverage
-    2*WR*128 holds the 99.5th-percentile tile span."""
+    """Smallest window row count (multiple of 8) whose single
+    row-granular window holds the worst tile span."""
     spans = []
     for s in range(0, g.size, TM):
         blk = g[s:s + TM]
         spans.append(int(blk.max()) - int(blk.min()))
-    # size for the MAX span: a tile that fits one contiguous window
-    # costs the same matmul work as a split tile, and split-window far
-    # clusters often exceed a half-window (measured 9% spill when sized
-    # at p99.5); the XLA spill path is expensive enough that coverage
-    # beats window slimness
-    # the first window block starts at FLOOR(min/WSZ), which can sit up
-    # to a whole block before the tile's min — so a tile is guaranteed
-    # contiguous only when ONE block already covers its span
-    need = int(np.max(spans)) // 128 + 2
+    # size for the MAX span (the XLA spill path is expensive enough
+    # that coverage beats window slimness): the start is floored to an
+    # 8-row boundary (up to 8 rows before the tile's min) and the top
+    # id can straddle one extra lane row
+    need = int(np.max(spans)) // 128 + 10
     wr = -(-need // 8) * 8
     return int(min(max(wr, lo), hi))
 
@@ -100,42 +99,29 @@ def build_plan(indices: np.ndarray, nsrc: int,
     Np = ntiles * TM
     gp = np.zeros(Np, np.int64)
     gp[:N] = g
-    woff = np.zeros((ntiles, 2), np.int32)
+    woff = np.zeros((ntiles, 1), np.int32)
     code = np.zeros((Np, 1), np.int32)
     live = np.zeros((Np, 1), np.float32)
     live[:N, 0] = 1.0
     spill_pos, spill_idx = [], []
     WSZ = WR * 128
-    dead = 2 * WSZ
+    dead = WSZ
     for t in range(ntiles):
         blk = gp[t * TM:(t + 1) * TM]
-        wa0 = int(blk.min() // WSZ)
-        rel0 = blk - wa0 * WSZ
-        if int(rel0.max()) < 2 * WSZ:
-            code_t, ok = rel0, np.ones(TM, bool)
-            wa, w2 = wa0, wa0 + 1
-        else:
-            # split windows: fresh ref holds the max end; far ref
-            # clusters on whatever it misses
-            wa = int(blk.max() // WSZ)
-            rel_a = blk - wa * WSZ
-            in_a = (rel_a >= 0) & (rel_a < WSZ)
-            restv = blk[~in_a]
-            w2 = int(restv.min() // WSZ)
-            rel_b = blk - w2 * WSZ
-            in_b = ~in_a & (rel_b >= 0) & (rel_b < WSZ)
-            code_t = np.full(TM, dead, np.int64)
-            code_t[in_a] = rel_a[in_a]
-            code_t[in_b] = WSZ + rel_b[in_b]
-            ok = in_a | in_b
-        woff[t] = (wa, w2)
+        # window = ONE (WR, 128) slab at a row-granular 8-aligned start;
+        # ids beyond its reach (WR capped) spill to the XLA path
+        s = (int(blk.min()) // (8 * 128)) * 8
+        rel = blk - s * 128
+        ok = rel < WSZ
+        woff[t, 0] = s
         sl = slice(t * TM, (t + 1) * TM)
-        code[sl, 0] = np.where(ok, code_t, dead)
+        code[sl, 0] = np.where(ok, rel, dead)
         live[sl, 0] *= ok
         bad = np.nonzero(~ok & (np.arange(t * TM, (t + 1) * TM) < N))[0]
         spill_pos.extend(t * TM + bad)
         spill_idx.extend(blk[bad])
-    nrows = -(-nsrc // 128) + 2 * WR
+    # window slack past the top id so no start needs clamping
+    nrows = -(-(-(-(nsrc + 1) // 128)) // 8) * 8 + WR
     return GatherPlan(
         woff=jnp.asarray(woff), code=jnp.asarray(code),
         live=jnp.asarray(live),
@@ -185,24 +171,26 @@ def _split3(v, f32):
 
 
 def _mk_gather_kernel(WR: int):
-    def kernel(woff_ref, code_ref, w1_ref, w2_ref, o_ref):
+    def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
         f32 = o_ref.dtype
         bf = jnp.bfloat16
+        s = pl.multiple_of(woff_ref[b, 0], 8)
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR)], scratch, sem)
+        cp.start()
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
-        d = lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        d = lambda a, q: jax.lax.dot_general(
+            a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
         i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
-        A = None
-        for k, wref in ((0, w1_ref), (1, w2_ref)):
-            if f32 == jnp.float64:      # interpret/CPU: exact f64 dot
-                t = d((hi == i1 + k * WR).astype(f32), wref[...])
-            else:
-                H = (hi == i1 + k * WR).astype(bf)
-                wh, wl, wl2 = _split3(wref[...], f32)
-                t = d(H, wh) + d(H, wl) + d(H, wl2)  # exact f32 row pick
-            A = t if A is None else A + t
+        cp.wait()
+        if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
+            A = d((hi == i1).astype(f32), scratch[...])
+        else:
+            H = (hi == i1).astype(bf)
+            wh, wl, wl2 = _split3(scratch[...], f32)
+            A = d(H, wh) + d(H, wl) + d(H, wl2)  # exact f32 row pick
         il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
         LoOH = (lo == il).astype(f32)
         o_ref[...] = jnp.sum(A * LoOH, axis=1, keepdims=True)
@@ -216,18 +204,15 @@ def _mk_scatter_kernel(WR: int):
         b = pl.program_id(0)
         f32 = scratch.dtype
         bf = jnp.bfloat16
-        cin = pltpu.make_async_copy(
-            y_hbm.at[pl.ds(woff_ref[b, 0] * WR, WR)], scratch.at[:WR], sem)
+        s = pl.multiple_of(woff_ref[b, 0], 8)
+        cin = pltpu.make_async_copy(y_hbm.at[pl.ds(s, WR)], scratch, sem)
         cin.start()
-        cin2 = pltpu.make_async_copy(
-            y_hbm.at[pl.ds(woff_ref[b, 1] * WR, WR)], scratch.at[WR:], sem)
-        cin2.start()
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
         il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
         V = jnp.where(lo == il, 1.0, 0.0) * (v_ref[...] * live_ref[...])
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, 2 * WR), 1)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((0,), (0,)), ((), ())), preferred_element_type=f32)
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
@@ -235,18 +220,12 @@ def _mk_scatter_kernel(WR: int):
         else:
             Vh, Vl, Vl2 = _split3(V, f32)
             H = (hi == i1).astype(bf)
-            C = d(H, Vh) + d(H, Vl) + d(H, Vl2)   # (2WR, 128), exact
+            C = d(H, Vh) + d(H, Vl) + d(H, Vl2)   # (WR, 128), exact
         cin.wait()
-        cin2.wait()
         scratch[...] = scratch[...] + C
-        co1 = pltpu.make_async_copy(
-            scratch.at[:WR], y_hbm.at[pl.ds(woff_ref[b, 0] * WR, WR)], sem)
-        co1.start()
-        co1.wait()
-        co2 = pltpu.make_async_copy(
-            scratch.at[WR:], y_hbm.at[pl.ds(woff_ref[b, 1] * WR, WR)], sem)
-        co2.start()
-        co2.wait()
+        co = pltpu.make_async_copy(scratch, y_hbm.at[pl.ds(s, WR)], sem)
+        co.start()
+        co.wait()
 
     return kernel
 
@@ -266,14 +245,15 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
             grid=(ntiles,),
             in_specs=[
                 pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
-                pl.BlockSpec((WR, 128), lambda b, woff: (woff[b, 0], 0)),
-                pl.BlockSpec((WR, 128), lambda b, woff: (woff[b, 1], 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+            scratch_shapes=[pltpu.VMEM((WR, 128), x_flat.dtype),
+                            pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles * TM, 1), x_flat.dtype),
         interpret=interpret,
-    )(plan.woff, plan.code, x2, x2).reshape(-1)
+    )(plan.woff, plan.code, x2).reshape(-1)
     if plan.spos.shape[0]:
         # on the PADDED vectors: pad spill entries (dead position N..,
         # dead source nsrc) are no-ops before the [:N] truncation
@@ -303,7 +283,7 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((2 * WR, 128), vals.dtype),
+            scratch_shapes=[pltpu.VMEM((WR, 128), vals.dtype),
                             pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),

@@ -115,8 +115,14 @@ def test_msh_roundtrip(tmp_path):
     back = msh_io.read_msh(path, degree=2)
     assert back.num_cells == umesh.num_cells
     assert back.ndofs == umesh.ndofs
-    assert np.allclose(back.vertices[back.cells],
-                       umesh.vertices[umesh.cells])
+    # import may locality-reorder cells: compare the cell SET (corner
+    # order within a cell is preserved by the format round trip)
+    def ckey(m):
+        k = np.round(m.vertices[m.cells].reshape(m.num_cells, -1)
+                     * 1e9).astype(np.int64)
+        return k[np.lexsort(k.T[::-1])]
+
+    assert np.array_equal(ckey(back), ckey(umesh))
     got1 = back.boundary_facets(1)
     assert got1.shape == src_set.shape
     # same physical facets: compare centroid sets
@@ -387,3 +393,64 @@ def test_gather_engine_primitives():
     np.add.at(ref, g, np.asarray(vals))
     err = np.abs(y - ref).max() / np.abs(ref).max()
     assert err < 1e-5, err     # f32 summation-order only
+
+
+def test_reorder_cells_preserves_solve():
+    """reorder_cells (the locality_order mechanism) is a pure
+    relabelling: the solve on a randomly permuted-cell mesh matches the
+    original through coordinate matching, and facet tags follow their
+    physical facets."""
+    from fustpu.mesh.unstructured import reorder_cells
+
+    mesh, umesh = _shuffled_box_umesh(nc=(3, 2, 2), P=3, perturb=0.1)
+    ext = umesh.boundary_facets()
+    cen = umesh.facet_centroids(ext)
+    src_set = ext[cen[:, 0] < 1e-9]
+    umesh = UnstructuredHexMesh(
+        degree=umesh.degree, vertices=umesh.vertices, cells=umesh.cells,
+        facet_tag_map={1: src_set, 2: ext})
+    _ = umesh.dofmap          # force the cluster cache (reuse path)
+    perm = np.random.default_rng(5).permutation(umesh.num_cells)
+    rmesh = reorder_cells(umesh, perm)
+    assert rmesh.ndofs == umesh.ndofs
+    assert np.allclose(
+        np.sort(rmesh.facet_centroids(rmesh.boundary_facets(1)), axis=0),
+        np.sort(umesh.facet_centroids(src_set), axis=0))
+
+    mat = Material(sound_speed=1480.0, density=1000.0)
+    src = Source(frequency=1.0e6, amplitude=1e5)
+    outs = []
+    for m in (umesh, rmesh):
+        mdl = LinearWaveModel(m, mat, src, m.boundary_facets(1),
+                              m.boundary_facets(2), dtype=jnp.float64)
+        dt, _ = mdl.cfl_dt(0.4)
+        s, _ = mdl.solve(mdl.init_state(), dt, 6)
+        key = (np.round(m.node_coords * 1e9)).astype(np.int64)
+        order = np.lexsort(key.T[::-1])
+        outs.append(np.asarray(s.u).ravel()[order])
+    err = (np.linalg.norm(outs[0] - outs[1])
+           / max(np.linalg.norm(outs[0]), 1e-300))
+    assert err < 1e-11, err
+
+
+def test_locality_order_shrinks_windows():
+    """locality_order picks the sweep that minimises the engine window
+    count on a mesh whose file order fronts badly (x-major order on a
+    long-z column => sweep-z wins), and never worsens the file order."""
+    from fustpu.mesh.unstructured import locality_order, reorder_cells
+    from fustpu.ops.pallas_gather import pick_wr
+
+    mesh = build_box_mesh((6, 6, 40), 3, hi=(0.01, 0.01, 0.08))
+    umesh = from_box(mesh)                     # x-major cell order
+    # worst-case file order: x fastest => front is a whole z column set
+    worst = reorder_cells(
+        umesh, np.lexsort((np.arange(umesh.num_cells),)))
+    lo = locality_order(worst)
+    wr_before = pick_wr(worst.dofmap.reshape(-1).astype(np.int64))
+    wr_after = pick_wr(lo.dofmap.reshape(-1).astype(np.int64))
+    assert wr_after <= wr_before
+    assert lo.ndofs == worst.ndofs
+    # idempotent-ish: applying again never increases the window
+    again = locality_order(lo)
+    wr2 = pick_wr(again.dofmap.reshape(-1).astype(np.int64))
+    assert wr2 <= wr_after
