@@ -95,6 +95,11 @@ def main():
     pts = np.array([[focal_length, yc, zc]])
     results = {}
     for name, um in (("trilinear", um_tri), ("hex27", um_quad)):
+        # what read_msh does for imports: prismatic topology (incl.
+        # curved hex27 prisms) routes to the fast extruded path
+        from fustpu.mesh.extruded import as_extruded
+
+        um = as_extruded(um) or um
         srcf, absf = facet_sets(um)
         model = WesterveltModel(um, mat, src, srcf, absf,
                                 dtype=jnp.float32)

@@ -241,12 +241,58 @@ def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
         tag_map[tag] = np.stack(
             [pairs[:, 0], lf_new], axis=1).astype(np.int32)
 
+    # curved (hex27) cells: re-express each 27-node lattice in the
+    # canonical corner orientation so the quadratic map follows the
+    # corner relabeling — this is what lets curved PRISMATIC imports run
+    # the fast extruded kernel instead of the indexed path (the
+    # reference's cmap-generality, cpp/common/precompute.hpp:33-94)
+    geom_canon = None
+    if mesh.geom_nodes is not None:
+        geom_canon = _permute_geom_nodes(cells, cells_canon,
+                                         mesh.geom_nodes)
+        if geom_canon is None:
+            return None
+
     rows2d, n2d = _rows2d(verts, cells_canon, stack_cells, mesh.degree,
                           tr)
     return ExtrudedHexMesh(degree=mesh.degree, vertices=verts,
                            cells=cells_canon, facet_tag_map=tag_map,
+                           geom_nodes=geom_canon,
                            stack_cells=stack_cells, rows2d=rows2d,
                            n2d=n2d, nz=nz, axis=axis)
+
+
+_BIT_AXIS = {4: 0, 2: 1, 1: 2}     # corner id = 4a+2b+c
+
+
+def _permute_geom_nodes(cells_old, cells_new, gn):
+    """Per-cell triquadratic lattices (27 nodes, TP order 9i+3j+k)
+    re-expressed under the old->new corner relabeling.  For a
+    non-degenerate conforming hex the relabeling is a signed axis
+    permutation of the reference cube, which extends uniquely to the
+    quadratic lattice; returns None if any cell's relabeling is not one
+    (duplicate corner ids)."""
+    nc = cells_old.shape[0]
+    eq = cells_new[:, :, None] == cells_old[:, None, :]    # (nc, 8, 8)
+    if not (eq.sum(axis=2) == 1).all():
+        return None
+    old_pos = eq.argmax(axis=2)                            # (nc, 8)
+    p0 = old_pos[:, 0]
+    # new lattice coordinates of the 27 TP positions
+    newc = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
+                                indexing="ij")).reshape(3, 27)
+    weights = np.array([9, 3, 1])
+    old_flat = np.zeros((nc, 27), np.int64)
+    for e, corner in enumerate((4, 2, 1)):                 # new axes a,b,c
+        diff = old_pos[:, corner] ^ p0
+        if not np.isin(diff, (4, 2, 1)).all():
+            return None
+        ax = np.array([_BIT_AXIS[int(d)] for d in diff])   # (nc,)
+        flip = (p0 & diff) != 0
+        oc = np.where(flip[:, None], 2 - newc[e][None, :],
+                      newc[e][None, :])                    # (nc, 27)
+        old_flat += weights[ax][:, None] * oc
+    return gn[np.arange(nc)[:, None], old_flat]
 
 
 def _rows2d(verts, cells_canon, stack_cells, degree, tr=(0, 1)):

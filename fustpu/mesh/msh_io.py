@@ -216,11 +216,6 @@ def _assemble_mesh(path, node_ids, coords, hexes, quads, degree: int,
         degree=degree, vertices=verts, cells=cells,
         facet_tag_map=_facets_from_quads(cells, quads_l),
         geom_nodes=geom_nodes)
-    if geom_nodes is not None:
-        # extrusion canonicalisation would reorder corners without
-        # permuting the quadratic map; curved imports run the indexed
-        # path (geometry fully captured by G either way)
-        detect_extrusion = False
     if detect_extrusion:
         from fustpu.mesh.extruded import as_extruded
 

@@ -318,3 +318,64 @@ def test_model_extruded_pallas_matches_xla(cls, hetero):
     err = (np.linalg.norm(outs[0] - outs[1])
            / max(np.linalg.norm(outs[0]), 1e-300))
     assert err < 1e-11, err
+
+
+def test_curved_hex27_prismatic_detects_and_matches():
+    """A curved (triquadratic hex27) mesh with PRISMATIC topology must
+    detect as extruded — with the quadratic map re-expressed under the
+    canonical corner relabeling — and the fast extruded apply must match
+    the generic indexed apply and the dense oracle on the same curved
+    geometry.  This is what routes real Gmsh 2nd-order body-fitted
+    prisms onto the fast kernel (reference cmap-generality,
+    cpp/common/precompute.hpp:33-94)."""
+    import dataclasses
+
+    from fustpu.elements.hex import hex8_tabulate
+    from fustpu.oracle import assemble as oracle
+
+    lat3 = np.array([[i / 2, j / 2, k / 2] for i in range(3)
+                     for j in range(3) for k in range(3)])
+
+    def phi(x):
+        # prismatic curvature: transverse shift depends on (x, y) only
+        # (vertex columns survive); layers curved AND graded in z
+        x = np.asarray(x, np.float64)
+        out = x.copy()
+        out[..., 0] = x[..., 0] + 0.04 * np.sin(1.3 * x[..., 1])
+        out[..., 1] = x[..., 1] + 0.05 * np.sin(1.1 * x[..., 0] + 0.4)
+        out[..., 2] = x[..., 2] * (1.0 + 0.1 * x[..., 2]) \
+            + 0.06 * np.sin(1.7 * x[..., 0] + 0.5 * x[..., 1])
+        return out
+
+    bm = build_box_mesh((3, 2, 4), 3)
+    um = from_box(bm, shuffle_seed=11)      # rotated corner orderings
+    vals, _ = hex8_tabulate(lat3)           # (27, 8)
+    gl = np.einsum("qv,cvd->cqd", vals, um.vertices[um.cells])
+    curved = dataclasses.replace(um, vertices=phi(um.vertices),
+                                 geom_nodes=phi(gl))
+    ex = as_extruded(curved)
+    assert isinstance(ex, ExtrudedHexMesh)
+    assert ex.geom_nodes is not None and ex.geom_degree == 2
+    # canonical corner shadow must agree with the permuted lattice's
+    # corner positions (a wrong permutation scrambles them)
+    corners_lat = ex.geom_nodes[:, [0, 2, 6, 8, 18, 20, 24, 26], :]
+    assert np.allclose(corners_lat, ex.vertices[ex.cells], atol=1e-12)
+
+    d = Discretization(ex, jnp.float64)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(ex.ndofs))
+    coeff = rng.uniform(0.5, 2.0, ex.num_cells)
+    G, dm, D = d.indexed_op
+    y1 = ops.stiffness_apply_indexed(x, G, jnp.asarray(coeff), dm, D,
+                                     ex.ndofs)
+    ce = ops.expand_coeff_extruded(ex, coeff, jnp.float64)
+    y2 = ops.stiffness_apply_extruded(x, d.extruded_op, ex.ndofs,
+                                      coeff_e=ce)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+    # non-circular: against the dense oracle on the same curved mesh
+    mats = oracle.element_stiffness_matrices(ex)
+    y_ref = oracle.apply_elementwise(mats, ex.dofmap, coeff,
+                                     np.asarray(x), ex.ndofs)
+    err = np.linalg.norm(np.asarray(y2) - y_ref) / np.linalg.norm(y_ref)
+    assert err < 1e-12, err
