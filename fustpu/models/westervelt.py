@@ -118,6 +118,10 @@ class WesterveltModel(WaveModelBase):
             self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self.c4_cells = jnp.asarray(
                 (-delta / (rho * c * c)).reshape(-1), dtype)
+            if self.uniform:    # enables the one-apply fold in _rhs
+                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
+                self.c4_scalar = dtype(-float(delta.flat[0])
+                                       / float((rho * c * c).flat[0]))
             self._stiff_op = disc.indexed_op
             self._idx_engine = (disc.indexed_engine
                                 if self.impl == "indexed_engine" else None)
@@ -287,10 +291,17 @@ class WesterveltModel(WaveModelBase):
             nd = self.mesh.ndofs
             kw = dict(engine=self._idx_engine,
                       engine_interpret=self._engine_interpret)
-            return (ops.stiffness_apply_indexed(
-                        u_flat, G, params["c3_c"], dofmap, D, nd, **kw)
-                    + ops.stiffness_apply_indexed(
-                        v_flat, G, params["c4_c"], dofmap, D, nd, **kw))
+            if self.uniform:
+                # both stiffness terms in ONE apply (linearity): halves
+                # the gather/contract/scatter work per stage
+                x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
+                return ops.stiffness_apply_indexed(
+                    x, G, jnp.ones(dofmap.shape[0], x.dtype), dofmap, D,
+                    nd, **kw)
+            # heterogeneous: one pass sharing a single scatter
+            return ops.stiffness_apply_indexed_pair(
+                u_flat, params["c3_c"], v_flat, params["c4_c"],
+                G, dofmap, D, nd, **kw)
         g = self.mesh.grid_shape
         if self.impl == "pallas":
             from fustpu.ops import pallas_stiffness as ps

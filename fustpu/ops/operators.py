@@ -289,6 +289,22 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                       interpret=engine_interpret).reshape(cells, n, n, n)
     else:
         u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
+    y = _indexed_contract(u, G, coeff, D)
+    if engine is not None:
+        from fustpu.ops import pallas_gather as pg
+
+        return pg.scatter_add(y.reshape(-1), engine, ndofs,
+                              interpret=engine_interpret)
+    if pull is not None:
+        from fustpu.ops.gather_scatter import pull_scatter_dofs
+
+        return pull_scatter_dofs(y, pull)
+    return scatter_add_dofs(y.reshape(cells, -1), dofmap, ndofs)
+
+
+def _indexed_contract(u, G, coeff, D):
+    """Per-cell stiffness contraction of gathered fields u (cells,n,n,n)."""
+    cells, n = u.shape[0], D.shape[0]
     wx = jnp.einsum("qi,cijk->cqjk", D, u, precision=_PRECISION)
     wy = jnp.einsum("qj,cijk->ciqk", D, u, precision=_PRECISION)
     wz = jnp.einsum("qk,cijk->cijq", D, u, precision=_PRECISION)
@@ -300,6 +316,32 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
     y = jnp.einsum("qi,cqjk->cijk", D, f0, precision=_PRECISION)
     y = y + jnp.einsum("qj,ciqk->cijk", D, f1, precision=_PRECISION)
     y = y + jnp.einsum("qk,cijq->cijk", D, f2, precision=_PRECISION)
+    return y
+
+
+def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
+                                 x2: jax.Array, c2: jax.Array,
+                                 G: jax.Array, dofmap: jax.Array,
+                                 D: jax.Array, ndofs: int,
+                                 pull=None, engine=None,
+                                 engine_interpret: bool = False):
+    """stiffness(x1; c1) + stiffness(x2; c2) in one pass sharing a
+    SINGLE scatter-add: the indexed-path counterpart of the structured
+    pair kernel for heterogeneous Westervelt (the reference launches the
+    two stiffness kernels back to back and pays two atomic-add passes,
+    cuda/demo_nonlinear_bowl.py:618-640; per-cell results here are
+    summed in VMEM-resident form before the one scatter)."""
+    n = D.shape[0]
+    cells = dofmap.shape[0]
+    if engine is not None:
+        from fustpu.ops import pallas_gather as pg
+
+        gth = lambda x: pg.gather(
+            x, engine, interpret=engine_interpret).reshape(cells, n, n, n)
+    else:
+        gth = lambda x: gather_dofs(x, dofmap).reshape(cells, n, n, n)
+    y = (_indexed_contract(gth(x1), G, c1, D)
+         + _indexed_contract(gth(x2), G, c2, D))
     if engine is not None:
         from fustpu.ops import pallas_gather as pg
 

@@ -665,6 +665,11 @@ class IndexedShardedModel:
                 dist["s2_sin"] = put(locvec(m.s2_sin, 0.0))
             dist["c3"] = put(cellvec(np.asarray(m.c3_cells)))
             dist["c4"] = put(cellvec(np.asarray(m.c4_cells)))
+            if m.uniform:
+                # uniform fold: ONE stiffness apply per stage on the
+                # combined field; 1 on real cells, 0 on padding (padded
+                # ldm rows alias dof 0 — the coefficient must kill them)
+                dist["cpad"] = put(cellvec(np.ones(mesh.num_cells)))
         if m.fvec_abs is not None:
             dist["fvec"] = put(locvec(m.fvec_abs, 0.0))
         self.has_abs = m.fvec_abs is not None
@@ -750,12 +755,14 @@ class IndexedShardedModel:
             plan = pg.GatherPlan(
                 d["eng_woff"], d["eng_code"], d["eng_live"],
                 d["eng_spos"], d["eng_sidx"], self._eng_statics)
-            stiff = lambda x, c: xops.stiffness_apply_indexed(
-                x, d["G"], c, ldm, D, self.nloc, engine=plan,
-                engine_interpret=self._eng_interpret)
+            kw = dict(engine=plan, engine_interpret=self._eng_interpret)
         else:
-            stiff = lambda x, c: xops.stiffness_apply_indexed(
-                x, d["G"], c, ldm, D, self.nloc)
+            kw = {}
+        stiff = lambda x, c: xops.stiffness_apply_indexed(
+            x, d["G"], c, ldm, D, self.nloc, **kw)
+        stiff_pair = lambda x1, c1, x2, c2: \
+            xops.stiffness_apply_indexed_pair(
+                x1, c1, x2, c2, d["G"], ldm, D, self.nloc, **kw)
         if self.kind == "linear":
             b = self._exchange(ctx, stiff(u, d["c2"]))
             a_c, a_s = sources.linear_source_coeffs(t, m.source, m.c_src)
@@ -766,7 +773,12 @@ class IndexedShardedModel:
                 b = b + v * d["fvec"]
             return b / d["m"]
         mm_ = d["m0"] + u * d["mvec2"]
-        b = self._exchange(ctx, stiff(u, d["c3"]) + stiff(v, d["c4"]))
+        if m.uniform:
+            x = m.c3_scalar * u + m.c4_scalar * v
+            b = self._exchange(ctx, stiff(x, d["cpad"]))
+        else:
+            b = self._exchange(ctx,
+                               stiff_pair(u, d["c3"], v, d["c4"]))
         b = b - (v * v) * d["mvec2"]
         (g_c, g_s), (dg_c, dg_s) = sources.westervelt_source_coeffs(
             t, m.source, m.c_src)

@@ -454,3 +454,33 @@ def test_locality_order_shrinks_windows():
     again = locality_order(lo)
     wr2 = pick_wr(again.dofmap.reshape(-1).astype(np.int64))
     assert wr2 <= wr_after
+
+
+def test_indexed_pair_matches_two_applies():
+    """stiffness_apply_indexed_pair (single shared scatter — the
+    Westervelt heterogeneous fold) == two separate applies, plain and
+    engine-backed, at f64 exactness."""
+    from fustpu.ops import pallas_gather as pg
+
+    mesh, umesh = _shuffled_box_umesh(nc=(3, 3, 2), P=3)
+    rng = np.random.default_rng(2)
+    x1 = jnp.asarray(rng.standard_normal(umesh.ndofs))
+    x2 = jnp.asarray(rng.standard_normal(umesh.ndofs))
+    c1 = jnp.asarray(rng.uniform(0.5, 2.0, umesh.num_cells))
+    c2 = jnp.asarray(rng.uniform(-1.0, 1.0, umesh.num_cells))
+    _, G = pre.cell_geometry_factors(umesh)
+    G = jnp.asarray(G)
+    D = jnp.asarray(umesh.element.deriv_1d)
+    dm = jnp.asarray(umesh.dofmap)
+    plan = pg.build_plan(umesh.dofmap.reshape(-1).astype(np.int64),
+                         umesh.ndofs)
+    for kw in ({}, dict(engine=plan, engine_interpret=True)):
+        want = (ops.stiffness_apply_indexed(x1, G, c1, dm, D,
+                                            umesh.ndofs, **kw)
+                + ops.stiffness_apply_indexed(x2, G, c2, dm, D,
+                                              umesh.ndofs, **kw))
+        got = ops.stiffness_apply_indexed_pair(x1, c1, x2, c2, G, dm, D,
+                                               umesh.ndofs, **kw)
+        err = float(jnp.linalg.norm(got - want)
+                    / jnp.linalg.norm(want))
+        assert err < 1e-13, (kw, err)
