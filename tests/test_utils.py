@@ -245,3 +245,90 @@ def test_graft_entry_compiles():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert all(np.all(np.isfinite(np.asarray(o))) for o in out)
+
+
+def test_kron_apply_matches_dense():
+    """Sum-factorised [A0 (x) A1 (x) A2] == the dense Kronecker matrix
+    (the reference's Buffer/apply_contractions capability,
+    cpp/common/sum_factorisation.hpp:51-123)."""
+    from fustpu.ops.kronecker import kron_apply
+
+    rng = np.random.default_rng(0)
+    A0, A1, A2 = (rng.standard_normal((m, n))
+                  for m, n in ((4, 3), (2, 5), (6, 4)))
+    x = rng.standard_normal((7, 3, 5, 4))          # batch of 7
+    got = kron_apply(A0, A1, A2, x)
+    K = np.kron(A0, np.kron(A1, A2))
+    want = (x.reshape(7, -1) @ K.T).reshape(7, 4, 2, 6)
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_degree_transfer_polynomial_exact():
+    """interpolate_box_field between degrees is exact for fields
+    polynomial (per axis) up to the SOURCE degree — both up- and
+    down-transfer, on a mapped (non-affine) box."""
+    from fustpu.mesh.box import build_box_mesh
+    from fustpu.ops.kronecker import interpolate_box_field
+
+    nc = (3, 2, 2)
+    m4 = build_box_mesh(nc, 4, hi=(1.0, 0.8, 0.6))
+    m6 = build_box_mesh(nc, 6, hi=(1.0, 0.8, 0.6))
+
+    def poly(m, d):
+        x = m.node_coords.reshape(-1, 3)
+        return (x[:, 0] ** d - 2.0 * x[:, 1] ** (d - 1) * x[:, 2]
+                + 0.3 * x[:, 2] ** 2).reshape(m.grid_shape)
+
+    up = interpolate_box_field(poly(m4, 4), m4, m6)
+    assert np.allclose(up, poly(m6, 4), atol=1e-11)
+    down = interpolate_box_field(poly(m6, 4), m6, m4)
+    assert np.allclose(down, poly(m4, 4), atol=1e-11)
+    # round trip P4 -> P6 -> P4 is the identity on the P4 space
+    back = interpolate_box_field(up, m6, m4)
+    assert np.allclose(back, poly(m4, 4), atol=1e-11)
+
+
+def test_degree_transfer_restart_upgrade():
+    """The production use: a (u, v) checkpoint written at P=4 restarts
+    at P=6 — the upgraded initial state drives the higher-order model
+    and the probe trace stays physically consistent with the all-P4
+    run (coarse tolerance: different discretisations)."""
+    import jax.numpy as jnp
+
+    from fustpu.config import Material, Source
+    from fustpu.mesh.box import build_box_mesh
+    from fustpu.models.linear import LinearWaveModel
+    from fustpu.ops.kronecker import interpolate_box_field
+
+    nc, hi = (6, 3, 3), (0.012, 0.006, 0.006)
+    mat = Material(sound_speed=1500.0, density=1000.0)
+    src = Source(frequency=0.5e6, amplitude=1e5)
+
+    def model(P):
+        m = build_box_mesh(nc, P, hi=hi)
+        return m, LinearWaveModel(m, mat, src, m.boundary_facets("x-"),
+                                  m.all_boundary_facets(),
+                                  dtype=jnp.float64)
+
+    m4, mod4 = model(4)
+    dt4, _ = mod4.cfl_dt(0.3)
+    s4, _ = mod4.solve(mod4.init_state(), dt4, 60)
+    m6, mod6 = model(6)
+    # the resumed discretisation needs its OWN dt: reusing the P4 dt
+    # puts the P6 run at effective CFL 0.675, which goes NaN in f32
+    # on hardware (measured) — marginally survives only in f64
+    dt6, _ = mod6.cfl_dt(0.3)
+    n6 = int(round(40 * dt4 / dt6))
+    s6 = mod6.init_state(
+        t0=float(s4.t),
+        u0=interpolate_box_field(np.asarray(s4.u), m4, m6),
+        v0=interpolate_box_field(np.asarray(s4.v), m4, m6))
+    s4b, _ = mod4.solve(s4, dt4, 40)
+    s6b, _ = mod6.solve(s6, dt6, n6)
+    from fustpu.utils.eval import PointSampler
+
+    pts = np.array([[0.006, 0.003, 0.003]])
+    a = PointSampler(m4, pts).sample(np.asarray(s4b.u))
+    b = PointSampler(m6, pts).sample(np.asarray(s6b.u))
+    scale = np.abs(np.asarray(s4b.u)).max()
+    assert abs(a[0] - b[0]) < 0.05 * scale, (a, b, scale)
