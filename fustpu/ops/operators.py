@@ -336,12 +336,14 @@ def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
     if engine is not None:
         from fustpu.ops import pallas_gather as pg
 
-        gth = lambda x: pg.gather(
-            x, engine, interpret=engine_interpret).reshape(cells, n, n, n)
+        u1, u2 = pg.gather2(x1, x2, engine, interpret=engine_interpret)
+        u1 = u1.reshape(cells, n, n, n)
+        u2 = u2.reshape(cells, n, n, n)
     else:
-        gth = lambda x: gather_dofs(x, dofmap).reshape(cells, n, n, n)
-    y = (_indexed_contract(gth(x1), G, c1, D)
-         + _indexed_contract(gth(x2), G, c2, D))
+        u1 = gather_dofs(x1, dofmap).reshape(cells, n, n, n)
+        u2 = gather_dofs(x2, dofmap).reshape(cells, n, n, n)
+    y = (_indexed_contract(u1, G, c1, D)
+         + _indexed_contract(u2, G, c2, D))
     if engine is not None:
         from fustpu.ops import pallas_gather as pg
 

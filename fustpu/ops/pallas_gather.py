@@ -198,6 +198,44 @@ def _mk_gather_kernel(WR: int):
     return kernel
 
 
+def _mk_gather2_kernel(WR: int):
+    """Two-field gather sharing ONE one-hot H: the per-tile compare/
+    iota VPU work (commensurate with the matmuls — BENCH_NOTES r4) is
+    paid once for both fields.  Used by the heterogeneous Westervelt
+    pair, which gathers u and v over the same dofmap."""
+    def kernel(woff_ref, code_ref, x1_hbm, x2_hbm, o1_ref, o2_ref,
+               s1, s2, sem1, sem2):
+        b = pl.program_id(0)
+        f32 = o1_ref.dtype
+        bf = jnp.bfloat16
+        s = pl.multiple_of(woff_ref[b, 0], 8)
+        cp1 = pltpu.make_async_copy(x1_hbm.at[pl.ds(s, WR)], s1, sem1)
+        cp1.start()
+        cp2 = pltpu.make_async_copy(x2_hbm.at[pl.ds(s, WR)], s2, sem2)
+        cp2.start()
+        codev = code_ref[...]
+        hi = codev // 128
+        lo = codev % 128
+        d = lambda a, q: jax.lax.dot_general(
+            a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
+        cp1.wait()
+        cp2.wait()
+        w = jnp.concatenate([s1[...], s2[...]], axis=1)   # (WR, 256)
+        if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
+            A = d((hi == i1).astype(f32), w)
+        else:
+            H = (hi == i1).astype(bf)
+            wh, wl, wl2 = _split3(w, f32)
+            A = d(H, wh) + d(H, wl) + d(H, wl2)
+        il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
+        LoOH = (lo == il).astype(f32)
+        o1_ref[...] = jnp.sum(A[:, :128] * LoOH, axis=1, keepdims=True)
+        o2_ref[...] = jnp.sum(A[:, 128:] * LoOH, axis=1, keepdims=True)
+
+    return kernel
+
+
 def _mk_scatter_kernel(WR: int):
     def kernel(woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
                scratch, sem):
@@ -260,6 +298,48 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
         out = out.at[plan.spos].set(x2.reshape(-1)[plan.sidx],
                                     mode="promise_in_bounds")
     return out[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
+            interpret: bool = False):
+    """(x1[g], x2[g]) in one kernel pass sharing the one-hot H."""
+    WR, ntiles, nrows, N = plan.statics
+
+    def pad(x):
+        z = jnp.zeros((nrows * 128,), x.dtype)
+        return jax.lax.dynamic_update_slice(
+            z, x.reshape(-1), (0,)).reshape(nrows, 128)
+
+    p1, p2 = pad(x1_flat), pad(x2_flat)
+    shp = jax.ShapeDtypeStruct((ntiles * TM, 1), x1_flat.dtype)
+    o1, o2 = pl.pallas_call(
+        _mk_gather2_kernel(WR),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles,),
+            in_specs=[
+                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+                       pl.BlockSpec((TM, 1), lambda b, woff: (b, 0))],
+            scratch_shapes=[pltpu.VMEM((WR, 128), x1_flat.dtype),
+                            pltpu.VMEM((WR, 128), x1_flat.dtype),
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=[shp, shp],
+        interpret=interpret,
+    )(plan.woff, plan.code, p1, p2)
+    o1, o2 = o1.reshape(-1), o2.reshape(-1)
+    if plan.spos.shape[0]:
+        o1 = o1.at[plan.spos].set(p1.reshape(-1)[plan.sidx],
+                                  mode="promise_in_bounds")
+        o2 = o2.at[plan.spos].set(p2.reshape(-1)[plan.sidx],
+                                  mode="promise_in_bounds")
+    return o1[:N], o2[:N]
 
 
 @functools.partial(jax.jit, static_argnames=("ndofs", "interpret"))

@@ -484,3 +484,21 @@ def test_indexed_pair_matches_two_applies():
         err = float(jnp.linalg.norm(got - want)
                     / jnp.linalg.norm(want))
         assert err < 1e-13, (kw, err)
+
+
+def test_gather2_matches_gather():
+    """The shared-H two-field gather == two single gathers (interpret),
+    including spill entries."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(8)
+    nsrc, N = 4000, 7000
+    g = np.clip(np.arange(N) * 0.55 + rng.integers(-900, 900, N),
+                0, nsrc - 1).astype(np.int64)
+    plan = pg.build_plan(g, nsrc, WR=8)      # tiny WR -> heavy spill
+    assert plan.spos.shape[0] > 0
+    x1 = jnp.asarray(rng.standard_normal(nsrc), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal(nsrc), jnp.float32)
+    a1, a2 = pg.gather2(x1, x2, plan, interpret=True)
+    assert np.array_equal(np.asarray(a1), np.asarray(x1)[g])
+    assert np.array_equal(np.asarray(a2), np.asarray(x2)[g])
