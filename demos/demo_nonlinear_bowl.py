@@ -97,6 +97,11 @@ def main():
     parser.add_argument("--mesh", default="",
                         help="pre-built tagged .msh (tag 1 = bowl cap, "
                              "tag 2 = absorbing); implies unstructured")
+    parser.add_argument("--two-layer", action="store_true",
+                        help="water -> soft-tissue layer (c=1560, "
+                             "rho=1045) past x=20 mm: heterogeneous "
+                             "Westervelt, exercising the pair stiffness "
+                             "path on every mesh kind")
     parser.add_argument("--devices", type=int, default=1,
                         help="shard the flagship over k devices (box "
                              "partition for structured geometries, RCB "
@@ -188,6 +193,18 @@ def main():
     delays = (None if args.geometry != "phased" else
               (lambda pts: sources.focus_delays(pts, focus,
                                                 mat.sound_speed)))
+    if args.two_layer:
+        # per-cell material from cell centroids of the FINAL mesh (order-
+        # independent: survives import round trips and locality reorder)
+        cent = np.asarray(mesh.cell_corners_flat).mean(axis=1)
+        tissue = cent[:, 0] > 0.02
+        shape = mesh.nc if hasattr(mesh, "nc") else (mesh.num_cells,)
+        mat = Material(
+            sound_speed=np.where(tissue, 1560.0, 1480.0).reshape(shape),
+            density=np.where(tissue, 1045.0, 1000.0).reshape(shape),
+            nonlinearity=3.5, attenuation_dB=0.2)
+        print(f"two-layer medium (interface x=20 mm, "
+              f"{int(tissue.sum())} tissue cells)")
     model = WesterveltModel(
         mesh, mat, src, aperture, absorbing,
         dtype=pick_dtype(args.dtype), source_delays=delays)
@@ -209,7 +226,8 @@ def main():
             print(f"sharded over {model.k} devices "
                   f"({model.num_shared} shared interface entries)")
     dt, _ = model.cfl_dt(0.4)
-    tf = domain_length / mat.sound_speed + args.periods / src.frequency
+    tf = (domain_length / float(np.min(mat.sound_speed))
+          + args.periods / src.frequency)
     nsteps = int(tf / dt) + 1
     print(f"Number of steps: {nsteps}")
     state = run_demo(model, dt, nsteps, args, "nonlinear_bowl")

@@ -75,3 +75,23 @@ def test_demo_bowl_sharded_cli(tmp_path):
                    "--devices", "8", "--output", str(tmp_path / "b"))
     assert "sharded over device grid" in out
     assert "pressure at focus" in out
+
+
+def test_demo_bowl_two_layer_cross_path(tmp_path):
+    """Heterogeneous (two-layer) bowl through the CLI: the structured
+    pair kernel and the imported-mesh (round-tripped .msh) pair path
+    must report the same focal pressure — same mesh, disjoint code
+    paths (exercises the shared-scatter indexed pair)."""
+    import re
+
+    vals = {}
+    for geom in ("conformal", "unstructured"):
+        out = run_demo("demo_nonlinear_bowl.py", "--two-layer",
+                       "--elements", "12", "--geometry", geom,
+                       "--periods", "0.5",
+                       "--output", str(tmp_path / geom))
+        assert "two-layer medium" in out
+        m = re.search(r"pressure at focus: (\S+) Pa", out)
+        vals[geom] = float(m.group(1))
+    a, b = vals["conformal"], vals["unstructured"]
+    assert abs(a - b) <= 1e-6 * max(abs(a), 1.0), vals
