@@ -190,9 +190,9 @@ def main():
                          "so facet centroids resolve the 16 mm radius")
     print(f"aperture facets: {len(aperture)}")
 
+    c_water = float(np.min(mat.sound_speed))
     delays = (None if args.geometry != "phased" else
-              (lambda pts: sources.focus_delays(pts, focus,
-                                                mat.sound_speed)))
+              (lambda pts: sources.focus_delays(pts, focus, c_water)))
     if args.two_layer:
         # per-cell material from cell centroids of the FINAL mesh (order-
         # independent: survives import round trips and locality reorder)

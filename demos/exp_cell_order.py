@@ -42,10 +42,12 @@ def order_variants(mesh):
         | (spread(q[:, 2]) << np.uint64(2))
     yield "file order", None
     yield "morton", np.argsort(morton, kind="stable")
-    # axis sweeps (pick the best axis)
+    # axis sweeps — SAME key order as mesh.unstructured.locality_order,
+    # so the experiment scores exactly the permutation production applies
     for ax, name in ((0, "sweep x"), (1, "sweep y"), (2, "sweep z")):
-        keys = [cent[:, a] for a in range(3) if a != ax][::-1] + [cent[:, ax]]
-        yield name, np.lexsort(tuple(keys))
+        keys = tuple(cent[:, a] for a in range(3) if a != ax) \
+            + (cent[:, ax],)
+        yield name, np.lexsort(keys)
 
 
 def span_stats(dofmap):
@@ -111,9 +113,7 @@ def time_orders(base):
 
 
 def main():
-    import dataclasses
-
-    from fustpu.mesh.unstructured import UnstructuredHexMesh
+    from fustpu.mesh.unstructured import UnstructuredHexMesh, reorder_cells
 
     degree = 4
     verts, cells_, tagged = shapes.cylinder_mesh(
@@ -123,8 +123,7 @@ def main():
     print(f"{base.num_cells} cells, {base.ndofs} dofs")
     wr0 = None
     for name, perm in order_variants(base):
-        mesh = base if perm is None else dataclasses.replace(
-            base, cells=base.cells[perm])
+        mesh = base if perm is None else reorder_cells(base, perm)
         spans, wr, spill = span_stats(mesh.dofmap)
         wr0 = wr0 or wr
         print(f"{name:<12} span p50={np.percentile(spans, 50):8.0f} "

@@ -282,12 +282,16 @@ def _permute_geom_nodes(cells_old, cells_new, gn):
     newc = np.stack(np.meshgrid(np.arange(3), np.arange(3), np.arange(3),
                                 indexing="ij")).reshape(3, 27)
     weights = np.array([9, 3, 1])
+    # corner-bit -> axis lookup, vectorised over cells (a python
+    # per-cell loop costs minutes on production-scale curved imports)
+    lut = np.full(5, -1, np.int64)
+    lut[[4, 2, 1]] = [0, 1, 2]
     old_flat = np.zeros((nc, 27), np.int64)
     for e, corner in enumerate((4, 2, 1)):                 # new axes a,b,c
         diff = old_pos[:, corner] ^ p0
-        if not np.isin(diff, (4, 2, 1)).all():
+        if diff.max() > 4 or (lut[diff] < 0).any():
             return None
-        ax = np.array([_BIT_AXIS[int(d)] for d in diff])   # (nc,)
+        ax = lut[diff]                                     # (nc,)
         flip = (p0 & diff) != 0
         oc = np.where(flip[:, None], 2 - newc[e][None, :],
                       newc[e][None, :])                    # (nc, 27)

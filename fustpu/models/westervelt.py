@@ -79,6 +79,10 @@ class WesterveltModel(WaveModelBase):
         self.c3_scalar = self.c4_scalar = None
         self.c3_e = self.c4_e = self.c3_cells = self.c4_cells = None
         self.c3_x = self.c4_x = None
+        if self.uniform:      # the one-apply fold coefficients, any impl
+            self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
+            self.c4_scalar = dtype(-float(delta.flat[0])
+                                   / float((rho * c * c).flat[0]))
         if (self.impl == "extruded_pallas" and not self.uniform
                 and not disc.ext_pallas_fits(pair=True)):
             # the pair kernel's VMEM budget (doubled field IO + the ce
@@ -90,9 +94,6 @@ class WesterveltModel(WaveModelBase):
 
             self._ext_interpret = not on_tpu()
             if self.uniform:
-                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
-                self.c4_scalar = dtype(-float(delta.flat[0])
-                                       / float((rho * c * c).flat[0]))
                 self._stiff_op = disc.extruded_pallas_op()
             else:
                 nc_ = (mesh.num_cells,)
@@ -103,11 +104,7 @@ class WesterveltModel(WaveModelBase):
             from fustpu.ops import operators as ops
 
             self._stiff_op = disc.extruded_op
-            if self.uniform:
-                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
-                self.c4_scalar = dtype(-float(delta.flat[0])
-                                       / float((rho * c * c).flat[0]))
-            else:
+            if not self.uniform:
                 nc_ = (mesh.num_cells,)
                 self.c3_x = ops.expand_coeff_extruded(
                     mesh, np.broadcast_to(-1.0 / rho, nc_), dtype)
@@ -118,10 +115,6 @@ class WesterveltModel(WaveModelBase):
             self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self.c4_cells = jnp.asarray(
                 (-delta / (rho * c * c)).reshape(-1), dtype)
-            if self.uniform:    # enables the one-apply fold in _rhs
-                self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
-                self.c4_scalar = dtype(-float(delta.flat[0])
-                                       / float((rho * c * c).flat[0]))
             self._stiff_op = disc.indexed_op
             self._idx_engine = (disc.indexed_engine
                                 if self.impl == "indexed_engine" else None)
@@ -130,9 +123,6 @@ class WesterveltModel(WaveModelBase):
             self._engine_interpret = (self.impl == "indexed_engine"
                                       and not on_tpu())
         elif self.uniform:
-            self.c3_scalar = dtype(-1.0 / float(rho.flat[0]))
-            self.c4_scalar = dtype(-float(delta.flat[0])
-                                   / float((rho * c * c).flat[0]))
             self._stiff_op = (disc.pallas_op(corner=self._corner)
                               if self.impl == "pallas" else disc.mm_op)
         else:

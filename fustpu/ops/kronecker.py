@@ -55,6 +55,14 @@ def interpolate_box_field(field: np.ndarray, mesh_from,
     if tuple(mesh_from.nc) != tuple(mesh_to.nc):
         raise ValueError(f"cell grids differ: {mesh_from.nc} "
                          f"vs {mesh_to.nc}")
+    # same GEOMETRY too: transferring between meshes whose cells sit at
+    # different physical points would silently corrupt a restart
+    a = np.asarray(mesh_from.cell_corners_flat)
+    b = np.asarray(mesh_to.cell_corners_flat)
+    if a.shape != b.shape or not np.allclose(a, b, atol=1e-12):
+        raise ValueError("meshes differ in geometry (cell corners), "
+                         "not just degree — degree transfer needs the "
+                         "same cell grid")
     p1, p2 = mesh_from.degree, mesh_to.degree
     f = np.asarray(field, np.float64).reshape(mesh_from.grid_shape)
     if p1 == p2:

@@ -68,13 +68,20 @@ class GatherPlan:
         return cls(*children, statics=aux)
 
 
-def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512) -> int:
+def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
+            dead: int | None = None) -> int:
     """Smallest window row count (multiple of 8) whose single
-    row-granular window holds the worst tile span."""
-    spans = []
+    row-granular window holds the worst tile span.  `dead`: id value to
+    EXCLUDE from spans (the no-op slot used to pad ragged per-device
+    cell counts — it needs no window coverage, and counting it would
+    blow the mixed real/dead boundary tile to the cap)."""
+    spans = [0]
     for s in range(0, g.size, TM):
         blk = g[s:s + TM]
-        spans.append(int(blk.max()) - int(blk.min()))
+        if dead is not None:
+            blk = blk[blk != dead]
+        if blk.size:
+            spans.append(int(blk.max()) - int(blk.min()))
     # size for the MAX span (the XLA spill path is expensive enough
     # that coverage beats window slimness): the start is floored to an
     # 8-row boundary (up to 8 rows before the tile's min) and the top
@@ -92,12 +99,15 @@ def build_plan(indices: np.ndarray, nsrc: int,
     g = np.asarray(indices, np.int64).reshape(-1)
     N = g.size
     if WR is None:
-        WR = pick_wr(g)
+        WR = pick_wr(g, dead=nsrc)
     # one padded position is always kept dead so spill arrays can be
     # length-padded with no-op entries (stacked per-device plans)
     ntiles = -(-(N + 1) // TM)
     Np = ntiles * TM
-    gp = np.zeros(Np, np.int64)
+    # pad with the DEAD id nsrc: pad entries need no window coverage,
+    # and a 0-pad would drag the last tile's window start to row 0,
+    # spilling all its real entries
+    gp = np.full(Np, nsrc, np.int64)
     gp[:N] = g
     woff = np.zeros((ntiles, 1), np.int32)
     code = np.zeros((Np, 1), np.int32)
@@ -108,16 +118,21 @@ def build_plan(indices: np.ndarray, nsrc: int,
     dead = WSZ
     for t in range(ntiles):
         blk = gp[t * TM:(t + 1) * TM]
-        # window = ONE (WR, 128) slab at a row-granular 8-aligned start;
-        # ids beyond its reach (WR capped) spill to the XLA path
-        s = (int(blk.min()) // (8 * 128)) * 8
+        # window = ONE (WR, 128) slab at a row-granular 8-aligned start
+        # placed over the tile's REAL (non-dead) ids; dead entries are
+        # coded as no-ops, real ids beyond the window's reach (WR
+        # capped) spill to the XLA path
+        isdead = blk == nsrc
+        real = blk[~isdead]
+        s = 0 if real.size == 0 else (int(real.min()) // (8 * 128)) * 8
         rel = blk - s * 128
-        ok = rel < WSZ
+        ok = (rel >= 0) & (rel < WSZ) & ~isdead
         woff[t, 0] = s
         sl = slice(t * TM, (t + 1) * TM)
         code[sl, 0] = np.where(ok, rel, dead)
         live[sl, 0] *= ok
-        bad = np.nonzero(~ok & (np.arange(t * TM, (t + 1) * TM) < N))[0]
+        bad = np.nonzero(~ok & ~isdead
+                         & (np.arange(t * TM, (t + 1) * TM) < N))[0]
         spill_pos.extend(t * TM + bad)
         spill_idx.extend(blk[bad])
     # window slack past the top id so no start needs clamping
@@ -142,7 +157,7 @@ def build_stacked_plans(index_sets, nsrc: int):
     N = gs[0].size
     if any(g.size != N for g in gs):
         raise ValueError("per-device index sets must be equal length")
-    wr = max(pick_wr(g) for g in gs)
+    wr = max(pick_wr(g, dead=nsrc) for g in gs)
     plans = [build_plan(g, nsrc, WR=wr) for g in gs]
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)
