@@ -141,10 +141,22 @@ class Discretization:
     def indexed_engine(self):
         """Windowed one-hot gather/scatter plan for the indexed path
         (fustpu.ops.pallas_gather) — one plan serves both directions
-        (built on dofmap.ravel())."""
+        (built on dofmap.ravel()).  None when the mesh windows too badly
+        (WR at cap with heavy spill — the XLA spill path would eat the
+        engine's win); callers pass engine=None and get the plain path."""
         from fustpu.ops import pallas_gather as pg
 
-        return pg.build_plan(self.mesh.dofmap.ravel(), self.mesh.ndofs)
+        plan = pg.build_plan(self.mesh.dofmap.ravel(), self.mesh.ndofs)
+        n_spill = int(plan.spos.shape[0])
+        if n_spill > 0.10 * self.mesh.dofmap.size:
+            import warnings
+
+            warnings.warn(
+                f"gather-engine windows cover this mesh poorly "
+                f"({n_spill}/{self.mesh.dofmap.size} spill) — using the "
+                f"plain indexed path", stacklevel=2)
+            return None
+        return plan
 
     @functools.cached_property
     def indexed_op(self) -> tuple:

@@ -19,10 +19,15 @@ per-tile WINDOWS of the DOF vector, so the work runs on the MXU/VPU:
 Windows exist because of the mesh's first-touch DOF numbering
 (fustpu.mesh.unstructured._numbering): a cell batch addresses a compact
 id range.  Window starts are row-granular (multiples of 8 sublanes for
-the f32 (8,128) tiling), so a single window sized to the worst tile
-span covers every tile — the earlier two-block-aligned-window design
-paid DOUBLE the one-hot FLOPs for the same coverage.  Ids a tile still
-cannot reach (WR capped at 512) spill to a plain XLA gather/scatter.
+the f32 (8,128) tiling), so ONE window sized to the worst tile span
+covers every tile of a normal-front mesh — the earlier two-block-
+aligned-window design paid DOUBLE the one-hot FLOPs for the same
+coverage.  When the front exceeds the 512-row cap (large cross-section
+meshes), tiles reference two clusters (fresh ids + the previous sweep
+layer) and the plan auto-switches to TWO independently-placed windows
+(`nwin` static; the scatter RMWs them sequentially since they may
+overlap in rows); any residue spills to a chunked XLA gather/scatter
+(chunked because XLA prefetches gather indices to 1 MB of SMEM).
 
 The reference's equivalent is cuda.atomic.add / coalesced gathers on a
 layout-agnostic kernel (/root/reference/cuda/operators.py:55-70,190);
@@ -46,10 +51,13 @@ TM = 2048           # outputs per tile
 
 @jax.tree_util.register_pytree_node_class
 class GatherPlan:
-    """woff (ntiles, 1) int32 window ROW starts (multiples of 8); code
-    (ntiles*TM, 1) packed hi*128+lo relative to the window (WR*128 =
-    dead); live (ntiles*TM, 1) 0/1; spill_pos/spill_idx device arrays;
-    statics (WR, ntiles, nrows, N)."""
+    """woff (2, ntiles) int32 window ROW starts (multiples of 8,
+    TRANSPOSED: the scalar-prefetch operand is lane-padded to 128 in
+    SMEM, so the tile axis must be minor — (ntiles, 2) hits the 1 MB
+    SMEM cap at ~2000 tiles); code
+    (ntiles*TM, 1) packed hi*128+lo relative to the window stack
+    (nwin*WR*128 = dead); live (ntiles*TM, 1) 0/1; spill_pos/spill_idx
+    device arrays; statics (WR, ntiles, nrows, N, nwin)."""
 
     def __init__(self, woff, code, live, spos, sidx, statics):
         self.woff = woff
@@ -91,11 +99,29 @@ def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
     return int(min(max(wr, lo), hi))
 
 
-def build_plan(indices: np.ndarray, nsrc: int,
-               WR: int | None = None) -> GatherPlan:
+def _densest(sorted_ids: np.ndarray, WSZ: int) -> int:
+    """8-row-aligned window start covering the most of `sorted_ids`
+    (sliding window; counting width shrunk by the 1024-id alignment
+    slack so the count lower-bounds actual coverage)."""
+    hi_cnt = np.searchsorted(sorted_ids, sorted_ids + WSZ - 1024,
+                             side="right")
+    best = int(np.argmax(hi_cnt - np.arange(sorted_ids.size)))
+    return (int(sorted_ids[best]) // (8 * 128)) * 8
+
+
+def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
+               nwin: int | None = None,
+               spill_tol: float = 0.005) -> GatherPlan:
     """indices: (N,) int gather targets in [0, nsrc].  Index nsrc is a
     DEAD slot (gathers 0.0, scatter contributions dropped) — sharded
-    models use it to pad ragged per-device cell counts."""
+    models use it to pad ragged per-device cell counts.
+
+    `nwin` (1 or 2, auto by default): number of per-tile windows.  One
+    window suffices when WR can hold the worst tile span; when WR caps
+    (large-front meshes), a tile's references are bimodal (fresh ids +
+    the previous sweep layer) and a SECOND independently-placed window
+    catches what the first misses — auto-enabled when the one-window
+    spill fraction exceeds `spill_tol`."""
     g = np.asarray(indices, np.int64).reshape(-1)
     N = g.size
     if WR is None:
@@ -109,40 +135,85 @@ def build_plan(indices: np.ndarray, nsrc: int,
     # spilling all its real entries
     gp = np.full(Np, nsrc, np.int64)
     gp[:N] = g
-    woff = np.zeros((ntiles, 1), np.int32)
-    code = np.zeros((Np, 1), np.int32)
-    live = np.zeros((Np, 1), np.float32)
-    live[:N, 0] = 1.0
-    spill_pos, spill_idx = [], []
     WSZ = WR * 128
-    dead = WSZ
-    for t in range(ntiles):
-        blk = gp[t * TM:(t + 1) * TM]
-        # window = ONE (WR, 128) slab at a row-granular 8-aligned start
-        # placed over the tile's REAL (non-dead) ids; dead entries are
-        # coded as no-ops, real ids beyond the window's reach (WR
-        # capped) spill to the XLA path
-        isdead = blk == nsrc
-        real = blk[~isdead]
-        s = 0 if real.size == 0 else (int(real.min()) // (8 * 128)) * 8
-        rel = blk - s * 128
-        ok = (rel >= 0) & (rel < WSZ) & ~isdead
-        woff[t, 0] = s
-        sl = slice(t * TM, (t + 1) * TM)
-        code[sl, 0] = np.where(ok, rel, dead)
-        live[sl, 0] *= ok
-        bad = np.nonzero(~ok & ~isdead
-                         & (np.arange(t * TM, (t + 1) * TM) < N))[0]
-        spill_pos.extend(t * TM + bad)
-        spill_idx.extend(blk[bad])
+    for use_nwin in ((1, 2) if nwin is None else (nwin,)):
+        woff = np.zeros((2, ntiles), np.int32)
+        code = np.zeros((Np, 1), np.int32)
+        live = np.zeros((Np, 1), np.float32)
+        live[:N, 0] = 1.0
+        dead = use_nwin * WSZ
+        spill_pos, spill_idx = [], []
+        for t in range(ntiles):
+            blk = gp[t * TM:(t + 1) * TM]
+            isdead = blk == nsrc
+            real = blk[~isdead]
+            if real.size == 0:
+                s = 0
+            elif int(real.max()) - int(real.min()) < WSZ:
+                s = (int(real.min()) // (8 * 128)) * 8
+            else:
+                # capped tile: cover the DENSEST id cluster — anchoring
+                # at the min can strand the whole fresh-id cluster
+                s = _densest(np.sort(real), WSZ)
+            rel = blk - s * 128
+            in_a = (rel >= 0) & (rel < WSZ) & ~isdead
+            code_t = np.where(in_a, rel, dead)
+            ok = in_a
+            s2 = s
+            if use_nwin == 2:
+                rest = np.sort(blk[~in_a & ~isdead])
+                if rest.size:
+                    s2 = (_densest(rest, WSZ) if
+                          int(rest[-1]) - int(rest[0]) >= WSZ
+                          else (int(rest[0]) // (8 * 128)) * 8)
+                rel2 = blk - s2 * 128
+                in_b = (~in_a & ~isdead
+                        & (rel2 >= 0) & (rel2 < WSZ))
+                code_t[in_b] = WSZ + rel2[in_b]
+                ok = in_a | in_b
+            woff[:, t] = (s, s2)
+            sl = slice(t * TM, (t + 1) * TM)
+            code[sl, 0] = code_t
+            live[sl, 0] *= ok
+            bad = np.nonzero(~ok & ~isdead
+                             & (np.arange(t * TM, (t + 1) * TM) < N))[0]
+            spill_pos.extend(t * TM + bad)
+            spill_idx.extend(blk[bad])
+        if len(spill_pos) <= spill_tol * N:
+            break
     # window slack past the top id so no start needs clamping
     nrows = -(-(-(-(nsrc + 1) // 128)) // 8) * 8 + WR
+    # int32 spill indices: XLA's TPU gather/scatter prefetches the index
+    # operand to SMEM (1 MB) — int64 indices hit the limit at ~130k
+    # entries (measured compile failure on a capped-WR 2.8M-DOF mesh)
     return GatherPlan(
         woff=jnp.asarray(woff), code=jnp.asarray(code),
         live=jnp.asarray(live),
-        spos=jnp.asarray(np.asarray(spill_pos, np.int64)),
-        sidx=jnp.asarray(np.asarray(spill_idx, np.int64)),
-        statics=(WR, ntiles, nrows, N))
+        spos=jnp.asarray(np.asarray(spill_pos, np.int32)),
+        sidx=jnp.asarray(np.asarray(spill_idx, np.int32)),
+        statics=(WR, ntiles, nrows, N, use_nwin))
+
+
+_SPILL_CHUNK = 98304        # indices per spill op: 4B * 98304 < 1 MB SMEM
+
+
+def _spill_set(out, pos, src, sidx):
+    """out[pos] = src[sidx], chunked to bound the per-op index count."""
+    n = int(pos.shape[0])
+    for s in range(0, n, _SPILL_CHUNK):
+        out = out.at[pos[s:s + _SPILL_CHUNK]].set(
+            src[sidx[s:s + _SPILL_CHUNK]], mode="promise_in_bounds")
+    return out
+
+
+def _spill_add(y, sidx, src, pos):
+    """y[sidx] += src[pos], chunked (duplicate targets stay correct —
+    each chunk is its own scatter-add)."""
+    n = int(pos.shape[0])
+    for s in range(0, n, _SPILL_CHUNK):
+        y = y.at[sidx[s:s + _SPILL_CHUNK]].add(
+            src[pos[s:s + _SPILL_CHUNK]], mode="promise_in_bounds")
+    return y
 
 
 def build_stacked_plans(index_sets, nsrc: int):
@@ -159,6 +230,9 @@ def build_stacked_plans(index_sets, nsrc: int):
         raise ValueError("per-device index sets must be equal length")
     wr = max(pick_wr(g, dead=nsrc) for g in gs)
     plans = [build_plan(g, nsrc, WR=wr) for g in gs]
+    nw = max(p.statics[4] for p in plans)       # common window count too
+    if any(p.statics[4] != nw for p in plans):
+        plans = [build_plan(g, nsrc, WR=wr, nwin=nw) for g in gs]
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)
     dead_pos, dead_idx = N, nsrc
@@ -169,9 +243,9 @@ def build_stacked_plans(index_sets, nsrc: int):
         live.append(np.asarray(p.live))
         ns = int(p.spos.shape[0])
         spos.append(np.concatenate(
-            [np.asarray(p.spos), np.full(S - ns, dead_pos, np.int64)]))
+            [np.asarray(p.spos), np.full(S - ns, dead_pos, np.int32)]))
         sidx.append(np.concatenate(
-            [np.asarray(p.sidx), np.full(S - ns, dead_idx, np.int64)]))
+            [np.asarray(p.sidx), np.full(S - ns, dead_idx, np.int32)]))
     return (np.stack(woff), np.stack(code), np.stack(live),
             np.stack(spos), np.stack(sidx), statics)
 
@@ -185,21 +259,27 @@ def _split3(v, f32):
     return vh, vl, vl2
 
 
-def _mk_gather_kernel(WR: int):
+def _mk_gather_kernel(WR: int, nwin: int):
     def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
         f32 = o_ref.dtype
         bf = jnp.bfloat16
-        s = pl.multiple_of(woff_ref[b, 0], 8)
-        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(s, WR)], scratch, sem)
-        cp.start()
+        cps = []
+        for k in range(nwin):       # concurrent reads (overlap is fine)
+            s = pl.multiple_of(woff_ref[k, b], 8)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, WR)], scratch.at[k * WR:(k + 1) * WR],
+                sem)
+            cp.start()
+            cps.append(cp)
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
-        cp.wait()
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
+        for cp in cps:
+            cp.wait()
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
             A = d((hi == i1).astype(f32), scratch[...])
         else:
@@ -213,30 +293,38 @@ def _mk_gather_kernel(WR: int):
     return kernel
 
 
-def _mk_gather2_kernel(WR: int):
+def _mk_gather2_kernel(WR: int, nwin: int):
     """Two-field gather sharing ONE one-hot H: the per-tile compare/
     iota VPU work (commensurate with the matmuls — BENCH_NOTES r4) is
     paid once for both fields.  Used by the heterogeneous Westervelt
-    pair, which gathers u and v over the same dofmap."""
+    pair, which gathers u and v over the same dofmap.  The two fields'
+    windows sit side by side on the lane axis ((nwin*WR, 256)), so the
+    wide dot picks both rows at once."""
     def kernel(woff_ref, code_ref, x1_hbm, x2_hbm, o1_ref, o2_ref,
                s1, s2, sem1, sem2):
         b = pl.program_id(0)
         f32 = o1_ref.dtype
         bf = jnp.bfloat16
-        s = pl.multiple_of(woff_ref[b, 0], 8)
-        cp1 = pltpu.make_async_copy(x1_hbm.at[pl.ds(s, WR)], s1, sem1)
-        cp1.start()
-        cp2 = pltpu.make_async_copy(x2_hbm.at[pl.ds(s, WR)], s2, sem2)
-        cp2.start()
+        cps = []
+        for k in range(nwin):
+            s = pl.multiple_of(woff_ref[k, b], 8)
+            cps.append(pltpu.make_async_copy(
+                x1_hbm.at[pl.ds(s, WR)], s1.at[k * WR:(k + 1) * WR],
+                sem1))
+            cps.append(pltpu.make_async_copy(
+                x2_hbm.at[pl.ds(s, WR)], s2.at[k * WR:(k + 1) * WR],
+                sem2))
+        for cp in cps:
+            cp.start()
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
-        cp1.wait()
-        cp2.wait()
-        w = jnp.concatenate([s1[...], s2[...]], axis=1)   # (WR, 256)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
+        for cp in cps:
+            cp.wait()
+        w = jnp.concatenate([s1[...], s2[...]], axis=1)  # (nwin*WR, 256)
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
             A = d((hi == i1).astype(f32), w)
         else:
@@ -251,21 +339,22 @@ def _mk_gather2_kernel(WR: int):
     return kernel
 
 
-def _mk_scatter_kernel(WR: int):
+def _mk_scatter_kernel(WR: int, nwin: int):
     def kernel(woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
                scratch, sem):
         b = pl.program_id(0)
         f32 = scratch.dtype
         bf = jnp.bfloat16
-        s = pl.multiple_of(woff_ref[b, 0], 8)
-        cin = pltpu.make_async_copy(y_hbm.at[pl.ds(s, WR)], scratch, sem)
+        s0 = pl.multiple_of(woff_ref[0, b], 8)
+        cin = pltpu.make_async_copy(
+            y_hbm.at[pl.ds(s0, WR)], scratch.at[:WR], sem)
         cin.start()
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
         il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
         V = jnp.where(lo == il, 1.0, 0.0) * (v_ref[...] * live_ref[...])
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, WR), 1)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((0,), (0,)), ((), ())), preferred_element_type=f32)
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
@@ -273,12 +362,27 @@ def _mk_scatter_kernel(WR: int):
         else:
             Vh, Vl, Vl2 = _split3(V, f32)
             H = (hi == i1).astype(bf)
-            C = d(H, Vh) + d(H, Vl) + d(H, Vl2)   # (WR, 128), exact
+            C = d(H, Vh) + d(H, Vl) + d(H, Vl2)  # (nwin*WR, 128), exact
         cin.wait()
-        scratch[...] = scratch[...] + C
-        co = pltpu.make_async_copy(scratch, y_hbm.at[pl.ds(s, WR)], sem)
+        scratch[:WR] = scratch[:WR] + C[:WR]
+        co = pltpu.make_async_copy(
+            scratch.at[:WR], y_hbm.at[pl.ds(s0, WR)], sem)
         co.start()
         co.wait()
+        if nwin == 2:
+            # the two windows of one tile may OVERLAP in rows — the
+            # second read-modify-write must start after the first's
+            # write lands, or its stale read clobbers the update
+            s1 = pl.multiple_of(woff_ref[1, b], 8)
+            cin2 = pltpu.make_async_copy(
+                y_hbm.at[pl.ds(s1, WR)], scratch.at[WR:], sem)
+            cin2.start()
+            cin2.wait()
+            scratch[WR:] = scratch[WR:] + C[WR:]
+            co2 = pltpu.make_async_copy(
+                scratch.at[WR:], y_hbm.at[pl.ds(s1, WR)], sem)
+            co2.start()
+            co2.wait()
 
     return kernel
 
@@ -287,12 +391,12 @@ def _mk_scatter_kernel(WR: int):
 def gather(x_flat: jax.Array, plan: GatherPlan,
            interpret: bool = False) -> jax.Array:
     """out[p] = x[g[p]] — exact (3-term bf16 split reconstructs f32)."""
-    WR, ntiles, nrows, N = plan.statics
+    WR, ntiles, nrows, N, nwin = plan.statics
     x2 = jnp.zeros((nrows * 128,), x_flat.dtype)
     x2 = jax.lax.dynamic_update_slice(x2, x_flat.reshape(-1),
                                       (0,)).reshape(nrows, 128)
     out = pl.pallas_call(
-        _mk_gather_kernel(WR),
+        _mk_gather_kernel(WR, nwin),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
@@ -301,7 +405,8 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
-            scratch_shapes=[pltpu.VMEM((WR, 128), x_flat.dtype),
+            scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
+                                       x_flat.dtype),
                             pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles * TM, 1), x_flat.dtype),
@@ -310,8 +415,7 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
     if plan.spos.shape[0]:
         # on the PADDED vectors: pad spill entries (dead position N..,
         # dead source nsrc) are no-ops before the [:N] truncation
-        out = out.at[plan.spos].set(x2.reshape(-1)[plan.sidx],
-                                    mode="promise_in_bounds")
+        out = _spill_set(out, plan.spos, x2.reshape(-1), plan.sidx)
     return out[:N]
 
 
@@ -319,7 +423,7 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
 def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             interpret: bool = False):
     """(x1[g], x2[g]) in one kernel pass sharing the one-hot H."""
-    WR, ntiles, nrows, N = plan.statics
+    WR, ntiles, nrows, N, nwin = plan.statics
 
     def pad(x):
         z = jnp.zeros((nrows * 128,), x.dtype)
@@ -329,7 +433,7 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
     p1, p2 = pad(x1_flat), pad(x2_flat)
     shp = jax.ShapeDtypeStruct((ntiles * TM, 1), x1_flat.dtype)
     o1, o2 = pl.pallas_call(
-        _mk_gather2_kernel(WR),
+        _mk_gather2_kernel(WR, nwin),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
@@ -340,8 +444,10 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             ],
             out_specs=[pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
                        pl.BlockSpec((TM, 1), lambda b, woff: (b, 0))],
-            scratch_shapes=[pltpu.VMEM((WR, 128), x1_flat.dtype),
-                            pltpu.VMEM((WR, 128), x1_flat.dtype),
+            scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
+                                       x1_flat.dtype),
+                            pltpu.VMEM((nwin * WR, 128),
+                                       x1_flat.dtype),
                             pltpu.SemaphoreType.DMA,
                             pltpu.SemaphoreType.DMA],
         ),
@@ -350,10 +456,8 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
     )(plan.woff, plan.code, p1, p2)
     o1, o2 = o1.reshape(-1), o2.reshape(-1)
     if plan.spos.shape[0]:
-        o1 = o1.at[plan.spos].set(p1.reshape(-1)[plan.sidx],
-                                  mode="promise_in_bounds")
-        o2 = o2.at[plan.spos].set(p2.reshape(-1)[plan.sidx],
-                                  mode="promise_in_bounds")
+        o1 = _spill_set(o1, plan.spos, p1.reshape(-1), plan.sidx)
+        o2 = _spill_set(o2, plan.spos, p2.reshape(-1), plan.sidx)
     return o1[:N], o2[:N]
 
 
@@ -361,13 +465,13 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
 def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 interpret: bool = False) -> jax.Array:
     """y[g[p]] += v[p] over zeros(ndofs) — deterministic f32 accumulate."""
-    WR, ntiles, nrows, N = plan.statics
+    WR, ntiles, nrows, N, nwin = plan.statics
     vp = jnp.zeros((ntiles * TM,), vals.dtype)
     vp = jax.lax.dynamic_update_slice(
         vp, vals.reshape(-1), (0,)).reshape(ntiles * TM, 1)
     y0 = jnp.zeros((nrows, 128), vals.dtype)
     y2 = pl.pallas_call(
-        _mk_scatter_kernel(WR),
+        _mk_scatter_kernel(WR, nwin),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
@@ -378,7 +482,7 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((WR, 128), vals.dtype),
+            scratch_shapes=[pltpu.VMEM((nwin * WR, 128), vals.dtype),
                             pltpu.SemaphoreType.DMA],
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
@@ -391,6 +495,5 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
     if plan.spos.shape[0]:
         # padded side (spill target nsrc.. lands in dead rows, spill
         # position N.. reads the zero padding of vp)
-        yf = yf.at[plan.sidx].add(vp.reshape(-1)[plan.spos],
-                                  mode="promise_in_bounds")
+        yf = _spill_add(yf, plan.sidx, vp.reshape(-1), plan.spos)
     return yf[:ndofs]

@@ -696,12 +696,21 @@ class IndexedShardedModel:
                     ldm[d, :len(cells_of[d])].astype(np.int64))
             ew, ec, el, es, ei, self._eng_statics = pg.build_stacked_plans(
                 [eng_dm[d].reshape(-1) for d in range(k)], nloc)
-            dist["eng_woff"] = put(ew, np.int32)
-            dist["eng_code"] = put(ec, np.int32)
-            dist["eng_live"] = put(el, np.float32)
-            dist["eng_spos"] = put(es, np.int64)
-            dist["eng_sidx"] = put(ei, np.int64)
-            self._eng_interpret = not on_tpu()
+            if es.shape[1] > 0.10 * eng_dm[0].size:
+                import warnings
+
+                warnings.warn(
+                    "gather-engine windows cover this partition poorly "
+                    f"({es.shape[1]}/{eng_dm[0].size} spill) — using the "
+                    "plain indexed path", stacklevel=2)
+                self.impl, self._eng_statics = "indexed", None
+            else:
+                dist["eng_woff"] = put(ew, np.int32)
+                dist["eng_code"] = put(ec, np.int32)
+                dist["eng_live"] = put(el, np.float32)
+                dist["eng_spos"] = put(es, np.int32)
+                dist["eng_sidx"] = put(ei, np.int32)
+                self._eng_interpret = not on_tpu()
         self.ctx = {"dist": dist, "repl": repl}
         self.ctx_spec = {
             "dist": {key: P(AXIS) for key in dist},

@@ -502,3 +502,31 @@ def test_gather2_matches_gather():
     a1, a2 = pg.gather2(x1, x2, plan, interpret=True)
     assert np.array_equal(np.asarray(a1), np.asarray(x1)[g])
     assert np.array_equal(np.asarray(a2), np.asarray(x2)[g])
+
+
+def test_gather_engine_two_windows():
+    """Large-front meshes cap the window row count; the plan then takes
+    TWO independently-placed windows per tile (bimodal fresh/old-layer
+    references).  Exactness of gather/scatter/gather2 incl. residual
+    spill, and the auto nwin choice."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(1)
+    g = np.concatenate([np.arange(3000), 80000 + np.arange(3000),
+                        np.arange(1500) * 50])
+    g = g[rng.permutation(g.size)]
+    plan = pg.build_plan(g, 90000, WR=24)
+    assert plan.statics[4] == 2 and plan.spos.shape[0] > 0
+    x = jnp.asarray(rng.standard_normal(90000), jnp.float32)
+    out = np.asarray(pg.gather(x, plan, interpret=True))
+    assert np.array_equal(out, np.asarray(x)[g])
+    v = jnp.asarray(rng.standard_normal(g.size), jnp.float32)
+    y = np.asarray(pg.scatter_add(v, plan, 90000, interpret=True))
+    ref = np.zeros(90000, np.float32)
+    np.add.at(ref, g, np.asarray(v))
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    a1, a2 = pg.gather2(x, x * 2, plan, interpret=True)
+    assert np.array_equal(np.asarray(a1), np.asarray(x)[g])
+    assert np.allclose(np.asarray(a2), 2 * np.asarray(x)[g])
+    # a small-span set stays single-window
+    assert pg.build_plan(np.arange(5000), 6000).statics[4] == 1
