@@ -133,7 +133,18 @@ def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
                      pair: bool = False) -> int | None:
     """Largest stack-batch size (multiple of 8) whose working set fits
     VMEM; None when even S=8 does not fit (very deep extrusions — the
-    XLA factorized path remains)."""
+    XLA factorized path remains).
+
+    The estimator is deliberately ~1.5-2 MB conservative (a production
+    solve that dies at remote-compile costs more than the measured 3.5%
+    a larger S buys — BENCH_NOTES r4); FUSTPU_EXT_SLAB_BATCH overrides
+    the choice for users who have verified a bigger batch compiles on
+    their shape."""
+    import os
+
+    forced = os.environ.get("FUSTPU_EXT_SLAB_BATCH")
+    if forced:
+        return min(int(forced), _pad(max(ns, 1), 8))
     cap = _pad(max(ns, 1), 8)
     for S in _S_CANDIDATES:
         if S > cap:
