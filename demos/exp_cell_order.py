@@ -50,19 +50,17 @@ def order_variants(mesh):
         yield name, np.lexsort(keys)
 
 
-def span_stats(dofmap):
+def span_stats(dofmap, ndofs):
+    """Spans + the ACTUAL plan the builder would produce (window rows,
+    window count, residual spill) — not a re-derived model of it."""
+    from fustpu.ops.pallas_gather import build_plan
+
     g = dofmap.reshape(-1).astype(np.int64)
     spans = np.array([g[s:s + TM].max() - g[s:s + TM].min()
                       for s in range(0, g.size, TM)])
-    wr = pick_wr(g)
-    # spill estimate: positions beyond the single row-granular window
-    WSZ = wr * 128
-    nspill = 0
-    for s in range(0, g.size, TM):
-        blk = g[s:s + TM]
-        st = (blk.min() // (8 * 128)) * 8
-        nspill += int((blk - st * 128 >= WSZ).sum())
-    return spans, wr, nspill / g.size
+    plan = build_plan(g, ndofs)
+    wr, _, _, N, nwin = plan.statics
+    return spans, wr, nwin, int(plan.spos.shape[0]) / N
 
 
 def time_orders(base):
@@ -124,12 +122,12 @@ def main():
     wr0 = None
     for name, perm in order_variants(base):
         mesh = base if perm is None else reorder_cells(base, perm)
-        spans, wr, spill = span_stats(mesh.dofmap)
-        wr0 = wr0 or wr
+        spans, wr, nwin, spill = span_stats(mesh.dofmap, mesh.ndofs)
+        wr0 = wr0 or (wr * nwin)
         print(f"{name:<12} span p50={np.percentile(spans, 50):8.0f} "
               f"p99={np.percentile(spans, 99):8.0f} max={spans.max():8.0f}"
-              f"  WR={wr:4d}  spill={spill*100:5.2f}%"
-              f"  one-hot FLOP ratio={wr/wr0:5.2f}x")
+              f"  WR={wr:4d}x{nwin}  spill={spill*100:5.2f}%"
+              f"  one-hot FLOP ratio={wr*nwin/wr0:5.2f}x")
     if "--time" in sys.argv:
         time_orders(base)
 

@@ -262,9 +262,6 @@ def _as_extruded_axis(mesh: UnstructuredHexMesh, axis: int,
                            n2d=n2d, nz=nz, axis=axis)
 
 
-_BIT_AXIS = {4: 0, 2: 1, 1: 2}     # corner id = 4a+2b+c
-
-
 def _permute_geom_nodes(cells_old, cells_new, gn):
     """Per-cell triquadratic lattices (27 nodes, TP order 9i+3j+k)
     re-expressed under the old->new corner relabeling.  For a

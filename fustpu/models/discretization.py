@@ -148,7 +148,7 @@ class Discretization:
 
         plan = pg.build_plan(self.mesh.dofmap.ravel(), self.mesh.ndofs)
         n_spill = int(plan.spos.shape[0])
-        if n_spill > 0.10 * self.mesh.dofmap.size:
+        if not pg.plan_covers(n_spill, self.mesh.dofmap.size):
             import warnings
 
             warnings.warn(

@@ -144,7 +144,14 @@ def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
 
     forced = os.environ.get("FUSTPU_EXT_SLAB_BATCH")
     if forced:
-        return min(int(forced), _pad(max(ns, 1), 8))
+        try:
+            S = int(forced)
+        except ValueError:
+            raise ValueError(
+                f"FUSTPU_EXT_SLAB_BATCH={forced!r}: not an integer")
+        if S > 0:
+            # Mosaic needs the io block's 2nd-to-last dim %8
+            return min(-(-S // 8) * 8, _pad(max(ns, 1), 8))
     cap = _pad(max(ns, 1), 8)
     for S in _S_CANDIDATES:
         if S > cap:

@@ -195,6 +195,16 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
 
 
 _SPILL_CHUNK = 98304        # indices per spill op: 4B * 98304 < 1 MB SMEM
+SPILL_FRACTION_LIMIT = 0.10
+
+
+def plan_covers(n_spill: int, n_total: int) -> bool:
+    """Single policy for 'is the windowed engine worth using': when the
+    residual XLA spill exceeds SPILL_FRACTION_LIMIT of the elements, it
+    eats the engine's win and callers should take the plain indexed
+    path.  (With the two-window mode this triggers only on
+    pathologically fragmented reference patterns.)"""
+    return n_spill <= SPILL_FRACTION_LIMIT * n_total
 
 
 def _spill_set(out, pos, src, sidx):

@@ -696,7 +696,7 @@ class IndexedShardedModel:
                     ldm[d, :len(cells_of[d])].astype(np.int64))
             ew, ec, el, es, ei, self._eng_statics = pg.build_stacked_plans(
                 [eng_dm[d].reshape(-1) for d in range(k)], nloc)
-            if es.shape[1] > 0.10 * eng_dm[0].size:
+            if not pg.plan_covers(es.shape[1], eng_dm[0].size):
                 import warnings
 
                 warnings.warn(
