@@ -99,6 +99,32 @@ def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
     return int(min(max(wr, lo), hi))
 
 
+def pick_wr2(g: np.ndarray, lo: int = 64, hi: int = 512,
+             dead: int | None = None) -> int:
+    """Window row count for TWO-window plans: each tile's references
+    split at their largest id gap (fresh cluster + previous-sweep-layer
+    cluster), and WR needs to hold only the worse CLUSTER — typically
+    ~10x smaller than the full tile span that sizes the one-window WR.
+    (Reusing the one-window WR for both windows — the first two-window
+    implementation — paid 2x512 rows of one-hot work per tile where
+    2x~100 suffice.)"""
+    rows = [1]
+    for s in range(0, g.size, TM):
+        blk = g[s:s + TM]
+        if dead is not None:
+            blk = blk[blk != dead]
+        if blk.size < 2:
+            continue
+        ids = np.sort(blk)
+        gaps = np.diff(ids)
+        k = int(np.argmax(gaps))
+        span = max(int(ids[k]) - int(ids[0]),
+                   int(ids[-1]) - int(ids[k + 1]))
+        rows.append(span // 128 + 10)
+    wr = -(-max(rows) // 8) * 8
+    return int(min(max(wr, lo), hi))
+
+
 def _densest(sorted_ids: np.ndarray, WSZ: int) -> int:
     """8-row-aligned window start covering the most of `sorted_ids`
     (sliding window; counting width shrunk by the 1024-id alignment
@@ -124,8 +150,23 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
     spill fraction exceeds `spill_tol`."""
     g = np.asarray(indices, np.int64).reshape(-1)
     N = g.size
-    if WR is None:
-        WR = pick_wr(g, dead=nsrc)
+    # attempt ladder (nwin, WR): cheapest first, stop at low spill
+    if WR is not None:
+        attempts = [(nwin or 1, WR)] if nwin else [(1, WR), (2, WR)]
+    else:
+        wr1 = pick_wr(g, dead=nsrc)
+        if nwin == 1:
+            attempts = [(1, wr1)]
+        else:
+            wr2 = pick_wr2(g, dead=nsrc)
+            # two tight windows beat one wide one when the tile span
+            # caps WR but the per-cluster spans are small
+            attempts = ([(1, wr1)] if nwin is None else []) \
+                + [(2, wr2)] + ([(2, wr1)] if wr1 > wr2 else [])
+            if nwin is None and 2 * wr2 < 0.6 * wr1:
+                # two tight windows substantially cheaper than one wide
+                # one (the margin keeps measured one-window configs)
+                attempts = attempts[1:] + attempts[:1]
     # one padded position is always kept dead so spill arrays can be
     # length-padded with no-op entries (stacked per-device plans)
     ntiles = -(-(N + 1) // TM)
@@ -135,8 +176,8 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
     # spilling all its real entries
     gp = np.full(Np, nsrc, np.int64)
     gp[:N] = g
-    WSZ = WR * 128
-    for use_nwin in ((1, 2) if nwin is None else (nwin,)):
+    for use_nwin, WR in attempts:
+        WSZ = WR * 128
         woff = np.zeros((2, ntiles), np.int32)
         code = np.zeros((Np, 1), np.int32)
         live = np.zeros((Np, 1), np.float32)
