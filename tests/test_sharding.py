@@ -602,3 +602,38 @@ def test_unstructured_traced_reductions():
         ys = np.asarray(ys)
         assert ys.shape == (10,)
         assert abs(ys[-1] - np.sqrt(ref)) <= 1e-11 * np.sqrt(ref)
+
+
+def test_sharded_nonprismatic_hetero_pair():
+    """HETEROGENEOUS Westervelt on the sharded indexed path: per-cell
+    material routes through the shared-scatter pair (stiff_pair under
+    shard_map, engine-backed) and must match single-device at 1e-12 —
+    padded cells carry zero coefficients, not the uniform fold's cpad."""
+    from fustpu.mesh.extruded import as_extruded
+    from fustpu.mesh.unstructured import from_box
+    from fustpu.parallel.extruded import shard_unstructured
+
+    bm = build_box_mesh((4, 3, 3), 3, perturb=0.15, seed=4,
+                        hi=(0.006,) * 3)
+    um = from_box(bm, shuffle_seed=9)
+    assert as_extruded(um) is None
+    rng = np.random.default_rng(3)
+    nc = um.num_cells
+    mat = Material(sound_speed=rng.uniform(1400, 1600, nc),
+                   density=rng.uniform(950, 1100, nc),
+                   nonlinearity=3.5, attenuation_dB=0.2)
+    assert not mat.is_uniform
+    src = Source(frequency=1.1e6, amplitude=1.0e5)
+    ext = um.boundary_facets()
+    cen = um.facet_centroids(ext)
+    model = WesterveltModel(um, mat, src, ext[cen[:, 0] < 1e-9],
+                            ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
+    assert model.uniform is False
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 10)
+    sm = shard_unstructured(model, num_devices=5,
+                            stiffness_impl="indexed_engine")
+    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
