@@ -325,7 +325,7 @@ def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
     non-prismatic meshes (mesh.msh_io.read_msh) — the layout-tuning
     counterpart of the reference's TP dof-ordering experiment
     (/root/reference/cuda/exp_kernel_speed.py:88-104)."""
-    from fustpu.ops.pallas_gather import pick_wr
+    from fustpu.ops.pallas_gather import pick_wr, pick_wr2
 
     inverse, ndofs = mesh._cluster
     inv2 = inverse.reshape(mesh.num_cells, -1)
@@ -335,12 +335,17 @@ def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
         keys = tuple(cent[:, a] for a in range(3) if a != ax) \
             + (cent[:, ax],)
         cands.append(np.lexsort(keys))
-    best, best_wr = None, None
+    best, best_cost = None, None
     for perm in cands:
         flat = (inv2 if perm is None else inv2[perm]).reshape(-1)
-        wr = pick_wr(_first_touch(flat, ndofs))
-        if best_wr is None or wr < best_wr:
-            best, best_wr = perm, wr
+        dm = _first_touch(flat, ndofs)
+        # EFFECTIVE window rows: build_plan flips to two per-cluster-
+        # sized windows when clearly cheaper — score what it will do
+        wr1 = pick_wr(dm)
+        wr2 = pick_wr2(dm)
+        cost = 2 * wr2 if 2 * wr2 < 0.6 * wr1 else wr1
+        if best_cost is None or cost < best_cost:
+            best, best_cost = perm, cost
     return mesh if best is None else reorder_cells(mesh, best)
 
 
