@@ -59,7 +59,7 @@ def span_stats(dofmap, ndofs):
     spans = np.array([g[s:s + TM].max() - g[s:s + TM].min()
                       for s in range(0, g.size, TM)])
     plan = build_plan(g, ndofs)
-    wr, _, _, N, nwin = plan.statics
+    wr, _, _, N, nwin = plan.statics[:5]
     return spans, wr, nwin, int(plan.spos.shape[0]) / N
 
 

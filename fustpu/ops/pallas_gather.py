@@ -39,6 +39,7 @@ scatter 4.8 vs 8.3 (BENCH_NOTES r4).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,51 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TM = 2048           # outputs per tile
+
+def _tm_from_env() -> int:
+    """Outputs per tile.  FUSTPU_ENGINE_TM overrides the default 2048
+    (read ONCE at import — plans and kernels must agree on TM, so it
+    cannot change within a process).  Larger tiles amortise per-tile
+    overhead when WR floors at 64 but lane-pad the (TM,1) index streams
+    to TM*128 floats of VMEM each — mind the budget."""
+    v = os.environ.get("FUSTPU_ENGINE_TM")
+    if v is None or v == "":
+        return 2048
+    try:
+        tm = int(v)
+    except ValueError:
+        raise ValueError(f"FUSTPU_ENGINE_TM={v!r}: not an integer")
+    if tm <= 0 or tm % 8:
+        raise ValueError(
+            f"FUSTPU_ENGINE_TM={tm}: must be a positive multiple of 8 "
+            "(the (TM, 1) tile blocks need an 8-aligned sublane dim)")
+    return tm
+
+
+TM = _tm_from_env()   # default for new plans; each plan carries its own
+
+# Lane-pick mechanism in the gather kernels (A/B experiment knob):
+#   "onehot": mask A with a lane one-hot and reduce (3 VPU passes over
+#             (TM, 128)); the measured r4 baseline.
+#   "dg":     tpu.dynamic_gather via take_along_axis (one lane-wise
+#             shape-matched gather, range 128 — the Mosaic primitive
+#             mapped in BENCH_NOTES r4).
+# Read at trace time; tests flip the module global directly (and clear
+# the jit caches) — the env var exists for on-device A/B runs.
+LANEPICK = os.environ.get("FUSTPU_ENGINE_LANEPICK", "onehot")
+if LANEPICK not in ("onehot", "dg"):
+    raise ValueError(
+        f"FUSTPU_ENGINE_LANEPICK={LANEPICK!r}: must be onehot|dg")
+
+
+def _lane_pick(A, lo, tm):
+    """out[i, 0] = A[i, lo[i]] for A (tm, 128), lo (tm, 1) int32."""
+    if LANEPICK == "dg":
+        idx = jnp.broadcast_to(lo, (tm, 128))
+        return jnp.take_along_axis(A, idx, axis=1)[:, :1]
+    il = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
+    return jnp.sum(A * (lo == il).astype(A.dtype), axis=1,
+                   keepdims=True)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -57,7 +102,7 @@ class GatherPlan:
     SMEM cap at ~2000 tiles); code
     (ntiles*TM, 1) packed hi*128+lo relative to the window stack
     (nwin*WR*128 = dead); live (ntiles*TM, 1) 0/1; spill_pos/spill_idx
-    device arrays; statics (WR, ntiles, nrows, N, nwin)."""
+    device arrays; statics (WR, ntiles, nrows, N, nwin, TM)."""
 
     def __init__(self, woff, code, live, spos, sidx, statics):
         self.woff = woff
@@ -77,15 +122,16 @@ class GatherPlan:
 
 
 def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
-            dead: int | None = None) -> int:
+            dead: int | None = None, tm: int | None = None) -> int:
     """Smallest window row count (multiple of 8) whose single
     row-granular window holds the worst tile span.  `dead`: id value to
     EXCLUDE from spans (the no-op slot used to pad ragged per-device
     cell counts — it needs no window coverage, and counting it would
     blow the mixed real/dead boundary tile to the cap)."""
+    tm = tm or TM
     spans = [0]
-    for s in range(0, g.size, TM):
-        blk = g[s:s + TM]
+    for s in range(0, g.size, tm):
+        blk = g[s:s + tm]
         if dead is not None:
             blk = blk[blk != dead]
         if blk.size:
@@ -100,7 +146,7 @@ def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
 
 
 def pick_wr2(g: np.ndarray, lo: int = 64, hi: int = 512,
-             dead: int | None = None) -> int:
+             dead: int | None = None, tm: int | None = None) -> int:
     """Window row count for TWO-window plans: each tile's references
     split at their largest id gap (fresh cluster + previous-sweep-layer
     cluster), and WR needs to hold only the worse CLUSTER — typically
@@ -108,9 +154,10 @@ def pick_wr2(g: np.ndarray, lo: int = 64, hi: int = 512,
     (Reusing the one-window WR for both windows — the first two-window
     implementation — paid 2x512 rows of one-hot work per tile where
     2x~100 suffice.)"""
+    tm = tm or TM
     rows = [1]
-    for s in range(0, g.size, TM):
-        blk = g[s:s + TM]
+    for s in range(0, g.size, tm):
+        blk = g[s:s + tm]
         if dead is not None:
             blk = blk[blk != dead]
         if blk.size < 2:
@@ -137,7 +184,8 @@ def _densest(sorted_ids: np.ndarray, WSZ: int) -> int:
 
 def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
                nwin: int | None = None,
-               spill_tol: float = 0.005) -> GatherPlan:
+               spill_tol: float = 0.005,
+               tm: int | None = None) -> GatherPlan:
     """indices: (N,) int gather targets in [0, nsrc].  Index nsrc is a
     DEAD slot (gathers 0.0, scatter contributions dropped) — sharded
     models use it to pad ragged per-device cell counts.
@@ -147,18 +195,22 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
     (large-front meshes), a tile's references are bimodal (fresh ids +
     the previous sweep layer) and a SECOND independently-placed window
     catches what the first misses — auto-enabled when the one-window
-    spill fraction exceeds `spill_tol`."""
+    spill fraction exceeds `spill_tol`.
+
+    `tm` (default: module TM, i.e. FUSTPU_ENGINE_TM or 2048): outputs
+    per tile, carried in the plan's statics so the kernels agree."""
+    tm = tm or TM
     g = np.asarray(indices, np.int64).reshape(-1)
     N = g.size
     # attempt ladder (nwin, WR): cheapest first, stop at low spill
     if WR is not None:
         attempts = [(nwin or 1, WR)] if nwin else [(1, WR), (2, WR)]
     else:
-        wr1 = pick_wr(g, dead=nsrc)
+        wr1 = pick_wr(g, dead=nsrc, tm=tm)
         if nwin == 1:
             attempts = [(1, wr1)]
         else:
-            wr2 = pick_wr2(g, dead=nsrc)
+            wr2 = pick_wr2(g, dead=nsrc, tm=tm)
             # two tight windows beat one wide one when the tile span
             # caps WR but the per-cluster spans are small
             attempts = ([(1, wr1)] if nwin is None else []) \
@@ -169,8 +221,8 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
                 attempts = attempts[1:] + attempts[:1]
     # one padded position is always kept dead so spill arrays can be
     # length-padded with no-op entries (stacked per-device plans)
-    ntiles = -(-(N + 1) // TM)
-    Np = ntiles * TM
+    ntiles = -(-(N + 1) // tm)
+    Np = ntiles * tm
     # pad with the DEAD id nsrc: pad entries need no window coverage,
     # and a 0-pad would drag the last tile's window start to row 0,
     # spilling all its real entries
@@ -185,7 +237,7 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
         dead = use_nwin * WSZ
         spill_pos, spill_idx = [], []
         for t in range(ntiles):
-            blk = gp[t * TM:(t + 1) * TM]
+            blk = gp[t * tm:(t + 1) * tm]
             isdead = blk == nsrc
             real = blk[~isdead]
             if real.size == 0:
@@ -213,12 +265,12 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
                 code_t[in_b] = WSZ + rel2[in_b]
                 ok = in_a | in_b
             woff[:, t] = (s, s2)
-            sl = slice(t * TM, (t + 1) * TM)
+            sl = slice(t * tm, (t + 1) * tm)
             code[sl, 0] = code_t
             live[sl, 0] *= ok
             bad = np.nonzero(~ok & ~isdead
-                             & (np.arange(t * TM, (t + 1) * TM) < N))[0]
-            spill_pos.extend(t * TM + bad)
+                             & (np.arange(t * tm, (t + 1) * tm) < N))[0]
+            spill_pos.extend(t * tm + bad)
             spill_idx.extend(blk[bad])
         if len(spill_pos) <= spill_tol * N:
             break
@@ -232,7 +284,7 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
         live=jnp.asarray(live),
         spos=jnp.asarray(np.asarray(spill_pos, np.int32)),
         sidx=jnp.asarray(np.asarray(spill_idx, np.int32)),
-        statics=(WR, ntiles, nrows, N, use_nwin))
+        statics=(WR, ntiles, nrows, N, use_nwin, tm))
 
 
 _SPILL_CHUNK = 98304        # indices per spill op: 4B * 98304 < 1 MB SMEM
@@ -267,7 +319,7 @@ def _spill_add(y, sidx, src, pos):
     return y
 
 
-def build_stacked_plans(index_sets, nsrc: int):
+def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None):
     """Per-device plans with COMMON statics for use under shard_map:
     `index_sets` is a sequence of equal-length (N,) target arrays (one
     per device, each in [0, nsrc]); returns (stacked GatherPlan whose
@@ -275,15 +327,16 @@ def build_stacked_plans(index_sets, nsrc: int):
     max over devices; spill arrays are length-padded with no-op entries
     (dead output position N.., dead target nsrc) — valid because
     build_plan always keeps one padded position dead."""
+    tm = tm or TM
     gs = [np.asarray(g, np.int64).reshape(-1) for g in index_sets]
     N = gs[0].size
     if any(g.size != N for g in gs):
         raise ValueError("per-device index sets must be equal length")
-    wr = max(pick_wr(g, dead=nsrc) for g in gs)
-    plans = [build_plan(g, nsrc, WR=wr) for g in gs]
+    wr = max(pick_wr(g, dead=nsrc, tm=tm) for g in gs)
+    plans = [build_plan(g, nsrc, WR=wr, tm=tm) for g in gs]
     nw = max(p.statics[4] for p in plans)       # common window count too
     if any(p.statics[4] != nw for p in plans):
-        plans = [build_plan(g, nsrc, WR=wr, nwin=nw) for g in gs]
+        plans = [build_plan(g, nsrc, WR=wr, nwin=nw, tm=tm) for g in gs]
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)
     dead_pos, dead_idx = N, nsrc
@@ -310,7 +363,7 @@ def _split3(v, f32):
     return vh, vl, vl2
 
 
-def _mk_gather_kernel(WR: int, nwin: int):
+def _mk_gather_kernel(WR: int, nwin: int, tm: int):
     def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
         f32 = o_ref.dtype
@@ -328,7 +381,7 @@ def _mk_gather_kernel(WR: int, nwin: int):
         lo = codev % 128
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tm, nwin * WR), 1)
         for cp in cps:
             cp.wait()
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
@@ -337,14 +390,12 @@ def _mk_gather_kernel(WR: int, nwin: int):
             H = (hi == i1).astype(bf)
             wh, wl, wl2 = _split3(scratch[...], f32)
             A = d(H, wh) + d(H, wl) + d(H, wl2)  # exact f32 row pick
-        il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
-        LoOH = (lo == il).astype(f32)
-        o_ref[...] = jnp.sum(A * LoOH, axis=1, keepdims=True)
+        o_ref[...] = _lane_pick(A, lo, tm)
 
     return kernel
 
 
-def _mk_gather2_kernel(WR: int, nwin: int):
+def _mk_gather2_kernel(WR: int, nwin: int, tm: int):
     """Two-field gather sharing ONE one-hot H: the per-tile compare/
     iota VPU work (commensurate with the matmuls — BENCH_NOTES r4) is
     paid once for both fields.  Used by the heterogeneous Westervelt
@@ -372,7 +423,7 @@ def _mk_gather2_kernel(WR: int, nwin: int):
         lo = codev % 128
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tm, nwin * WR), 1)
         for cp in cps:
             cp.wait()
         w = jnp.concatenate([s1[...], s2[...]], axis=1)  # (nwin*WR, 256)
@@ -382,15 +433,13 @@ def _mk_gather2_kernel(WR: int, nwin: int):
             H = (hi == i1).astype(bf)
             wh, wl, wl2 = _split3(w, f32)
             A = d(H, wh) + d(H, wl) + d(H, wl2)
-        il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
-        LoOH = (lo == il).astype(f32)
-        o1_ref[...] = jnp.sum(A[:, :128] * LoOH, axis=1, keepdims=True)
-        o2_ref[...] = jnp.sum(A[:, 128:] * LoOH, axis=1, keepdims=True)
+        o1_ref[...] = _lane_pick(A[:, :128], lo, tm)
+        o2_ref[...] = _lane_pick(A[:, 128:], lo, tm)
 
     return kernel
 
 
-def _mk_scatter_kernel(WR: int, nwin: int):
+def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
     def kernel(woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
                scratch, sem):
         b = pl.program_id(0)
@@ -403,9 +452,9 @@ def _mk_scatter_kernel(WR: int, nwin: int):
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
-        il = jax.lax.broadcasted_iota(jnp.int32, (TM, 128), 1)
+        il = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
         V = jnp.where(lo == il, 1.0, 0.0) * (v_ref[...] * live_ref[...])
-        i1 = jax.lax.broadcasted_iota(jnp.int32, (TM, nwin * WR), 1)
+        i1 = jax.lax.broadcasted_iota(jnp.int32, (tm, nwin * WR), 1)
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((0,), (0,)), ((), ())), preferred_element_type=f32)
         if f32 == jnp.float64:          # interpret/CPU: exact f64 dot
@@ -442,25 +491,25 @@ def _mk_scatter_kernel(WR: int, nwin: int):
 def gather(x_flat: jax.Array, plan: GatherPlan,
            interpret: bool = False) -> jax.Array:
     """out[p] = x[g[p]] — exact (3-term bf16 split reconstructs f32)."""
-    WR, ntiles, nrows, N, nwin = plan.statics
+    WR, ntiles, nrows, N, nwin, tm = plan.statics
     x2 = jnp.zeros((nrows * 128,), x_flat.dtype)
     x2 = jax.lax.dynamic_update_slice(x2, x_flat.reshape(-1),
                                       (0,)).reshape(nrows, 128)
     out = pl.pallas_call(
-        _mk_gather_kernel(WR, nwin),
+        _mk_gather_kernel(WR, nwin, tm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+            out_specs=pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
             scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
                                        x_flat.dtype),
                             pltpu.SemaphoreType.DMA],
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles * TM, 1), x_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((ntiles * tm, 1), x_flat.dtype),
         interpret=interpret,
     )(plan.woff, plan.code, x2).reshape(-1)
     if plan.spos.shape[0]:
@@ -474,7 +523,7 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
 def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             interpret: bool = False):
     """(x1[g], x2[g]) in one kernel pass sharing the one-hot H."""
-    WR, ntiles, nrows, N, nwin = plan.statics
+    WR, ntiles, nrows, N, nwin, tm = plan.statics
 
     def pad(x):
         z = jnp.zeros((nrows * 128,), x.dtype)
@@ -482,19 +531,19 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             z, x.reshape(-1), (0,)).reshape(nrows, 128)
 
     p1, p2 = pad(x1_flat), pad(x2_flat)
-    shp = jax.ShapeDtypeStruct((ntiles * TM, 1), x1_flat.dtype)
+    shp = jax.ShapeDtypeStruct((ntiles * tm, 1), x1_flat.dtype)
     o1, o2 = pl.pallas_call(
-        _mk_gather2_kernel(WR, nwin),
+        _mk_gather2_kernel(WR, nwin, tm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
-                       pl.BlockSpec((TM, 1), lambda b, woff: (b, 0))],
+            out_specs=[pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                       pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))],
             scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
                                        x1_flat.dtype),
                             pltpu.VMEM((nwin * WR, 128),
@@ -516,20 +565,20 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
 def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 interpret: bool = False) -> jax.Array:
     """y[g[p]] += v[p] over zeros(ndofs) — deterministic f32 accumulate."""
-    WR, ntiles, nrows, N, nwin = plan.statics
-    vp = jnp.zeros((ntiles * TM,), vals.dtype)
+    WR, ntiles, nrows, N, nwin, tm = plan.statics
+    vp = jnp.zeros((ntiles * tm,), vals.dtype)
     vp = jax.lax.dynamic_update_slice(
-        vp, vals.reshape(-1), (0,)).reshape(ntiles * TM, 1)
+        vp, vals.reshape(-1), (0,)).reshape(ntiles * tm, 1)
     y0 = jnp.zeros((nrows, 128), vals.dtype)
     y2 = pl.pallas_call(
-        _mk_scatter_kernel(WR, nwin),
+        _mk_scatter_kernel(WR, nwin, tm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
-                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
-                pl.BlockSpec((TM, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),

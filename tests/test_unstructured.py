@@ -395,6 +395,71 @@ def test_gather_engine_primitives():
     assert err < 1e-5, err     # f32 summation-order only
 
 
+def test_gather_engine_tile_size_knob():
+    """Plans carry their own tile size TM (statics[-1], default 2048 or
+    FUSTPU_ENGINE_TM): a non-default tm round-trips gather/gather2/
+    scatter_add in interpret mode, and the env parser rejects junk."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(7)
+    nsrc, N = 9000, 5000
+    g = np.sort(rng.integers(0, nsrc, N)).astype(np.int64)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float64)
+    ref = np.zeros(nsrc)
+    vals = rng.standard_normal(N)
+    np.add.at(ref, g, vals)
+    for tm in (512, 4096):
+        plan = pg.build_plan(g, nsrc, tm=tm)
+        assert plan.statics[-1] == tm
+        assert plan.statics[1] == -(-(N + 1) // tm)   # tile count
+        out = np.asarray(pg.gather(x, plan, interpret=True))
+        assert np.array_equal(out, np.asarray(x)[g])
+        o1, o2 = pg.gather2(x, 2.0 * x, plan, interpret=True)
+        assert np.array_equal(np.asarray(o1), np.asarray(x)[g])
+        assert np.array_equal(np.asarray(o2), 2.0 * np.asarray(x)[g])
+        y = np.asarray(pg.scatter_add(jnp.asarray(vals), plan, nsrc,
+                                      interpret=True))
+        assert np.abs(y - ref).max() < 1e-12
+
+    import os
+    for bad in ("abc", "100", "-8", "0"):
+        with pytest.raises(ValueError):
+            os.environ["FUSTPU_ENGINE_TM"] = bad
+            try:
+                pg._tm_from_env()
+            finally:
+                del os.environ["FUSTPU_ENGINE_TM"]
+    assert pg._tm_from_env() == 2048
+
+
+def test_gather_engine_lanepick_dg():
+    """The dynamic-gather lane-pick variant (LANEPICK='dg') returns the
+    same exact gather/gather2 results as the one-hot baseline."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(11)
+    nsrc, N = 6000, 4000
+    g = np.sort(rng.integers(0, nsrc, N)).astype(np.int64)
+    plan = pg.build_plan(g, nsrc)
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float64)
+    old = pg.LANEPICK
+    try:
+        pg.LANEPICK = "dg"
+        pg.gather.clear_cache()
+        pg.gather2.clear_cache()
+        out = np.asarray(pg.gather(x, plan, interpret=True))
+        o1, o2 = pg.gather2(x, 3.0 * x, plan, interpret=True)
+    finally:
+        pg.LANEPICK = old
+        pg.gather.clear_cache()
+        pg.gather2.clear_cache()
+    assert np.array_equal(out, np.asarray(x)[g])
+    assert np.array_equal(np.asarray(o1), np.asarray(x)[g])
+    assert np.array_equal(np.asarray(o2), 3.0 * np.asarray(x)[g])
+
+
 def test_reorder_cells_preserves_solve():
     """reorder_cells (the locality_order mechanism) is a pure
     relabelling: the solve on a randomly permuted-cell mesh matches the
