@@ -440,8 +440,10 @@ def _mk_gather2_kernel(WR: int, nwin: int, tm: int):
 
 
 def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
-    def kernel(woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
-               scratch, sem):
+    def kernel(*refs):
+        (woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
+         scratch) = refs[:7]
+        sem = refs[7]
         b = pl.program_id(0)
         f32 = scratch.dtype
         bf = jnp.bfloat16
@@ -449,6 +451,26 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
         cin = pltpu.make_async_copy(
             y_hbm.at[pl.ds(s0, WR)], scratch.at[:WR], sem)
         cin.start()
+        if nwin == 2:
+            # the two windows of one tile may OVERLAP in rows, in which
+            # case the second read-modify-write must wait for the
+            # first's write to land (a stale read would clobber it).
+            # Most tiles' windows are row-DISJOINT though — for those,
+            # start the second read immediately so its DMA latency
+            # hides under the one-hot compute instead of serialising
+            # after window 1's round trip.  (sem2 is a separate
+            # semaphore: with one semaphore a wait cannot tell which
+            # in-flight copy completed.)
+            sem2 = refs[8]
+            s1 = pl.multiple_of(woff_ref[1, b], 8)
+            disjoint = jnp.abs(s1 - s0) >= WR
+            cin2 = pltpu.make_async_copy(
+                y_hbm.at[pl.ds(s1, WR)], scratch.at[WR:], sem2)
+
+            @pl.when(disjoint)
+            def _early_read2():
+                cin2.start()
+
         codev = code_ref[...]
         hi = codev // 128
         lo = codev % 128
@@ -468,21 +490,25 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
         co = pltpu.make_async_copy(
             scratch.at[:WR], y_hbm.at[pl.ds(s0, WR)], sem)
         co.start()
-        co.wait()
         if nwin == 2:
-            # the two windows of one tile may OVERLAP in rows — the
-            # second read-modify-write must start after the first's
-            # write lands, or its stale read clobbers the update
-            s1 = pl.multiple_of(woff_ref[1, b], 8)
-            cin2 = pltpu.make_async_copy(
-                y_hbm.at[pl.ds(s1, WR)], scratch.at[WR:], sem)
-            cin2.start()
+            @pl.when(jnp.logical_not(disjoint))
+            def _serial_read2():
+                co.wait()       # write 1 lands before the stale-read
+                cin2.start()
+
             cin2.wait()
             scratch[WR:] = scratch[WR:] + C[WR:]
             co2 = pltpu.make_async_copy(
-                scratch.at[WR:], y_hbm.at[pl.ds(s1, WR)], sem)
+                scratch.at[WR:], y_hbm.at[pl.ds(s1, WR)], sem2)
             co2.start()
+
+            @pl.when(disjoint)
+            def _drain_write1():
+                co.wait()       # consume sem before the tile ends
+
             co2.wait()
+        else:
+            co.wait()
 
     return kernel
 
@@ -582,8 +608,10 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((nwin * WR, 128), vals.dtype),
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=(
+                [pltpu.VMEM((nwin * WR, 128), vals.dtype),
+                 pltpu.SemaphoreType.DMA]
+                + [pltpu.SemaphoreType.DMA] * (nwin - 1)),
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
         input_output_aliases={4: 0},

@@ -595,3 +595,18 @@ def test_gather_engine_two_windows():
     assert np.allclose(np.asarray(a2), 2 * np.asarray(x)[g])
     # a small-span set stays single-window
     assert pg.build_plan(np.arange(5000), 6000).statics[4] == 1
+
+    # forced nwin=2 on a single-cluster set: every tile's second window
+    # COINCIDES with its first (s2 == s0) — the overlapping-window
+    # serialised RMW branch of the scatter kernel, which must still be
+    # exact (the disjoint fast path is the cases above)
+    g2 = np.sort(rng.integers(0, 1800, 5000)).astype(np.int64)
+    plan2 = pg.build_plan(g2, 2000, WR=16, nwin=2)
+    assert plan2.statics[4] == 2
+    woff = np.asarray(plan2.woff)
+    assert (np.abs(woff[1] - woff[0]) < 16).any()   # overlap branch hit
+    v2 = jnp.asarray(rng.standard_normal(g2.size), jnp.float32)
+    y2 = np.asarray(pg.scatter_add(v2, plan2, 2000, interpret=True))
+    ref2 = np.zeros(2000, np.float32)
+    np.add.at(ref2, g2, np.asarray(v2))
+    assert np.abs(y2 - ref2).max() / np.abs(ref2).max() < 1e-5
