@@ -77,6 +77,9 @@ def time_orders(base):
 
     interp = jax.default_backend() == "cpu"
     variants = list(order_variants(base)) + [("auto", "auto")]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
+    if only:        # cheap single-config A/B runs (TM / lanepick / kernel)
+        variants = [v for v in variants if v[0] in only]
     rng = np.random.default_rng(0)
     x_np = rng.standard_normal(base.ndofs)
     bl = B.sync_baseline()
@@ -120,7 +123,9 @@ def main():
                                facet_tag_map={})
     print(f"{base.num_cells} cells, {base.ndofs} dofs")
     wr0 = None
-    for name, perm in order_variants(base):
+    span_variants = ([] if any(a.startswith("--only=") for a in sys.argv)
+                     else list(order_variants(base)))
+    for name, perm in span_variants:
         mesh = base if perm is None else reorder_cells(base, perm)
         spans, wr, nwin, spill = span_stats(mesh.dofmap, mesh.ndofs)
         wr0 = wr0 or (wr * nwin)
