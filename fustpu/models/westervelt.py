@@ -286,8 +286,7 @@ class WesterveltModel(WaveModelBase):
                 # the gather/contract/scatter work per stage
                 x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
                 return ops.stiffness_apply_indexed(
-                    x, G, jnp.ones(dofmap.shape[0], x.dtype), dofmap, D,
-                    nd, **kw)
+                    x, G, None, dofmap, D, nd, **kw)
             # heterogeneous: one pass sharing a single scatter
             return ops.stiffness_apply_indexed_pair(
                 u_flat, params["c3_c"], v_flat, params["c4_c"],

@@ -273,7 +273,10 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             D: jax.Array, ndofs: int,
                             pull=None, engine=None,
                             engine_interpret: bool = False) -> jax.Array:
-    """G: (cells, n^3, 6); dofmap: (cells, n^3).  `pull`: optional
+    """G: (cells, n^3, 6); dofmap: (cells, n^3); `coeff`: per-cell
+    coefficients, or None for unit coefficients (skips the per-cell
+    multiply — the uniform-media fold passes the folded FIELD and no
+    coefficient vector).  `pull`: optional
     gather_scatter.PullScatter tables — replaces the XLA scatter-add
     (which serializes on TPU, ~50% of this apply) with the gather-only
     pull transpose.  `engine`: optional pallas_gather.GatherPlan (built on
@@ -303,13 +306,16 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
 
 
 def _indexed_contract(u, G, coeff, D):
-    """Per-cell stiffness contraction of gathered fields u (cells,n,n,n)."""
+    """Per-cell stiffness contraction of gathered fields u (cells,n,n,n).
+    `coeff=None` skips the per-cell coefficient multiply (callers that
+    fold the coefficient into `u` up front — valid because a per-cell
+    constant commutes with the in-cell contractions)."""
     cells, n = u.shape[0], D.shape[0]
     wx = jnp.einsum("qi,cijk->cqjk", D, u, precision=_PRECISION)
     wy = jnp.einsum("qj,cijk->ciqk", D, u, precision=_PRECISION)
     wz = jnp.einsum("qk,cijk->cijq", D, u, precision=_PRECISION)
     Gr = G.reshape(cells, n, n, n, 6)
-    c = coeff[:, None, None, None]
+    c = 1.0 if coeff is None else coeff[:, None, None, None]
     f0 = c * (Gr[..., 0] * wx + Gr[..., 1] * wy + Gr[..., 2] * wz)
     f1 = c * (Gr[..., 1] * wx + Gr[..., 3] * wy + Gr[..., 4] * wz)
     f2 = c * (Gr[..., 2] * wx + Gr[..., 4] * wy + Gr[..., 5] * wz)
@@ -326,11 +332,15 @@ def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
                                  pull=None, engine=None,
                                  engine_interpret: bool = False):
     """stiffness(x1; c1) + stiffness(x2; c2) in one pass sharing a
-    SINGLE scatter-add: the indexed-path counterpart of the structured
-    pair kernel for heterogeneous Westervelt (the reference launches the
-    two stiffness kernels back to back and pays two atomic-add passes,
-    cuda/demo_nonlinear_bowl.py:618-640; per-cell results here are
-    summed in VMEM-resident form before the one scatter)."""
+    SINGLE scatter-add AND a single contraction chain: the indexed-path
+    counterpart of the structured pair kernel for heterogeneous
+    Westervelt (the reference launches the two stiffness kernels back to
+    back and pays two atomic-add passes,
+    cuda/demo_nonlinear_bowl.py:618-640).  Because the per-cell
+    coefficients are constant within a cell they commute with the
+    in-cell contractions, so the two gathered fields fold to
+    c1*u1 + c2*u2 BEFORE one derivative/transform pass — half the
+    contraction FLOPs of two applies."""
     n = D.shape[0]
     cells = dofmap.shape[0]
     if engine is not None:
@@ -342,8 +352,8 @@ def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
     else:
         u1 = gather_dofs(x1, dofmap).reshape(cells, n, n, n)
         u2 = gather_dofs(x2, dofmap).reshape(cells, n, n, n)
-    y = (_indexed_contract(u1, G, c1, D)
-         + _indexed_contract(u2, G, c2, D))
+    u = (c1[:, None, None, None] * u1 + c2[:, None, None, None] * u2)
+    y = _indexed_contract(u, G, None, D)
     if engine is not None:
         from fustpu.ops import pallas_gather as pg
 
