@@ -145,7 +145,7 @@ def pick_wr(g: np.ndarray, lo: int = 64, hi: int = 512,
     return int(min(max(wr, lo), hi))
 
 
-def pick_wr2(g: np.ndarray, lo: int = 64, hi: int = 512,
+def pick_wr2(g: np.ndarray, lo: int = 16, hi: int = 512,
              dead: int | None = None, tm: int | None = None) -> int:
     """Window row count for TWO-window plans: each tile's references
     split at their largest id gap (fresh cluster + previous-sweep-layer
@@ -182,6 +182,24 @@ def _densest(sorted_ids: np.ndarray, WSZ: int) -> int:
     return (int(sorted_ids[best]) // (8 * 128)) * 8
 
 
+def _attempt_ladder(wr1: int, wr2: int, auto: bool = True):
+    """(nwin, WR) candidates, cheapest-preferred: two tight per-cluster
+    windows beat one wide one when the tile span caps WR but the
+    per-cluster spans are small; a doubled middle rung keeps a
+    slightly-too-tight wr2 from jumping straight to the (much wider)
+    one-window WR.  `auto=False` drops the one-window rung (caller
+    forced nwin=2)."""
+    attempts = ([(1, wr1)] if auto else []) \
+        + [(2, wr2)] \
+        + ([(2, 2 * wr2)] if 2 * wr2 < wr1 else []) \
+        + ([(2, wr1)] if wr1 > wr2 else [])
+    if auto and 2 * wr2 < 0.6 * wr1:
+        # two tight windows substantially cheaper than one wide one
+        # (the margin keeps measured one-window configs)
+        attempts = attempts[1:] + attempts[:1]
+    return attempts
+
+
 def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
                nwin: int | None = None,
                spill_tol: float = 0.005,
@@ -211,14 +229,7 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
             attempts = [(1, wr1)]
         else:
             wr2 = pick_wr2(g, dead=nsrc, tm=tm)
-            # two tight windows beat one wide one when the tile span
-            # caps WR but the per-cluster spans are small
-            attempts = ([(1, wr1)] if nwin is None else []) \
-                + [(2, wr2)] + ([(2, wr1)] if wr1 > wr2 else [])
-            if nwin is None and 2 * wr2 < 0.6 * wr1:
-                # two tight windows substantially cheaper than one wide
-                # one (the margin keeps measured one-window configs)
-                attempts = attempts[1:] + attempts[:1]
+            attempts = _attempt_ladder(wr1, wr2, auto=nwin is None)
     # one padded position is always kept dead so spill arrays can be
     # length-padded with no-op entries (stacked per-device plans)
     ntiles = -(-(N + 1) // tm)
@@ -323,20 +334,24 @@ def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None):
     """Per-device plans with COMMON statics for use under shard_map:
     `index_sets` is a sequence of equal-length (N,) target arrays (one
     per device, each in [0, nsrc]); returns (stacked GatherPlan whose
-    leaves carry a leading device axis, statics).  WR is forced to the
-    max over devices; spill arrays are length-padded with no-op entries
-    (dead output position N.., dead target nsrc) — valid because
-    build_plan always keeps one padded position dead."""
+    leaves carry a leading device axis, statics).  The window geometry
+    (count and WR) is chosen by the same attempt ladder as build_plan,
+    with the per-rung sizes maxed over devices so statics stay common;
+    a rung is accepted only when EVERY device's spill is low.  Spill
+    arrays are length-padded with no-op entries (dead output position
+    N.., dead target nsrc) — valid because build_plan always keeps one
+    padded position dead."""
     tm = tm or TM
     gs = [np.asarray(g, np.int64).reshape(-1) for g in index_sets]
     N = gs[0].size
     if any(g.size != N for g in gs):
         raise ValueError("per-device index sets must be equal length")
-    wr = max(pick_wr(g, dead=nsrc, tm=tm) for g in gs)
-    plans = [build_plan(g, nsrc, WR=wr, tm=tm) for g in gs]
-    nw = max(p.statics[4] for p in plans)       # common window count too
-    if any(p.statics[4] != nw for p in plans):
+    wr1 = max(pick_wr(g, dead=nsrc, tm=tm) for g in gs)
+    wr2 = max(pick_wr2(g, dead=nsrc, tm=tm) for g in gs)
+    for nw, wr in _attempt_ladder(wr1, wr2):
         plans = [build_plan(g, nsrc, WR=wr, nwin=nw, tm=tm) for g in gs]
+        if all(int(p.spos.shape[0]) <= 0.005 * N for p in plans):
+            break
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)
     dead_pos, dead_idx = N, nsrc

@@ -610,3 +610,38 @@ def test_gather_engine_two_windows():
     ref2 = np.zeros(2000, np.float32)
     np.add.at(ref2, g2, np.asarray(v2))
     assert np.abs(y2 - ref2).max() / np.abs(ref2).max() < 1e-5
+
+
+def test_stacked_plans_two_window_ladder():
+    """build_stacked_plans picks the SAME tight-window ladder as
+    build_plan (it previously always sized one-window plans from the
+    full tile span): two far-apart clusters per tile on every device
+    must yield a common nwin=2 plan with the per-cluster WR, and each
+    device's gather/scatter must stay exact (incl. a device whose
+    second cluster sits elsewhere — per-device window placement)."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(7)
+    nsrc = 120000
+
+    def two_cluster(base2):
+        g = np.concatenate([np.arange(4000), base2 + np.arange(4000)])
+        return g[rng.permutation(g.size)]
+
+    gs = [two_cluster(60000), two_cluster(100000)]
+    ew, ec, el, es, ei, statics = pg.build_stacked_plans(gs, nsrc)
+    WR, _, _, N, nwin, _ = statics
+    assert nwin == 2
+    assert WR <= 64          # per-cluster sizing, not the ~500-row span
+    for d, g in enumerate(gs):
+        plan = pg.GatherPlan(jnp.asarray(ew[d]), jnp.asarray(ec[d]),
+                             jnp.asarray(el[d]), jnp.asarray(es[d]),
+                             jnp.asarray(ei[d]), statics)
+        x = jnp.asarray(rng.standard_normal(nsrc), jnp.float32)
+        out = np.asarray(pg.gather(x, plan, interpret=True))[:g.size]
+        assert np.array_equal(out, np.asarray(x)[g])
+        v = jnp.asarray(rng.standard_normal(g.size), jnp.float32)
+        y = np.asarray(pg.scatter_add(v, plan, nsrc, interpret=True))
+        ref = np.zeros(nsrc, np.float32)
+        np.add.at(ref, g, np.asarray(v))
+        assert np.abs(y - ref).max() <= 1e-5 * max(1.0, np.abs(ref).max())
