@@ -108,7 +108,8 @@ def time_orders(base):
                 v, G, coeff, dm, D, mesh.ndofs, engine=plan,
                 engine_interpret=interp), None, x,
             chain=20, reps=5, baseline=bl)
-        print(f"{name:<12} WR={plan.statics[0]:4d}  gather {tg*1e3:7.3f} "
+        print(f"{name:<12} WR={plan.statics[0]:4d}x{plan.statics[4]}"
+              f"  gather {tg*1e3:7.3f} "
               f"ms  scatter {ts*1e3:7.3f} ms  apply {ta*1e3:7.3f} ms",
               flush=True)
 
