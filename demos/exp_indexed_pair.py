@@ -61,31 +61,37 @@ def main():
     x = jnp.asarray(rng.standard_normal(mesh.ndofs), jnp.float32)
     x2 = jnp.asarray(rng.standard_normal(mesh.ndofs), jnp.float32)
 
+    # operator arrays ride in `params` (not closures) so they stay jit
+    # arguments across the chain-length recompiles (CLAUDE.md rule);
     # both fields must depend on the scan carry, or XLA hoists the
     # second apply out of the timing loop as loop-invariant
+    params = (x2, G, c1, c2, dm, plan)
+
     def two(p, v):
-        w = 0.5 * v + p
-        return (stiffness_apply_indexed(v, G, c1, dm, D, mesh.ndofs,
-                                        engine=plan,
+        px2, pG, pc1, pc2, pdm, ppl = p
+        w = 0.5 * v + px2
+        return (stiffness_apply_indexed(v, pG, pc1, pdm, D, mesh.ndofs,
+                                        engine=ppl,
                                         engine_interpret=interp)
-                + stiffness_apply_indexed(w, G, c2, dm, D, mesh.ndofs,
-                                          engine=plan,
+                + stiffness_apply_indexed(w, pG, pc2, pdm, D, mesh.ndofs,
+                                          engine=ppl,
                                           engine_interpret=interp))
 
     def pair(p, v):
-        w = 0.5 * v + p
+        px2, pG, pc1, pc2, pdm, ppl = p
+        w = 0.5 * v + px2
         return stiffness_apply_indexed_pair(
-            v, c1, w, c2, G, dm, D, mesh.ndofs,
-            engine=plan, engine_interpret=interp)
+            v, pc1, w, pc2, pG, pdm, D, mesh.ndofs,
+            engine=ppl, engine_interpret=interp)
 
-    ya = jax.jit(two)(x2, x)
-    yb = jax.jit(pair)(x2, x)
+    ya = jax.jit(two)(params, x)
+    yb = jax.jit(pair)(params, x)
     rel = float(jnp.linalg.norm(ya - yb) / jnp.linalg.norm(ya))
     print(f"pair vs two applies rel err: {rel:.3e}")
 
     bl = B.sync_baseline()
-    t2, _ = B.time_apply(two, x2, x, chain=20, reps=5, baseline=bl)
-    tp, _ = B.time_apply(pair, x2, x, chain=20, reps=5, baseline=bl)
+    t2, _ = B.time_apply(two, params, x, chain=20, reps=5, baseline=bl)
+    tp, _ = B.time_apply(pair, params, x, chain=20, reps=5, baseline=bl)
     print(f"two applies  {t2*1e3:7.3f} ms")
     print(f"fused pair   {tp*1e3:7.3f} ms   ({t2/tp:4.2f}x)")
 

@@ -325,7 +325,7 @@ def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
     non-prismatic meshes (mesh.msh_io.read_msh) — the layout-tuning
     counterpart of the reference's TP dof-ordering experiment
     (/root/reference/cuda/exp_kernel_speed.py:88-104)."""
-    from fustpu.ops.pallas_gather import pick_wr, pick_wr2
+    from fustpu.ops.pallas_gather import build_plan
 
     inverse, ndofs = mesh._cluster
     inv2 = inverse.reshape(mesh.num_cells, -1)
@@ -339,11 +339,12 @@ def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
     for perm in cands:
         flat = (inv2 if perm is None else inv2[perm]).reshape(-1)
         dm = _first_touch(flat, ndofs)
-        # EFFECTIVE window rows: build_plan flips to two per-cluster-
-        # sized windows when clearly cheaper — score what it will do
-        wr1 = pick_wr(dm)
-        wr2 = pick_wr2(dm)
-        cost = 2 * wr2 if 2 * wr2 < 0.6 * wr1 else wr1
+        # score the ACTUAL plan the builder produces (window rows x
+        # window count, residual spill as tiebreak) — not a re-derived
+        # model of its attempt ladder, which would drift
+        plan = build_plan(dm.astype(np.int64), ndofs)
+        wr, _, _, _, nwin = plan.statics[:5]
+        cost = (wr * nwin, int(plan.spos.shape[0]))
         if best_cost is None or cost < best_cost:
             best, best_cost = perm, cost
     return mesh if best is None else reorder_cells(mesh, best)

@@ -330,7 +330,8 @@ def _spill_add(y, sidx, src, pos):
     return y
 
 
-def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None):
+def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None,
+                        spill_tol: float = 0.005):
     """Per-device plans with COMMON statics for use under shard_map:
     `index_sets` is a sequence of equal-length (N,) target arrays (one
     per device, each in [0, nsrc]); returns (stacked GatherPlan whose
@@ -350,7 +351,7 @@ def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None):
     wr2 = max(pick_wr2(g, dead=nsrc, tm=tm) for g in gs)
     for nw, wr in _attempt_ladder(wr1, wr2):
         plans = [build_plan(g, nsrc, WR=wr, nwin=nw, tm=tm) for g in gs]
-        if all(int(p.spos.shape[0]) <= 0.005 * N for p in plans):
+        if all(int(p.spos.shape[0]) <= spill_tol * N for p in plans):
             break
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)

@@ -424,14 +424,19 @@ def test_gather_engine_tile_size_knob():
         assert np.abs(y - ref).max() < 1e-12
 
     import os
-    for bad in ("abc", "100", "-8", "0"):
-        with pytest.raises(ValueError):
+    prior = os.environ.get("FUSTPU_ENGINE_TM")   # restore the user's knob
+    try:
+        for bad in ("abc", "100", "-8", "0"):
             os.environ["FUSTPU_ENGINE_TM"] = bad
-            try:
+            with pytest.raises(ValueError):
                 pg._tm_from_env()
-            finally:
-                del os.environ["FUSTPU_ENGINE_TM"]
-    assert pg._tm_from_env() == 2048
+        del os.environ["FUSTPU_ENGINE_TM"]
+        assert pg._tm_from_env() == 2048
+    finally:
+        if prior is None:
+            os.environ.pop("FUSTPU_ENGINE_TM", None)
+        else:
+            os.environ["FUSTPU_ENGINE_TM"] = prior
 
 
 def test_gather_engine_lanepick_dg():
