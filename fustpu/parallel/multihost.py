@@ -121,12 +121,83 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
         assert err < 1e-12, (pid, db.index, err)
         checked += 1
     assert checked > 0
+
+    # ---- phase 2: IMPORTED extruded mesh across the process group ------
+    # (the reference's flagship multi-rank workload is `mpirun` on an
+    # imported piston/bowl mesh, cuda/demo_linear_piston.py:83-118)
+    from fustpu.mesh import msh_io
+    from fustpu.mesh.shapes import cylinder_mesh
+    from fustpu.models.linear import LinearWaveModel
+    from fustpu.parallel.extruded import (ExtrudedShardedModel,
+                                          shard_unstructured)
+
+    v, c, t = cylinder_mesh(0.012, 0.02, 0.008, m=3, mr=1, nr_ann=1,
+                            nz=4)
+    path = f"/tmp/_mh_cyl_{pid}.msh"     # per-process file: no write race
+    msh_io.write_msh(path, v, c, t)
+    mesh2 = msh_io.read_msh(path, 3)
+    mat2 = Material(sound_speed=1500.0, density=1000.0)
+    src2 = Source(frequency=0.5e6, amplitude=1.0e5)
+    model2 = LinearWaveModel(mesh2, mat2, src2, mesh2.boundary_facets(1),
+                             mesh2.boundary_facets(2), dtype=jnp.float64)
+    dt2, _ = model2.cfl_dt(0.4)
+    ref2, _ = model2.solve(model2.init_state(), dt2, nsteps)
+    u2 = np.asarray(ref2.u).ravel()
+    sm2 = shard_unstructured(model2, num_devices=nprocs * devices)
+    assert isinstance(sm2, ExtrudedShardedModel)
+    ds2, ys2 = sm2.solve(sm2.init_state(), dt2, nsteps,
+                         probe=sm2.norm_probe())
+    ref_norm = np.linalg.norm(u2)
+    assert abs(float(np.asarray(ys2)[-1]) - ref_norm) < 1e-11 * ref_norm
+    f2 = u2.reshape(sm2.mesh.n2d, sm2.gz)
+    checked2 = 0
+    for db in ds2.u.addressable_shards:
+        d = int(db.index[0].start or 0)
+        blk = np.asarray(db.data)[0]                 # (nloc, gz)
+        m = sm2.rowmask[d]
+        ref_rows = f2[sm2.rowsg[d][m]]
+        err = (np.linalg.norm(blk[m] - ref_rows)
+               / max(np.linalg.norm(ref_rows), 1e-300))
+        assert err < 1e-12, (pid, d, err)
+        checked2 += 1
+    assert checked2 > 0
+
+    # ---- phase 3: NON-PRISMATIC mesh, per-device gather/scatter engine,
+    # heterogeneous Westervelt pair, traced global-norm probe ------------
+    from fustpu.mesh.extruded import as_extruded
+    from fustpu.mesh.unstructured import from_box
+
+    bm = build_box_mesh((4, 3, 3), 3, perturb=0.15, seed=4,
+                        hi=(L, L, L))
+    um = from_box(bm, shuffle_seed=9)
+    assert as_extruded(um) is None
+    rng = np.random.default_rng(3)
+    mat3 = Material(sound_speed=rng.uniform(1400, 1600, um.num_cells),
+                    density=rng.uniform(950, 1100, um.num_cells),
+                    nonlinearity=3.5, attenuation_dB=0.2)
+    ext = um.boundary_facets()
+    cen = um.facet_centroids(ext)
+    model3 = WesterveltModel(um, mat3, src, ext[cen[:, 0] < 1e-9],
+                             ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
+    dt3, _ = model3.cfl_dt(0.4)
+    ref3, _ = model3.solve(model3.init_state(), dt3, nsteps)
+    sm3 = shard_unstructured(model3, num_devices=nprocs * devices,
+                             stiffness_impl="indexed_engine")
+    assert not isinstance(sm3, ExtrudedShardedModel)
+    ds3, ys3 = sm3.solve(sm3.init_state(), dt3, nsteps,
+                         probe=sm3.norm_probe())
+    ref_norm3 = np.linalg.norm(np.asarray(ref3.u).ravel())
+    assert abs(float(np.asarray(ys3)[-1]) - ref_norm3) \
+        < 1e-11 * ref_norm3
+
     print(f"multihost worker {pid}/{nprocs} OK "
-          f"({checked} local shards verified)", flush=True)
+          f"({checked} local shards verified; imported extruded "
+          f"{checked2} shards; non-prismatic engine norm ok)",
+          flush=True)
 
 
 def run_multiprocess_check(nprocs: int = 2, devices_per_proc: int = 4,
-                           grid_shape=(4, 2, 1), timeout: int = 300) -> None:
+                           grid_shape=(4, 2, 1), timeout: int = 600) -> None:
     """Spawn `nprocs` worker processes on this machine (virtual CPU
     devices) and verify sharded == single across the process group —
     the `mpirun -n k` laptop test of the reference, without MPI."""
