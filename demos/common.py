@@ -37,6 +37,14 @@ def demo_argparser(**defaults) -> argparse.ArgumentParser:
                    help="dump a pressure-plane point cloud every N steps "
                         "(reference's periodic snapshots, "
                         "cuda/demo_nonlinear_bowl.py:662-681)")
+    p.add_argument("--dist-output", default="",
+                   help="sharded runs: directory for PER-SHARD field "
+                        "snapshots every --snapshot-every steps — no host "
+                        "gather, each device dumps only its piece (the "
+                        "reference's parallel VTXWriter output, "
+                        "numba-cpu/demo_linear_box.py:479-480); reassemble "
+                        "offline with fustpu.utils.dist_io"
+                        ".assemble_snapshot")
     p.add_argument("--probe", type=float, nargs=3, action="append",
                    default=None, metavar=("X", "Y", "Z"),
                    help="record the pressure waveform at a point every step "
@@ -88,8 +96,9 @@ def _gcd_chunk(args) -> int:
     import math
 
     chunk = max(args.progress_every, 1)
+    want_snaps = args.output or getattr(args, "dist_output", "")
     for c in (args.checkpoint_every if args.checkpoint else 0,
-              args.snapshot_every if args.output else 0):
+              args.snapshot_every if want_snaps else 0):
         if c:
             chunk = math.gcd(chunk, c)
     return max(chunk, 1)
@@ -118,6 +127,7 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     chunk = _gcd_chunk(args)
     done = 0
     sampler = None
+    dist_writer = None
     wall = 0.0
     chunk_walls = []
     probe = None
@@ -161,6 +171,16 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
                     ku=to_host(state.ku), kv=to_host(state.kv)) \
                     if sharded else state
                 fio.save_checkpoint(f"{args.checkpoint}_{done}", cstate, done)
+        if getattr(args, "dist_output", "") and sharded and \
+                args.snapshot_every and in_run and \
+                done % args.snapshot_every == 0:
+            with timing.timer("~ snapshot (per-shard)"):
+                if dist_writer is None:
+                    from fustpu.utils.dist_io import ShardSnapshotWriter
+
+                    dist_writer = ShardSnapshotWriter(args.dist_output,
+                                                      model)
+                dist_writer.write(f"u_{done:06d}", state.u)
         if args.output and args.snapshot_every and in_run and \
                 done % args.snapshot_every == 0:
             with timing.timer("~ snapshot (plane eval)"):
