@@ -114,28 +114,39 @@ class Discretization:
         return ops.build_extruded_stiffness(self.mesh, self._G_host,
                                             self._D_host, self.dtype)
 
-    def extruded_pallas_op(self, coeff=None):
+    def extruded_pallas_op(self, coeff=None, corner: bool = False):
         """Fused-kernel stiffness operator for extruded meshes
         (fustpu.ops.pallas_extruded): one VMEM pass between the XLA row
         gather and scatter — the TPU production path for imported
-        meshes."""
+        meshes.  `corner` selects the memory-capacity mode: the geometry
+        streams as 37 trilinear monomial coefficients per CELL and
+        adj(J)/det is evaluated in-kernel — ~20x less geometry HBM, the
+        mode for >10^8-DOF imported meshes (never touches _G_host)."""
         from fustpu.ops import pallas_extruded as pex
 
+        if corner:
+            return pex.build_extruded_corner(self.mesh, self._D_host,
+                                             self.dtype, coeff=coeff)
         return pex.build_extruded(self.mesh, self._G_host, self._D_host,
                                   self.dtype, coeff=coeff)
 
-    def extruded_pallas_pair_op(self, c1, c2):
+    def extruded_pallas_pair_op(self, c1, c2, corner: bool = False):
         from fustpu.ops import pallas_extruded as pex
 
+        if corner:
+            return pex.build_extruded_corner(self.mesh, self._D_host,
+                                             self.dtype, c1_cells=c1,
+                                             c2_cells=c2)
         return pex.build_extruded_pair(self.mesh, self._G_host,
                                        self._D_host, self.dtype, c1, c2)
 
-    def ext_pallas_fits(self, pair: bool = False) -> bool:
+    def ext_pallas_fits(self, pair: bool = False,
+                        corner: bool = False) -> bool:
         from fustpu.ops import pallas_extruded as pex
 
         mesh = self.mesh
         return pex.ext_pallas_fits(self.P + 1, mesh.nstacks, mesh.nz,
-                                   mesh.gz, pair=pair)
+                                   mesh.gz, pair=pair, corner=corner)
 
     @functools.cached_property
     def indexed_engine(self):
@@ -265,6 +276,12 @@ def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
                 "indexed", "indexed_engine"):
             if impl in ("extruded", "extruded_pallas"):
                 return impl
+            if impl in ("pallas_corner", "extruded_pallas_corner"):
+                # capacity mode: 37-floats/cell geometry stream
+                # (trilinear only — curved hex27 keeps the G stream)
+                if (disc.mesh.geom_nodes is None
+                        and disc.ext_pallas_fits(corner=True)):
+                    return "extruded_pallas_corner"
             return ("extruded_pallas"
                     if on_tpu() and disc.ext_pallas_fits() else "extruded")
         # general (non-prismatic) unstructured: the windowed one-hot

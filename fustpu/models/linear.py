@@ -78,6 +78,10 @@ class LinearWaveModel(WaveModelBase):
         # 'pallas_corner' = fused kernel in memory-capacity mode
         self._corner = impl == "pallas_corner"
         self.impl = "pallas" if self._corner else impl
+        # extruded capacity mode: 37-floats/cell geometry stream
+        self._ext_corner = impl == "extruded_pallas_corner"
+        if self._ext_corner:
+            self.impl = "extruded_pallas"
         self.c2_scalar = self.c2_e = self.c2_cells = self.c2_x = None
         if self.impl == "extruded_pallas":
             # prismatic imported mesh, fused kernel (TPU production path;
@@ -87,10 +91,12 @@ class LinearWaveModel(WaveModelBase):
             self._ext_interpret = not on_tpu()
             if self.uniform:
                 self.c2_scalar = dtype(-1.0 / float(rho.flat[0]))
-                self._stiff_op = disc.extruded_pallas_op()
+                self._stiff_op = disc.extruded_pallas_op(
+                    corner=self._ext_corner)
             else:
                 self._stiff_op = disc.extruded_pallas_op(
-                    coeff=np.broadcast_to(-1.0 / rho, (mesh.num_cells,)))
+                    coeff=np.broadcast_to(-1.0 / rho, (mesh.num_cells,)),
+                    corner=self._ext_corner)
         elif self.impl == "extruded":
             # prismatic imported mesh: factorized row-gather path
             from fustpu.ops import operators as ops

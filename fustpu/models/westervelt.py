@@ -76,6 +76,10 @@ class WesterveltModel(WaveModelBase):
         # 'pallas_corner' = fused kernel in memory-capacity mode
         self._corner = impl == "pallas_corner"
         self.impl = "pallas" if self._corner else impl
+        # extruded capacity mode: 37-floats/cell geometry stream
+        self._ext_corner = impl == "extruded_pallas_corner"
+        if self._ext_corner:
+            self.impl = "extruded_pallas"
         self.c3_scalar = self.c4_scalar = None
         self.c3_e = self.c4_e = self.c3_cells = self.c4_cells = None
         self.c3_x = self.c4_x = None
@@ -84,22 +88,26 @@ class WesterveltModel(WaveModelBase):
             self.c4_scalar = dtype(-float(delta.flat[0])
                                    / float((rho * c * c).flat[0]))
         if (self.impl == "extruded_pallas" and not self.uniform
-                and not disc.ext_pallas_fits(pair=True)):
+                and not disc.ext_pallas_fits(pair=True,
+                                             corner=self._ext_corner)):
             # the pair kernel's VMEM budget (doubled field IO + the ce
             # block) is tighter than the single kernel's — fall back to
             # the XLA pair path rather than fail at Mosaic compile
             self.impl = "extruded"
+            self._ext_corner = False
         if self.impl == "extruded_pallas":
             from fustpu.models.discretization import on_tpu
 
             self._ext_interpret = not on_tpu()
             if self.uniform:
-                self._stiff_op = disc.extruded_pallas_op()
+                self._stiff_op = disc.extruded_pallas_op(
+                    corner=self._ext_corner)
             else:
                 nc_ = (mesh.num_cells,)
                 self._stiff_op = disc.extruded_pallas_pair_op(
                     np.broadcast_to(-1.0 / rho, nc_),
-                    np.broadcast_to(-delta / (rho * c * c), nc_))
+                    np.broadcast_to(-delta / (rho * c * c), nc_),
+                    corner=self._ext_corner)
         elif self.impl == "extruded":
             from fustpu.ops import operators as ops
 

@@ -51,7 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fustpu.ops import spectral_mm as mm
-from fustpu.ops.pallas_stiffness import _mk_matmul, _pad
+from fustpu.ops.pallas_stiffness import (_mk_matmul, _pad,
+                                         jacobian_coefficients)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -105,24 +106,77 @@ class PallasExtrudedPair:
         return cls(*children, statics=aux)
 
 
+@jax.tree_util.register_pytree_node_class
+class PallasExtrudedCorner:
+    """Memory-CAPACITY variant: instead of the (n^2, 6, ns_pad, ez) metric
+    stream (6 floats per quadrature point), the geometry travels as the 37
+    trilinear Jacobian monomial coefficients PER CELL
+    (pallas_stiffness.jacobian_coefficients — the same stream the
+    structured corner kernel uses) and adj(J)/det(J) is evaluated on the
+    VPU inside the kernel.  ~20x less geometry HBM at P=4 — the mode that
+    takes imported prismatic meshes past the G-stream capacity wall (the
+    reference's 10^8+-DOF MPI configs, BASELINE.md;
+    /root/reference/cuda/scatterer.py:104-277 is the capability the scale
+    targets).  Trilinear (hex8) geometry only — curved hex27 prisms keep
+    the G stream.
+
+    T:    (37, nz, ns_pad) monomial stream, stack minor (padding stacks
+          carry IDENTITY geometry with a ZERO coefficient channel — their
+          contributions vanish without 0/0 in the det division)
+    rows: (n^2, ns_pad) int32 row gather/scatter indices
+    ce:   None, or (2, ns_pad, ez) pair coefficient planes (then the
+          stream's channel 36 is 1 and the two fields combine at u)
+    Uz:   (nz, ez) 0/1 layer -> z-lane expansion
+    zrow: (1, ez) local xi_z per z lane;  wzrow: (1, ez) 1D GLL weight
+    statics: (D, XQ, WQ, S, pair)
+    """
+
+    def __init__(self, T, rows, ce, Uz, zrow, wzrow, WzT, Dz,
+                 statics: tuple):
+        self.T = T
+        self.rows = rows
+        self.ce = ce
+        self.Uz = Uz
+        self.zrow = zrow
+        self.wzrow = wzrow
+        self.WzT = WzT
+        self.Dz = Dz
+        self.statics = statics
+
+    def tree_flatten(self):
+        return ((self.T, self.rows, self.ce, self.Uz, self.zrow,
+                 self.wzrow, self.WzT, self.Dz), self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
 # ---------------------------------------------------------------------------
 # VMEM feasibility + stack-batch size selection
 # ---------------------------------------------------------------------------
 
 def _ext_vmem_bytes(n: int, S: int, ez: int, gz: int, pair: bool,
-                    itemsize: int = 4) -> int:
+                    itemsize: int = 4, corner: bool = False) -> int:
     """Estimated VMEM footprint: 4 full-plane scratch sets (u / wx / wy /
     wz, transform in place, reverse reuses u), double-buffered in/out/G
-    blocks, the z matrices, and live temporaries."""
+    blocks, the z matrices, and live temporaries.  Corner mode swaps the
+    G stream block for the (37, nz, S) monomial block plus the expanded
+    (37, S, ez) plane scratch and heavier per-phase VPU temporaries."""
     q = n * n * S
     ezp, gzp = _pad(ez, 128), _pad(gz, 128)
     planes = 4 * q * ezp
     gin = 2 * q * gzp * (2 if pair else 1)
     out = 2 * q * gzp
-    gblk = 2 * 6 * S * ezp
+    if corner:
+        nz = ez // n
+        gblk = 2 * 37 * nz * _pad(S, 128) + 37 * S * ezp
+        temps = 18 * S * ezp + 2 * q * ezp
+    else:
+        gblk = 2 * 6 * S * ezp
+        temps = 6 * S * ezp + 2 * q * ezp
     ce = 2 * 2 * S * ezp if pair else 0
     mats = 2 * (gzp * ezp + ezp * ezp)
-    temps = 6 * S * ezp + 2 * q * ezp
     return (planes + gin + out + gblk + ce + mats + temps) * itemsize
 
 
@@ -130,7 +184,8 @@ _S_CANDIDATES = (256, 192, 160, 128, 96, 80, 64, 48, 40, 32, 24, 16, 8)
 
 
 def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
-                     pair: bool = False) -> int | None:
+                     pair: bool = False, corner: bool = False
+                     ) -> int | None:
     """Largest stack-batch size (multiple of 8) whose working set fits
     VMEM; None when even S=8 does not fit (very deep extrusions — the
     XLA factorized path remains).
@@ -156,14 +211,16 @@ def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
     for S in _S_CANDIDATES:
         if S > cap:
             continue
-        if _ext_vmem_bytes(n, S, ez, gz, pair) < 14 * 2**20:
+        if _ext_vmem_bytes(n, S, ez, gz, pair,
+                           corner=corner) < 14 * 2**20:
             return S
     return None
 
 
 def ext_pallas_fits(n: int, ns: int, nz: int, gz: int,
-                    pair: bool = False) -> bool:
-    return pick_stack_batch(n, ns, nz * n, gz, pair) is not None
+                    pair: bool = False, corner: bool = False) -> bool:
+    return pick_stack_batch(n, ns, nz * n, gz, pair,
+                            corner=corner) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -243,13 +300,112 @@ def build_extruded_pair(mesh, G_cells, D_1d, dtype, c1_cells,
     )
 
 
+def corner_stream(mesh, coeff: np.ndarray | None = None) -> np.ndarray:
+    """(ns, nz, 37) float64 trilinear Jacobian monomial coefficients in
+    stack order (fustpu.ops.pallas_stiffness.jacobian_coefficients on the
+    canonical cell corners), with an optional per-cell coefficient folded
+    into channel 36.  Refuses curved (hex27) geometry — the trilinear
+    monomials cannot represent the quadratic map."""
+    if mesh.geom_nodes is not None:
+        raise ValueError("corner stream is trilinear-only; curved hex27 "
+                         "meshes keep the G stream")
+    ns, nz = mesh.nstacks, mesh.nz
+    order = mesh.stack_cells.reshape(-1)
+    corners = mesh.cell_corners_flat[order]
+    c = (None if coeff is None
+         else np.asarray(coeff, np.float64).reshape(-1)[order])
+    return jacobian_coefficients(corners, c).reshape(ns, nz, 37)
+
+
+_T_IDENTITY = np.zeros(37)
+# identity Jacobian for padding stacks: J[p][q] = delta_pq constant term,
+# coefficient channel 0 -> zero contribution without 0/0 in the division
+_T_IDENTITY[[0, 12 + 4, 24 + 8]] = 1.0
+
+
+def _pack_corner(Tsn: np.ndarray, rows2d: np.ndarray, S: int):
+    """(ns, nz, 37) + (ns, n^2) -> ((37, nz, ns_pad), (n^2, ns_pad))."""
+    ns, nz = Tsn.shape[0], Tsn.shape[1]
+    ns_pad = -(-ns // S) * S
+    Tt = np.empty((37, nz, ns_pad))
+    Tt[:, :, :] = _T_IDENTITY[:, None, None]
+    Tt[:, :, :ns] = Tsn.transpose(2, 1, 0)
+    n2 = rows2d.shape[1]
+    rows_t = np.zeros((n2, ns_pad), np.int32)
+    rows_t[:, :ns] = np.asarray(rows2d, np.int64).T
+    return Tt, rows_t
+
+
+def _z_vectors(mesh):
+    """Uz (nz, ez) 0/1 layer->lane expansion; zrow/wzrow (1, ez) local
+    GLL node / weight per z lane."""
+    from fustpu.elements import gll
+
+    n = mesh.degree + 1
+    nz = mesh.nz
+    ez = nz * n
+    Uz = np.zeros((nz, ez))
+    Uz[np.repeat(np.arange(nz), n), np.arange(ez)] = 1.0
+    nodes = gll.gll_nodes_unit(n)
+    wts = gll.gll_points_weights_unit(n)[1]
+    return (Uz, np.tile(nodes, nz)[None, :], np.tile(wts, nz)[None, :],
+            tuple(np.asarray(nodes, np.float64)),
+            tuple(np.asarray(wts, np.float64)))
+
+
+def build_extruded_corner(mesh, D_1d, dtype,
+                          coeff: np.ndarray | None = None,
+                          c1_cells=None, c2_cells=None
+                          ) -> PallasExtrudedCorner:
+    """Corner-streamed (capacity) extruded operator.  Either fold a
+    per-cell `coeff` into the stream (single-field form) or pass
+    (c1_cells, c2_cells) for the heterogeneous pair form (unit stream +
+    in-kernel ce combine, like build_extruded_pair)."""
+    pair = c1_cells is not None
+    if pair and coeff is not None:
+        raise ValueError("coeff and pair coefficients are exclusive")
+    n = mesh.degree + 1
+    gz = mesh.gz
+    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=pair,
+                         corner=True)
+    if S is None:
+        raise ValueError("no VMEM-feasible stack batch for the corner "
+                         "kernel")
+    Tt, rows_t = _pack_corner(corner_stream(mesh, coeff), mesh.rows2d, S)
+    ns_pad = Tt.shape[2]
+    ce = None
+    if pair:
+        ce = np.zeros((2, ns_pad, mesh.nz * n))
+        for m, c in enumerate((c1_cells, c2_cells)):
+            cs = np.asarray(c, np.float64).reshape(-1)[mesh.stack_cells]
+            ce[m, :mesh.nstacks] = np.repeat(cs, n, axis=1)
+        ce = jnp.asarray(ce, dtype)
+    Uz, zrow, wzrow, XQ, WQ = _z_vectors(mesh)
+    return PallasExtrudedCorner(
+        T=jnp.asarray(Tt, dtype),
+        rows=jnp.asarray(rows_t),
+        ce=ce,
+        Uz=jnp.asarray(Uz, dtype),
+        zrow=jnp.asarray(zrow, dtype),
+        wzrow=jnp.asarray(wzrow, dtype),
+        WzT=jnp.asarray(mm.window_matrix(mesh.nz, mesh.degree).T, dtype),
+        Dz=jnp.asarray(mm.deriv_block_matrix(mesh.nz, D_1d), dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))),
+                 XQ, WQ, S, pair),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool):
+def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
+               corner: tuple | None = None):
     n2 = n * n
     D = tuple(tuple(float(v) for v in row) for row in D)
+    if corner:
+        XQ = tuple(float(v) for v in corner[0])
+        WQ = tuple(float(v) for v in corner[1])
 
     def kernel(*refs):
         if pair:
@@ -258,8 +414,12 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool):
         else:
             (g1_ref,) = refs[:1]
             refs = refs[1:]
-        (G_ref, WzT_ref, Dz_ref, o_ref, u_sc, wx_sc, wy_sc,
-         wz_sc) = refs
+        if corner:
+            (G_ref, Uz_ref, zrow_ref, wzrow_ref, WzT_ref, Dz_ref, o_ref,
+             u_sc, wx_sc, wy_sc, wz_sc, jp_sc) = refs
+        else:
+            (G_ref, WzT_ref, Dz_ref, o_ref, u_sc, wx_sc, wy_sc,
+             wz_sc) = refs
         mats = lambda: (WzT_ref[...], Dz_ref[...])
         s = pl.program_id(1)
         f32 = o_ref.dtype
@@ -304,17 +464,81 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool):
                         t = D[b][j] * u_sc[pslice(i * n + j)]
                         acc = t if acc is None else acc + t
                     wy_sc[pslice(i * n + b)] = acc
+            if corner:
+                # expand the 37 monomial channels to (S, ez) planes once
+                # per stack batch (37 exact-placement matmuls against the
+                # 0/1 layer->lane map); the z quadrature weights fold
+                # into the coefficient channel here
+                Uz = Uz_ref[...]
+                for m in range(37):
+                    p = matmul(G_ref[m], Uz, ((0,), (0,)), b_exact=True)
+                    jp_sc[m] = p * wzrow_ref[...] if m == 36 else p
 
-        # metric transform at footprint node s = (p1, p2), IN PLACE
-        # (every plane is read and written exactly once, at its phase)
-        dsl = pl.ds(s * S, S)
-        G = lambda m: G_ref[0, m]
-        wx = wx_sc[dsl]
-        wy = wy_sc[dsl]
-        wz = wz_sc[dsl]
-        wx_sc[dsl] = G(0) * wx + G(1) * wy + G(2) * wz
-        wy_sc[dsl] = G(1) * wx + G(3) * wy + G(4) * wz
-        wz_sc[dsl] = G(2) * wx + G(4) * wy + G(5) * wz
+        if corner:
+            # geometry reconstruction + metric transform at footprint
+            # node q = (a, b): J columns are the trilinear monomials at
+            # (XQ[a], XQ[b], zrow); G = scale * adj(J) adj(J)^T / |det|
+            # applied in factored form (t = a^T w, f = scale * a t) —
+            # the extruded analogue of the structured corner kernel's
+            # plane step (pallas_stiffness._mk_kernel_corner)
+            for q in range(n2):
+                @pl.when(s == q)
+                def _transform(q=q):
+                    xa, yb = XQ[q // n], XQ[q % n]
+                    wq = WQ[q // n] * WQ[q % n]
+                    dsl = pl.ds(q * S, S)
+                    zrow = zrow_ref[...]
+                    jp = lambda m: jp_sc[m]
+
+                    def J0(p):
+                        return ((jp(4 * p) + yb * jp(4 * p + 1))
+                                + zrow * (jp(4 * p + 2)
+                                          + yb * jp(4 * p + 3)))
+
+                    def J1(p):
+                        return ((jp(12 + 4 * p) + xa * jp(13 + 4 * p))
+                                + zrow * (jp(14 + 4 * p)
+                                          + xa * jp(15 + 4 * p)))
+
+                    def J2(p):
+                        return (jp(24 + 4 * p) + xa * jp(25 + 4 * p)
+                                + yb * jp(26 + 4 * p)
+                                + (xa * yb) * jp(27 + 4 * p))
+
+                    J00, J10, J20 = J0(0), J0(1), J0(2)
+                    J01, J11, J21 = J1(0), J1(1), J1(2)
+                    J02, J12, J22 = J2(0), J2(1), J2(2)
+                    a00 = J11 * J22 - J12 * J21
+                    a01 = J02 * J21 - J01 * J22
+                    a02 = J01 * J12 - J02 * J11
+                    a10 = J12 * J20 - J10 * J22
+                    a11 = J00 * J22 - J02 * J20
+                    a12 = J02 * J10 - J00 * J12
+                    a20 = J10 * J21 - J11 * J20
+                    a21 = J01 * J20 - J00 * J21
+                    a22 = J00 * J11 - J01 * J10
+                    det = J00 * a00 + J01 * a10 + J02 * a20
+                    scale = (wq * jp(36)) / jnp.abs(det)
+                    wx = wx_sc[dsl]
+                    wy = wy_sc[dsl]
+                    wz = wz_sc[dsl]
+                    t0 = a00 * wx + a10 * wy + a20 * wz
+                    t1 = a01 * wx + a11 * wy + a21 * wz
+                    t2 = a02 * wx + a12 * wy + a22 * wz
+                    wx_sc[dsl] = scale * (a00 * t0 + a01 * t1 + a02 * t2)
+                    wy_sc[dsl] = scale * (a10 * t0 + a11 * t1 + a12 * t2)
+                    wz_sc[dsl] = scale * (a20 * t0 + a21 * t1 + a22 * t2)
+        else:
+            # metric transform at footprint node s = (p1, p2), IN PLACE
+            # (every plane is read and written exactly once, at its phase)
+            dsl = pl.ds(s * S, S)
+            G = lambda m: G_ref[0, m]
+            wx = wx_sc[dsl]
+            wy = wy_sc[dsl]
+            wz = wz_sc[dsl]
+            wx_sc[dsl] = G(0) * wx + G(1) * wy + G(2) * wz
+            wy_sc[dsl] = G(1) * wx + G(3) * wy + G(4) * wz
+            wz_sc[dsl] = G(2) * wx + G(4) * wy + G(5) * wz
 
         @pl.when(s == n2 - 1)
         def _reverse():
@@ -338,8 +562,15 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool):
 
 
 def _call(op, gs, pair: bool, interpret: bool, precision):
-    D_host, S = op.statics
-    n2, _, ns_pad, ez = op.Gt.shape
+    corner = isinstance(op, PallasExtrudedCorner)
+    if corner:
+        D_host, XQ, WQ, S, _ = op.statics
+        _, nz, ns_pad = op.T.shape
+        n2 = op.rows.shape[0]
+        ez = nz * int(round(n2 ** 0.5))
+    else:
+        D_host, S = op.statics
+        n2, _, ns_pad, ez = op.Gt.shape
     n = int(round(n2 ** 0.5))
     gz = op.WzT.shape[0]
     nb = ns_pad // S
@@ -347,8 +578,10 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
     # the z matrices are passed at full precision and split IN-KERNEL in
     # bf16x3 mode: pre-split bf16 matrices as pallas inputs are LOSSY on
     # TPU Mosaic (~1e-3-class operator error; BENCH_NOTES r4)
-    mats = [op.WzT, op.Dz]
-    kernel = _mk_kernel(n, S, D_host, precision, pair)
+    mats = ([op.Uz, op.zrow, op.wzrow] if corner else []) \
+        + [op.WzT, op.Dz]
+    kernel = _mk_kernel(n, S, D_host, precision, pair,
+                        corner=(XQ, WQ) if corner else None)
     vmem = pltpu.VMEM
     io_spec = pl.BlockSpec((n2, S, gz), lambda b, s: (0, b, 0),
                            memory_space=vmem)
@@ -358,19 +591,29 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
         in_specs.append(pl.BlockSpec((2, S, ez), lambda b, s: (0, b, 0),
                                      memory_space=vmem))
         args.append(op.ce)
-    in_specs.append(pl.BlockSpec((1, 6, S, ez),
-                                 lambda b, s: (s, 0, b, 0),
-                                 memory_space=vmem))
-    args.append(op.Gt)
+    if corner:
+        # whole monomial block per stack batch (geometry is tiny now)
+        in_specs.append(pl.BlockSpec((37, nz, S),
+                                     lambda b, s: (0, 0, b),
+                                     memory_space=vmem))
+        args.append(op.T)
+    else:
+        in_specs.append(pl.BlockSpec((1, 6, S, ez),
+                                     lambda b, s: (s, 0, b, 0),
+                                     memory_space=vmem))
+        args.append(op.Gt)
     in_specs += [pl.BlockSpec(memory_space=vmem) for _ in mats]
     args += mats
+    scratch = [pltpu.VMEM((n2 * S, ez), dtype) for _ in range(4)]
+    if corner:
+        scratch.append(pltpu.VMEM((37, S, ez), dtype))
     return pl.pallas_call(
         kernel,
         grid=(nb, n2),
         in_specs=in_specs,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct((n2, ns_pad, gz), dtype),
-        scratch_shapes=[pltpu.VMEM((n2 * S, ez), dtype) for _ in range(4)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

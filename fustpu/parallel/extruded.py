@@ -135,14 +135,19 @@ class ExtrudedShardedModel:
         self.num_shared = S
 
         # ---- per-device geometry ------------------------------------------
-        G_host = disc._G_host                          # (cells, n^3, 6)
         ez = mesh.nz * n
-        G6 = np.zeros((k, 6, smax, n, n, ez))
-        for d in range(k):
-            sc = mesh.stack_cells[stacks_of[d]]        # (sd, nz)
-            Gs = G_host[sc].reshape(len(sc), mesh.nz, n, n, n, 6)
-            G6[d, :, :len(sc)] = Gs.transpose(5, 0, 2, 3, 1, 4).reshape(
-                6, len(sc), n, n, ez)
+
+        def build_G6():
+            """(k, 6, smax, n, n, ez) per-device metric blocks — lazy so
+            the corner (capacity) mode never materialises _G_host."""
+            G_host = disc._G_host                      # (cells, n^3, 6)
+            G6 = np.zeros((k, 6, smax, n, n, ez))
+            for d in range(k):
+                sc = mesh.stack_cells[stacks_of[d]]    # (sd, nz)
+                Gs = G_host[sc].reshape(len(sc), mesh.nz, n, n, n, 6)
+                G6[d, :, :len(sc)] = Gs.transpose(
+                    5, 0, 2, 3, 1, 4).reshape(6, len(sc), n, n, ez)
+            return G6
 
         # ---- distributed context ------------------------------------------
         put = self._put
@@ -156,6 +161,7 @@ class ExtrudedShardedModel:
         # base model resolved to it (TPU production path; interpret mode
         # on CPU meshes in tests), the XLA einsum path otherwise
         self._ext_pallas = model.impl == "extruded_pallas"
+        self._ext_corner = getattr(model, "_ext_corner", False)
         from fustpu.models.discretization import on_tpu
 
         self._pallas_interpret = not on_tpu()
@@ -163,16 +169,19 @@ class ExtrudedShardedModel:
         if self._ext_pallas:
             from fustpu.ops import pallas_extruded as pex
 
-            S_b = pex.pick_stack_batch(n, smax, ez, gz, pair=hetero_pair)
+            S_b = pex.pick_stack_batch(n, smax, ez, gz, pair=hetero_pair,
+                                       corner=self._ext_corner)
             if S_b is None:  # pragma: no cover - guarded by model resolve
                 raise ValueError("no VMEM-feasible stack batch per device")
             smax_pad = -(-smax // S_b) * S_b
-            # (k, n^2, 6, smax_pad, ez) footprint-node-major stream
-            Gt = np.zeros((k, n * n, 6, smax_pad, ez))
-            Gt[:, :, :, :smax] = G6.transpose(0, 3, 4, 1, 2, 5).reshape(
-                k, n * n, 6, smax, ez)
             rows_t = np.zeros((k, n * n, smax_pad), np.int32)
             rows_t[:, :, :smax] = loc_rows.transpose(0, 2, 1)
+            if not self._ext_corner:
+                # (k, n^2, 6, smax_pad, ez) footprint-node-major stream
+                G6 = build_G6()
+                Gt = np.zeros((k, n * n, 6, smax_pad, ez))
+                Gt[:, :, :, :smax] = G6.transpose(
+                    0, 3, 4, 1, 2, 5).reshape(k, n * n, 6, smax, ez)
             def coeff_local(c_cells):
                 """(num_cells,) per-cell coefficient -> (k, smax, ez)
                 z-expanded device blocks."""
@@ -185,13 +194,32 @@ class ExtrudedShardedModel:
 
             nc_ = (mesh.num_cells,)
             c_f, rho_f, _, _ = model.material.cell_fields(nc_)
-            if not model.uniform and self.kind == "linear":
-                # fold the per-cell coefficient into the stream
-                cl = coeff_local(np.broadcast_to(-1.0 / rho_f, nc_))
-                Gt[:, :, :, :smax] *= cl[:, None, None, :, :]
-            self._pex_statics = (tuple(map(tuple, np.asarray(
-                disc._D_host, np.float64))), S_b)
-            dist["Gt"] = put(Gt)
+            lin_hetero = not model.uniform and self.kind == "linear"
+            D_t = tuple(map(tuple, np.asarray(disc._D_host, np.float64)))
+            if self._ext_corner:
+                # capacity mode: per-device 37-channel monomial streams
+                # (identity-padded) instead of the 6/quad-point G
+                Tall = pex.corner_stream(
+                    mesh, np.broadcast_to(-1.0 / rho_f, nc_)
+                    if lin_hetero else None)           # (ns, nz, 37)
+                Tc = np.empty((k, 37, mesh.nz, smax_pad))
+                Tc[:] = pex._T_IDENTITY[None, :, None, None]
+                for d in range(k):
+                    Tc[d, :, :, :len(stacks_of[d])] = Tall[
+                        stacks_of[d]].transpose(2, 1, 0)
+                dist["Tc"] = put(Tc)
+                Uz, zrow, wzrow, XQ, WQ = pex._z_vectors(mesh)
+                repl["Uzp"] = self._repl(Uz)
+                repl["zrowp"] = self._repl(zrow)
+                repl["wzrowp"] = self._repl(wzrow)
+                self._pex_statics = (D_t, XQ, WQ, S_b, hetero_pair)
+            else:
+                if lin_hetero:
+                    # fold the per-cell coefficient into the stream
+                    cl = coeff_local(np.broadcast_to(-1.0 / rho_f, nc_))
+                    Gt[:, :, :, :smax] *= cl[:, None, None, :, :]
+                self._pex_statics = (D_t, S_b)
+                dist["Gt"] = put(Gt)
             dist["rows_t"] = put(rows_t, np.int32)
             if hetero_pair:
                 delta_f = np.broadcast_to(np.asarray(
@@ -209,7 +237,7 @@ class ExtrudedShardedModel:
                 mm.deriv_block_matrix(mesh.nz, disc._D_host))
         else:
             eop = disc.extruded_op
-            dist["G6"] = put(G6)
+            dist["G6"] = put(build_G6())
             dist["rows"] = put(loc_rows.reshape(k, -1), np.int32)
             repl["Wz"] = self._repl(eop.Wz)
             repl["Dz"] = self._repl(eop.Dz)
@@ -306,16 +334,26 @@ class ExtrudedShardedModel:
             rows=ctx["dist"]["rows"], G6=ctx["dist"]["G6"],
             Wz=ctx["repl"]["Wz"], Dz=ctx["repl"]["Dz"], D=ctx["repl"]["D"])
 
+    def _corner_op(self, ctx, ce=None):
+        from fustpu.ops import pallas_extruded as pex
+
+        return pex.PallasExtrudedCorner(
+            T=ctx["dist"]["Tc"], rows=ctx["dist"]["rows_t"], ce=ce,
+            Uz=ctx["repl"]["Uzp"], zrow=ctx["repl"]["zrowp"],
+            wzrow=ctx["repl"]["wzrowp"], WzT=ctx["repl"]["WzTp"],
+            Dz=ctx["repl"]["Dzp"], statics=self._pex_statics)
+
     def _local_stiffness(self, ctx, x_flat, coeff_e=None):
         """Single-field per-device apply: fused kernel or XLA einsums."""
         nd = self.nloc * self.gz
         if self._ext_pallas:
             from fustpu.ops import pallas_extruded as pex
 
-            op = pex.PallasExtruded(
-                Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
-                WzT=ctx["repl"]["WzTp"], Dz=ctx["repl"]["Dzp"],
-                statics=self._pex_statics)
+            op = (self._corner_op(ctx) if self._ext_corner
+                  else pex.PallasExtruded(
+                      Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
+                      WzT=ctx["repl"]["WzTp"], Dz=ctx["repl"]["Dzp"],
+                      statics=self._pex_statics))
             return pex.stiffness_apply_extruded_pallas(
                 x_flat, op, nd, interpret=self._pallas_interpret)
         return xops.stiffness_apply_extruded(x_flat, self._local_op(ctx),
@@ -326,10 +364,12 @@ class ExtrudedShardedModel:
         if self._ext_pallas:
             from fustpu.ops import pallas_extruded as pex
 
-            op = pex.PallasExtrudedPair(
-                Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
-                ce=ctx["dist"]["ce_p"], WzT=ctx["repl"]["WzTp"],
-                Dz=ctx["repl"]["Dzp"], statics=self._pex_statics)
+            op = (self._corner_op(ctx, ce=ctx["dist"]["ce_p"])
+                  if self._ext_corner
+                  else pex.PallasExtrudedPair(
+                      Gt=ctx["dist"]["Gt"], rows=ctx["dist"]["rows_t"],
+                      ce=ctx["dist"]["ce_p"], WzT=ctx["repl"]["WzTp"],
+                      Dz=ctx["repl"]["Dzp"], statics=self._pex_statics))
             return pex.stiffness_apply_extruded_pallas_pair(
                 u_flat, v_flat, op, nd, interpret=self._pallas_interpret)
         d = ctx["dist"]

@@ -379,3 +379,100 @@ def test_curved_hex27_prismatic_detects_and_matches():
                                      np.asarray(x), ex.ndofs)
     err = np.linalg.norm(np.asarray(y2) - y_ref) / np.linalg.norm(y_ref)
     assert err < 1e-12, err
+
+
+# ---------------------------------------------------------------------------
+# Corner-streamed (memory-capacity) extruded kernel: geometry travels as
+# 37 trilinear Jacobian monomials per CELL and adj(J)/det is evaluated
+# in-kernel — the mode for >10^8-DOF imported meshes (VERDICT r4 #4;
+# reference analogue: the 10^8+-DOF MPI configs, BASELINE.md)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_pallas_extruded_corner_matches_xla(P):
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=P)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(P)
+    x = jnp.asarray(rng.standard_normal(mex.ndofs))
+    coeff = rng.uniform(0.5, 2.0, mex.num_cells)
+    ce = ops.expand_coeff_extruded(mex, coeff, jnp.float64)
+    y1 = ops.stiffness_apply_extruded(x, d.extruded_op, mex.ndofs,
+                                      coeff_e=ce)
+    op = pex.build_extruded_corner(mex, d._D_host, jnp.float64,
+                                   coeff=coeff)
+    y2 = pex.stiffness_apply_extruded_pallas(x, op, mex.ndofs,
+                                             interpret=True,
+                                             precision=pex._HI)
+    err = float(jnp.linalg.norm(y2 - y1) / jnp.linalg.norm(y1))
+    assert err < 1e-12, err
+
+
+def test_pallas_extruded_corner_pair_matches_xla():
+    from fustpu.ops import pallas_extruded as pex
+
+    mex, _ = _cyl(P=3)
+    d = Discretization(mex, jnp.float64)
+    rng = np.random.default_rng(7)
+    x1 = jnp.asarray(rng.standard_normal(mex.ndofs))
+    x2 = jnp.asarray(rng.standard_normal(mex.ndofs))
+    c1 = rng.uniform(0.5, 2.0, mex.num_cells)
+    c2 = rng.uniform(-1.5, -0.5, mex.num_cells)
+    ce1 = ops.expand_coeff_extruded(mex, c1, jnp.float64)
+    ce2 = ops.expand_coeff_extruded(mex, c2, jnp.float64)
+    yr = ops.stiffness_apply_extruded_pair(x1, x2, d.extruded_op,
+                                           mex.ndofs, ce1, ce2)
+    opp = pex.build_extruded_corner(mex, d._D_host, jnp.float64,
+                                    c1_cells=c1, c2_cells=c2)
+    yp = pex.stiffness_apply_extruded_pallas_pair(
+        x1, x2, opp, mex.ndofs, interpret=True, precision=pex._HI)
+    err = float(jnp.linalg.norm(yp - yr) / jnp.linalg.norm(yr))
+    assert err < 1e-12, err
+
+
+def test_model_extruded_corner_impl():
+    """stiffness_impl='pallas_corner' on an extruded import resolves to
+    the capacity kernel and solves identically; a curved hex27 prism
+    mesh refuses it (trilinear-only) and falls back to the G stream."""
+    from fustpu.models.westervelt import WesterveltModel
+
+    mex, _ = _cyl()
+    mat = Material(sound_speed=1500.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=0.5e6, amplitude=1.0e5)
+    args = (mex, mat, src, mex.boundary_facets(1), mex.boundary_facets(2))
+    ref = WesterveltModel(*args, dtype=jnp.float64,
+                          stiffness_impl="extruded")
+    m = WesterveltModel(*args, dtype=jnp.float64,
+                        stiffness_impl="pallas_corner")
+    assert m.impl == "extruded_pallas" and m._ext_corner
+    dt, _ = m.cfl_dt(0.4)
+    s0, _ = ref.solve(ref.init_state(), dt, 10)
+    s1, _ = m.solve(m.init_state(), dt, 10)
+    err = float(jnp.linalg.norm(s1.u - s0.u) / jnp.linalg.norm(s0.u))
+    assert err < 1e-12, err
+
+    # curved geometry refuses the trilinear stream at build, and the
+    # impl resolver falls back off the corner mode for hex27 meshes
+    import dataclasses
+
+    from fustpu.elements.hex import hex8_tabulate
+    from fustpu.mesh.unstructured import from_box
+    from fustpu.ops import pallas_extruded as pex
+
+    lat3 = np.array([[i / 2, j / 2, k / 2] for i in range(3)
+                     for j in range(3) for k in range(3)])
+    bm = build_box_mesh((2, 2, 3), 2)
+    um = from_box(bm, shuffle_seed=11)
+    vals, _ = hex8_tabulate(lat3)
+    gl = np.einsum("qv,cvd->cqd", vals, um.vertices[um.cells])
+    curved = as_extruded(dataclasses.replace(um, geom_nodes=gl))
+    assert curved is not None and curved.geom_nodes is not None
+    with pytest.raises(ValueError, match="trilinear"):
+        pex.corner_stream(curved)
+    from fustpu.models.discretization import resolve_stiffness_impl
+
+    d2 = Discretization(curved, jnp.float64)
+    assert resolve_stiffness_impl("pallas_corner", d2) != \
+        "extruded_pallas_corner"

@@ -704,3 +704,26 @@ def test_dist_snapshot_unstructured(tmp_path):
     w = ShardSnapshotWriter(d2, sm)
     w.write("u", ss.u)
     assert np.array_equal(assemble_snapshot(d2, "u"), sm.collect(ss.u))
+
+
+def test_sharded_extruded_corner_capacity_mode():
+    """The corner-streamed (37-floats/cell) capacity kernel through
+    ExtrudedShardedModel == single-device XLA solve at 1e-12 — the
+    sharded configuration for >10^8-DOF imported meshes (uniform AND
+    heterogeneous-pair forms)."""
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    model = _cyl_model(WesterveltModel)
+    m = WesterveltModel(model.mesh, model.material, model.source,
+                        model.mesh.boundary_facets(1),
+                        model.mesh.boundary_facets(2), dtype=jnp.float64,
+                        stiffness_impl="pallas_corner")
+    assert m.impl == "extruded_pallas" and m._ext_corner
+    dt, _ = model.cfl_dt(0.4)
+    ref, _ = model.solve(model.init_state(), dt, 10)
+    sm = ExtrudedShardedModel(m, num_devices=8)
+    assert sm._ext_corner
+    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
+           / np.linalg.norm(np.asarray(ref.u)))
+    assert err < 1e-12, err
