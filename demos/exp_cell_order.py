@@ -48,6 +48,11 @@ def order_variants(mesh):
         keys = tuple(cent[:, a] for a in range(3) if a != ax) \
             + (cent[:, ax],)
         yield name, np.lexsort(keys)
+    from fustpu.mesh.unstructured import _rcm_order
+
+    rcm = _rcm_order(mesh)
+    if rcm is not None:
+        yield "rcm", rcm
 
 
 def span_stats(dofmap, ndofs):

@@ -308,6 +308,35 @@ def reorder_cells(mesh: UnstructuredHexMesh,
     return out
 
 
+def _rcm_order(mesh: UnstructuredHexMesh) -> np.ndarray | None:
+    """Reverse Cuthill-McKee over the cell face-adjacency graph: the
+    graph-topological front minimiser (an axis sweep is its geometric
+    special case — RCM also handles curved/bent domains where no single
+    axis bounds the front).  Evaluated as one more locality_order
+    candidate on the engine's actual window metric."""
+    try:
+        from scipy import sparse
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+    except ImportError:  # pragma: no cover - scipy is in the image
+        return None
+
+    nc = mesh.num_cells
+    fk = face_keys(mesh.cells).reshape(nc * 6, 4)
+    order = np.lexsort(fk.T[::-1])
+    sk = fk[order]
+    same = np.all(sk[1:] == sk[:-1], axis=1)
+    i = order[:-1][same] // 6
+    j = order[1:][same] // 6
+    if i.size == 0:
+        return None
+    A = sparse.coo_matrix(
+        (np.ones(i.size * 2),
+         (np.concatenate([i, j]), np.concatenate([j, i]))),
+        shape=(nc, nc)).tocsr()
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                      np.int64)
+
+
 def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
     """Reorder cells along the axis sweep that minimises the gather/
     scatter engine's window size.
@@ -335,6 +364,9 @@ def locality_order(mesh: UnstructuredHexMesh) -> UnstructuredHexMesh:
         keys = tuple(cent[:, a] for a in range(3) if a != ax) \
             + (cent[:, ax],)
         cands.append(np.lexsort(keys))
+    rcm = _rcm_order(mesh)
+    if rcm is not None:
+        cands.append(rcm)
     best, best_cost = None, None
     for perm in cands:
         flat = (inv2 if perm is None else inv2[perm]).reshape(-1)
