@@ -454,6 +454,217 @@ def _apply_slab2(op: PallasStiffness2, x: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Two-slab FULL-WIDTH kernel (EXPERIMENTAL — the one dispatch-widening
+# form the slab2 negative left untried, VERDICT r4 #8): slabs i and
+# i + ncx/2 packed CONTIGUOUSLY on the lane axis (lanes [0:ez] slab A,
+# [ez:2ez] slab B — both halves real work), so every plane op runs once
+# at (ey, 2ez) with NO partial-lane writes: the packing happens inside
+# full-width MATMULS against [WzT | 0] / [0 | WzT] placement matrices
+# and a block-diagonal Dez2, never via lane-slice assignment (the
+# vectorization cliff that sank slab2).  Far pairing makes the two
+# sweeps independent (two lane-blocked x-carries); the halves' outputs
+# are stitched in XLA.  Real-lane fraction rises from ez/pad(ez) to
+# 2ez/pad(2ez) (160/256 -> 320/384 at ncz=32, P=4) — also the lane-pad
+# tax lever CLAUDE.md names for the P=8..10 knee.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class PallasStiffness2W:
+    """Full-width two-slab operator: G packed (ncx2, n, 6, ey, 2ez)
+    with slab i in lanes [0:ez] and slab ncx2+i in [ez:2ez] (zero-G
+    ghost slab pads odd ncx); WzTA/WzTB are the (gz, 2ez) half-placement
+    windows, Dez2 the (2ez, 2ez) block-diagonal z derivative."""
+
+    def __init__(self, G2, Wy, WzTA, WzTB, Dey, Dez2, statics: tuple):
+        self.G2 = G2
+        self.Wy = Wy
+        self.WzTA = WzTA
+        self.WzTB = WzTB
+        self.Dey = Dey
+        self.Dez2 = Dez2
+        self.statics = statics  # (D_host, ncx_true, ez)
+
+    def tree_flatten(self):
+        return ((self.G2, self.Wy, self.WzTA, self.WzTB, self.Dey,
+                 self.Dez2), self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+def build_slab2w(nc, P: int, D_1d: np.ndarray, G_cells: np.ndarray, dtype,
+                 coeff: np.ndarray | None = None) -> PallasStiffness2W:
+    n = P + 1
+    ncx, ncy, ncz = nc
+    ez = ncz * n
+    gz = ncz * P + 1
+    Gp = pack_G(G_cells, nc, n, coeff)               # (ncx, n, 6, ey, ez)
+    ncx2 = -(-ncx // 2)
+    G2 = np.zeros((2 * ncx2, n, 6, ncy * n, ez))
+    G2[:ncx] = Gp
+    # far pairing: lanes [0:ez] slab i, [ez:2ez] slab ncx2 + i
+    G2 = np.concatenate([G2[:ncx2], G2[ncx2:]], axis=4)
+    WzT = mm.window_matrix(ncz, P).T                 # (gz, ez)
+    WzTA = np.zeros((gz, 2 * ez))
+    WzTA[:, :ez] = WzT
+    WzTB = np.zeros((gz, 2 * ez))
+    WzTB[:, ez:] = WzT
+    Dez = mm.deriv_block_matrix(ncz, D_1d)
+    Dez2 = np.zeros((2 * ez, 2 * ez))
+    Dez2[:ez, :ez] = Dez
+    Dez2[ez:, ez:] = Dez
+    return PallasStiffness2W(
+        G2=jnp.asarray(np.ascontiguousarray(G2), dtype),
+        Wy=jnp.asarray(mm.window_matrix(ncy, P), dtype),
+        WzTA=jnp.asarray(WzTA, dtype),
+        WzTB=jnp.asarray(WzTB, dtype),
+        Dey=jnp.asarray(mm.deriv_block_matrix(ncy, D_1d), dtype),
+        Dez2=jnp.asarray(Dez2, dtype),
+        statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))), ncx, ez),
+    )
+
+
+def _mk_kernel_slab2w(n: int, P: int, ncx2: int, D: tuple, precision):
+    """Per grid step i: slabs i (lanes [0:ez]) and ncx2+i ([ez:2ez]).
+    Identical phase structure to the production kernel with every plane
+    (ey, 2ez); the ONLY half-aware pieces are the placement-matmul
+    expansion/fold and the two (gy, gz) carry planes."""
+    D = tuple(tuple(float(v) for v in row) for row in D)
+
+    def kernel(*refs):
+        x_refs = refs[:2 * n]
+        (G_ref, Wy_ref, WzTA_ref, WzTB_ref, Dey_ref, Dez2_ref, o_ref,
+         u_sc, r_sc, xc_sc) = refs[2 * n:]
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        C10 = ((1,), (0,))
+
+        @pl.when(jnp.logical_and(i < ncx2, s == 0))
+        def _expand():
+            Wy = Wy_ref[...]
+            WzH = (WzTA_ref[...], WzTB_ref[...])
+            for p in range(n):
+                acc = None
+                for h in range(2):
+                    t = matmul(Wy, x_refs[h * n + p][0], C10,
+                               a_exact=True)
+                    term = matmul(t, WzH[h], C10, b_exact=True)
+                    acc = term if acc is None else acc + term
+                u_sc[p] = acc
+            r_sc[...] = jnp.zeros(r_sc.shape, r_sc.dtype)
+
+        for q in range(n):
+            @pl.when(jnp.logical_and(i < ncx2, s == q))
+            def _plane(q=q):
+                Dey, Dez2 = Dey_ref[...], Dez2_ref[...]
+                u_q = u_sc[q]                     # (ey, 2ez) both slabs
+                wx = None
+                for r in range(n):
+                    term = D[q][r] * u_sc[r]
+                    wx = term if wx is None else wx + term
+                wy = matmul(Dey, u_q, C10)
+                wz = matmul(u_q, Dez2, ((1,), (1,)))
+                G = lambda m: G_ref[0, 0, m]
+                f0 = G(0) * wx + G(1) * wy + G(2) * wz
+                f1 = G(1) * wx + G(3) * wy + G(4) * wz
+                f2 = G(2) * wx + G(4) * wy + G(5) * wz
+                ryz = (matmul(Dey, f1, ((0,), (0,)))
+                       + matmul(f2, Dez2, C10))
+                for p in range(n):
+                    add = D[q][p] * f0 + (ryz if p == q else 0.0)
+                    r_sc[p] += add
+
+        @pl.when(jnp.logical_and(i < ncx2, s == n - 1))
+        def _fold():
+            Wy = Wy_ref[...]
+            WzH = (WzTA_ref[...], WzTB_ref[...])
+            for h in range(2):
+                for p in range(n):
+                    z = matmul(r_sc[p], WzH[h], ((1,), (1,)),
+                               b_exact=True)
+                    F = matmul(Wy, z, ((0,), (0,)), a_exact=True)
+                    if p == 0:
+                        o_ref[h * P] = F + jnp.where(
+                            i > 0, xc_sc[h],
+                            jnp.zeros(F.shape, f32))
+                    elif p < P:
+                        o_ref[h * P + p] = F
+                    else:
+                        xc_sc[h] = F
+
+        @pl.when(jnp.logical_and(i == ncx2, s == n - 1))
+        def _flush():
+            o_ref[0] = xc_sc[0]
+            o_ref[P] = xc_sc[1]
+            for p in range(1, P):
+                o_ref[p] = jnp.zeros_like(xc_sc[0])
+                o_ref[P + p] = jnp.zeros_like(xc_sc[0])
+
+    return kernel
+
+
+def _apply_slab2w(op: PallasStiffness2W, x: jax.Array,
+                  interpret: bool = False, precision="auto") -> jax.Array:
+    if precision == "auto":
+        precision = _HI if x.dtype == jnp.float64 else "bf16x3"
+    D_host, ncx, ez = op.statics
+    ncx2, n = op.G2.shape[0], op.G2.shape[1]
+    ey = op.Dey.shape[0]
+    gx, gy, gz = x.shape
+    P = n - 1
+
+    def x_spec(h, p):
+        # half h reads the planes of slab i (h=0) / slab ncx2+i (h=1);
+        # ghost-slab reads clamp to the last plane (zero G kills them)
+        return pl.BlockSpec(
+            (1, gy, gz),
+            lambda i, s, h=h, p=p: (
+                jnp.minimum((h * ncx2 + i) * P + p, gx - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def g_index(i, s):
+        return (jnp.minimum(i, ncx2 - 1),
+                jnp.where(i == ncx2, n - 1, s), 0, 0, 0)
+
+    kernel = _mk_kernel_slab2w(n, P, ncx2, D_host, precision)
+    vmem = pltpu.VMEM
+    dtype = x.dtype
+    mats = [op.Wy, op.WzTA, op.WzTB, op.Dey, op.Dez2]
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncx2 + 1, n),
+        in_specs=[x_spec(h, p) for h in range(2) for p in range(n)] + [
+            pl.BlockSpec((1, 1, 6, ey, 2 * ez), g_index,
+                         memory_space=vmem),
+        ] + [pl.BlockSpec(memory_space=vmem) for _ in mats],
+        out_specs=pl.BlockSpec((2 * P, gy, gz), lambda i, s: (i, 0, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct(((ncx2 + 1) * 2 * P, gy, gz),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, ey, 2 * ez), dtype),
+            pltpu.VMEM((n, ey, 2 * ez), dtype),
+            pltpu.VMEM((2, gy, gz), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*[x] * (2 * n), op.G2, *mats)
+    # stitch: half A owns global planes [0, ncx2*P] (flush plane last),
+    # half B owns [ncx2*P, 2*ncx2*P] — they overlap-add at the seam
+    o4 = out.reshape(ncx2 + 1, 2 * P, gy, gz)
+    a = o4[:, :P].reshape((ncx2 + 1) * P, gy, gz)
+    b = o4[:, P:].reshape((ncx2 + 1) * P, gy, gz)
+    seam = ncx2 * P
+    y = jnp.concatenate(
+        [a[:seam], (a[seam] + b[0])[None], b[1:seam + 1]], axis=0)
+    return y[:gx]
+
+
+# ---------------------------------------------------------------------------
 # Pair kernel: y = A_c1(x1) + A_c2(x2) in ONE fused pass.  Per-cell
 # coefficients commute with the within-cell contractions in the expanded
 # layout, so the two fields combine right after window expansion

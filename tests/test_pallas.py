@@ -380,3 +380,24 @@ def test_pallas_bf16x3w_accuracy(P):
     y3 = _run_pallas(mesh, P, coeff, x, "bf16x3")
     drift = np.linalg.norm(yw - y3) / np.linalg.norm(y3)
     assert drift < 1e-6, drift
+
+
+def test_slab2w_kernel_matches_mm():
+    """The full-width two-slab kernel (far pairing, placement-matmul
+    packing — the dispatch-widening form slab2's partial-lane cliff left
+    untried, VERDICT r4 #8) must be exact, including odd slab counts
+    (zero-G ghost) and the seam overlap-add between the two sweeps."""
+    for nc in [(4, 3, 2), (5, 2, 3)]:
+        P = 3
+        mesh = build_box_mesh(nc, P, perturb=0.12, seed=5)
+        _, G = pre.cell_geometry_factors(mesh)
+        elem = HexElement(P)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            mesh.grid_shape), jnp.float64)
+        op_m = mm.build_stiffness(mesh.nc, P, elem.deriv_1d, G,
+                                  jnp.float64)
+        yr = mm.stiffness_apply_mm(op_m, x)
+        op2 = ps.build_slab2w(mesh.nc, P, elem.deriv_1d, G, jnp.float64)
+        y2 = ps._apply_slab2w(op2, x, interpret=True, precision=ps._HI)
+        err = float(jnp.linalg.norm(y2 - yr) / jnp.linalg.norm(yr))
+        assert err < 1e-12, (nc, err)
