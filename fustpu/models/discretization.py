@@ -145,8 +145,10 @@ class Discretization:
         from fustpu.ops import pallas_extruded as pex
 
         mesh = self.mesh
+        g = 1 if mesh.geom_nodes is None else 2
         return pex.ext_pallas_fits(self.P + 1, mesh.nstacks, mesh.nz,
-                                   mesh.gz, pair=pair, corner=corner)
+                                   mesh.gz, pair=pair, corner=corner,
+                                   geom_deg=g)
 
     @functools.cached_property
     def indexed_engine(self):
@@ -277,10 +279,9 @@ def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
             if impl in ("extruded", "extruded_pallas"):
                 return impl
             if impl in ("pallas_corner", "extruded_pallas_corner"):
-                # capacity mode: 37-floats/cell geometry stream
-                # (trilinear only — curved hex27 keeps the G stream)
-                if (disc.mesh.geom_nodes is None
-                        and disc.ext_pallas_fits(corner=True)):
+                # capacity mode: per-cell monomial geometry stream
+                # (37 channels trilinear, 163 for curved hex27 prisms)
+                if disc.ext_pallas_fits(corner=True):
                     return "extruded_pallas_corner"
             return ("extruded_pallas"
                     if on_tpu() and disc.ext_pallas_fits() else "extruded")

@@ -51,8 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fustpu.ops import spectral_mm as mm
-from fustpu.ops.pallas_stiffness import (_mk_matmul, _pad,
-                                         jacobian_coefficients)
+from fustpu.ops.pallas_stiffness import _mk_matmul, _pad
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -109,26 +108,27 @@ class PallasExtrudedPair:
 @jax.tree_util.register_pytree_node_class
 class PallasExtrudedCorner:
     """Memory-CAPACITY variant: instead of the (n^2, 6, ns_pad, ez) metric
-    stream (6 floats per quadrature point), the geometry travels as the 37
-    trilinear Jacobian monomial coefficients PER CELL
-    (pallas_stiffness.jacobian_coefficients — the same stream the
-    structured corner kernel uses) and adj(J)/det(J) is evaluated on the
-    VPU inside the kernel.  ~20x less geometry HBM at P=4 — the mode that
-    takes imported prismatic meshes past the G-stream capacity wall (the
+    stream (6 floats per quadrature point), the geometry travels as the
+    Jacobian monomial coefficients PER CELL — 37 channels for trilinear
+    hex8 cells, 163 for curved (triquadratic hex27) prisms — and
+    adj(J)/det(J) is evaluated on the VPU inside the kernel.  ~20x less
+    geometry HBM at P=4 trilinear (~4.6x hex27) — the mode that takes
+    imported prismatic meshes past the G-stream capacity wall (the
     reference's 10^8+-DOF MPI configs, BASELINE.md;
     /root/reference/cuda/scatterer.py:104-277 is the capability the scale
-    targets).  Trilinear (hex8) geometry only — curved hex27 prisms keep
-    the G stream.
+    targets).
 
-    T:    (37, nz, ns_pad) monomial stream, stack minor (padding stacks
-          carry IDENTITY geometry with a ZERO coefficient channel — their
-          contributions vanish without 0/0 in the det division)
+    T:    (nch+1, nz, ns_pad) monomial stream, stack minor (padding
+          stacks carry IDENTITY geometry with a ZERO coefficient
+          channel — their contributions vanish without 0/0 in the det
+          division)
     rows: (n^2, ns_pad) int32 row gather/scatter indices
     ce:   None, or (2, ns_pad, ez) pair coefficient planes (then the
-          stream's channel 36 is 1 and the two fields combine at u)
+          stream's coefficient channel is 1 and the two fields combine
+          at u)
     Uz:   (nz, ez) 0/1 layer -> z-lane expansion
     zrow: (1, ez) local xi_z per z lane;  wzrow: (1, ez) 1D GLL weight
-    statics: (D, XQ, WQ, S, pair)
+    statics: (D, XQ, WQ, S, pair, geom_deg)
     """
 
     def __init__(self, T, rows, ce, Uz, zrow, wzrow, WzT, Dz,
@@ -157,7 +157,8 @@ class PallasExtrudedCorner:
 # ---------------------------------------------------------------------------
 
 def _ext_vmem_bytes(n: int, S: int, ez: int, gz: int, pair: bool,
-                    itemsize: int = 4, corner: bool = False) -> int:
+                    itemsize: int = 4, corner: bool = False,
+                    geom_deg: int = 1) -> int:
     """Estimated VMEM footprint: 4 full-plane scratch sets (u / wx / wy /
     wz, transform in place, reverse reuses u), double-buffered in/out/G
     blocks, the z matrices, and live temporaries.  Corner mode swaps the
@@ -170,7 +171,8 @@ def _ext_vmem_bytes(n: int, S: int, ez: int, gz: int, pair: bool,
     out = 2 * q * gzp
     if corner:
         nz = ez // n
-        gblk = 2 * 37 * nz * _pad(S, 128) + 37 * S * ezp
+        nch = (37 if geom_deg == 1 else 163)
+        gblk = 2 * nch * nz * _pad(S, 128) + nch * S * ezp
         temps = 18 * S * ezp + 2 * q * ezp
     else:
         gblk = 2 * 6 * S * ezp
@@ -184,8 +186,8 @@ _S_CANDIDATES = (256, 192, 160, 128, 96, 80, 64, 48, 40, 32, 24, 16, 8)
 
 
 def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
-                     pair: bool = False, corner: bool = False
-                     ) -> int | None:
+                     pair: bool = False, corner: bool = False,
+                     geom_deg: int = 1) -> int | None:
     """Largest stack-batch size (multiple of 8) whose working set fits
     VMEM; None when even S=8 does not fit (very deep extrusions — the
     XLA factorized path remains).
@@ -211,16 +213,17 @@ def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
     for S in _S_CANDIDATES:
         if S > cap:
             continue
-        if _ext_vmem_bytes(n, S, ez, gz, pair,
-                           corner=corner) < 14 * 2**20:
+        if _ext_vmem_bytes(n, S, ez, gz, pair, corner=corner,
+                           geom_deg=geom_deg) < 14 * 2**20:
             return S
     return None
 
 
 def ext_pallas_fits(n: int, ns: int, nz: int, gz: int,
-                    pair: bool = False, corner: bool = False) -> bool:
-    return pick_stack_batch(n, ns, nz * n, gz, pair,
-                            corner=corner) is not None
+                    pair: bool = False, corner: bool = False,
+                    geom_deg: int = 1) -> bool:
+    return pick_stack_batch(n, ns, nz * n, gz, pair, corner=corner,
+                            geom_deg=geom_deg) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -300,35 +303,114 @@ def build_extruded_pair(mesh, G_cells, D_1d, dtype, c1_cells,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _monomial_table(g: int):
+    """Static evaluation table for the in-kernel Jacobian reconstruction
+    at geometry order `g` (1 = trilinear hex8, 2 = triquadratic hex27).
+    Returns (nch, table) with table[q][p] = [(channel, mx, my, mz), ...]:
+    J[p][q] = sum over entries of xi_x^mx * xi_y^my * xi_z^mz * T[ch].
+    Channel nch (one past the last Jacobian channel) is reserved for the
+    per-cell coefficient."""
+    idx = 0
+    table = [[None] * 3 for _ in range(3)]
+    for q in range(3):                     # derivative direction
+        degs = [g, g, g]
+        degs[q] = g - 1
+        for p in range(3):                 # physical component
+            entries = []
+            for mx in range(degs[0] + 1):
+                for my in range(degs[1] + 1):
+                    for mz in range(degs[2] + 1):
+                        entries.append((idx, mx, my, mz))
+                        idx += 1
+            table[q][p] = tuple(entries)
+    return idx, tuple(tuple(col) for col in table)
+
+
+# quadratic Lagrange on nodes {0, 1/2, 1} -> monomial {1, t, t^2}
+_L2_TO_MONO = np.array([[1.0, -3.0, 2.0],
+                        [0.0, 4.0, -4.0],
+                        [0.0, -1.0, 2.0]])
+
+
+def _map_monomials(mesh) -> np.ndarray:
+    """(cells, 3, gx+1, gy+1, gz+1) monomial coefficients of the cell
+    geometry map x(xi) on the unit reference cell, at the mesh's
+    geometry order (trilinear from the canonical corners, triquadratic
+    from the hex27 lattice)."""
+    if mesh.geom_nodes is None:
+        Cg = mesh.cell_corners_flat.reshape(-1, 2, 2, 2, 3)
+        nc = Cg.shape[0]
+        C = np.zeros((nc, 3, 2, 2, 2))
+        a000 = Cg[:, 0, 0, 0]
+        a100 = Cg[:, 1, 0, 0] - a000
+        a010 = Cg[:, 0, 1, 0] - a000
+        a001 = Cg[:, 0, 0, 1] - a000
+        a110 = Cg[:, 1, 1, 0] - Cg[:, 1, 0, 0] - Cg[:, 0, 1, 0] + a000
+        a101 = Cg[:, 1, 0, 1] - Cg[:, 1, 0, 0] - Cg[:, 0, 0, 1] + a000
+        a011 = Cg[:, 0, 1, 1] - Cg[:, 0, 1, 0] - Cg[:, 0, 0, 1] + a000
+        a111 = (Cg[:, 1, 1, 1] - Cg[:, 1, 1, 0] - Cg[:, 1, 0, 1]
+                - Cg[:, 0, 1, 1] + Cg[:, 1, 0, 0] + Cg[:, 0, 1, 0]
+                + Cg[:, 0, 0, 1] - a000)
+        for (i, j, k), v in (((0, 0, 0), a000), ((1, 0, 0), a100),
+                             ((0, 1, 0), a010), ((0, 0, 1), a001),
+                             ((1, 1, 0), a110), ((1, 0, 1), a101),
+                             ((0, 1, 1), a011), ((1, 1, 1), a111)):
+            C[:, :, i, j, k] = v
+        return C
+    gn = np.asarray(mesh.geom_nodes, np.float64)      # (cells, 27, 3)
+    g3 = gn.reshape(-1, 3, 3, 3, 3)                   # (c, i, j, k, p)
+    M = _L2_TO_MONO
+    return np.einsum("cijkp,ia,jb,kd->cpabd", g3, M, M, M,
+                     optimize=True)
+
+
 def corner_stream(mesh, coeff: np.ndarray | None = None) -> np.ndarray:
-    """(ns, nz, 37) float64 trilinear Jacobian monomial coefficients in
-    stack order (fustpu.ops.pallas_stiffness.jacobian_coefficients on the
-    canonical cell corners), with an optional per-cell coefficient folded
-    into channel 36.  Refuses curved (hex27) geometry — the trilinear
-    monomials cannot represent the quadratic map."""
-    if mesh.geom_nodes is not None:
-        raise ValueError("corner stream is trilinear-only; curved hex27 "
-                         "meshes keep the G stream")
+    """(ns, nz, nch+1) float64 Jacobian monomial coefficients in stack
+    order — the _monomial_table(g) channel layout with an optional
+    per-cell coefficient folded into the last channel.  Trilinear hex8
+    meshes carry 37 channels; curved hex27 prisms carry 163 (the
+    quadratic-map equivalent, VERDICT r4 #4)."""
+    g = 1 if mesh.geom_nodes is None else 2
+    nch, table = _monomial_table(g)
     ns, nz = mesh.nstacks, mesh.nz
     order = mesh.stack_cells.reshape(-1)
-    corners = mesh.cell_corners_flat[order]
-    c = (None if coeff is None
-         else np.asarray(coeff, np.float64).reshape(-1)[order])
-    return jacobian_coefficients(corners, c).reshape(ns, nz, 37)
+    C = _map_monomials(mesh)[order]       # (cells, 3, gx+1, gy+1, gz+1)
+    nc = C.shape[0]
+    T = np.empty((nc, nch + 1))
+    for q in range(3):
+        ax = 2 + q                        # monomial axis of direction q
+        # derivative along q: coefficient (m+1) * C[..., m+1, ...]
+        Dq = np.moveaxis(np.moveaxis(C, ax, -1)[..., 1:]
+                         * np.arange(1, g + 1), -1, ax)
+        for p in range(3):
+            for ch, mx, my, mz in table[q][p]:
+                T[:, ch] = Dq[:, p, mx, my, mz]
+    T[:, nch] = (1.0 if coeff is None
+                 else np.asarray(coeff, np.float64).reshape(-1)[order])
+    return T.reshape(ns, nz, nch + 1)
 
 
-_T_IDENTITY = np.zeros(37)
-# identity Jacobian for padding stacks: J[p][q] = delta_pq constant term,
-# coefficient channel 0 -> zero contribution without 0/0 in the division
-_T_IDENTITY[[0, 12 + 4, 24 + 8]] = 1.0
+def _t_identity(g: int) -> np.ndarray:
+    """Identity-Jacobian channel vector for padding stacks: J[p][q] =
+    delta_pq constant term, coefficient channel 0 — zero contribution
+    without 0/0 in the det division."""
+    nch, table = _monomial_table(g)
+    t = np.zeros(nch + 1)
+    for q in range(3):
+        for ch, mx, my, mz in table[q][q]:
+            if mx == my == mz == 0:
+                t[ch] = 1.0
+    return t
 
 
-def _pack_corner(Tsn: np.ndarray, rows2d: np.ndarray, S: int):
-    """(ns, nz, 37) + (ns, n^2) -> ((37, nz, ns_pad), (n^2, ns_pad))."""
+def _pack_corner(Tsn: np.ndarray, rows2d: np.ndarray, S: int, g: int):
+    """(ns, nz, nch+1) + (ns, n^2) -> ((nch+1, nz, ns_pad),
+    (n^2, ns_pad)), identity-padded."""
     ns, nz = Tsn.shape[0], Tsn.shape[1]
     ns_pad = -(-ns // S) * S
-    Tt = np.empty((37, nz, ns_pad))
-    Tt[:, :, :] = _T_IDENTITY[:, None, None]
+    Tt = np.empty((Tsn.shape[2], nz, ns_pad))
+    Tt[:, :, :] = _t_identity(g)[:, None, None]
     Tt[:, :, :ns] = Tsn.transpose(2, 1, 0)
     n2 = rows2d.shape[1]
     rows_t = np.zeros((n2, ns_pad), np.int32)
@@ -364,14 +446,16 @@ def build_extruded_corner(mesh, D_1d, dtype,
     pair = c1_cells is not None
     if pair and coeff is not None:
         raise ValueError("coeff and pair coefficients are exclusive")
+    g = 1 if mesh.geom_nodes is None else 2
     n = mesh.degree + 1
     gz = mesh.gz
     S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=pair,
-                         corner=True)
+                         corner=True, geom_deg=g)
     if S is None:
         raise ValueError("no VMEM-feasible stack batch for the corner "
                          "kernel")
-    Tt, rows_t = _pack_corner(corner_stream(mesh, coeff), mesh.rows2d, S)
+    Tt, rows_t = _pack_corner(corner_stream(mesh, coeff), mesh.rows2d, S,
+                              g)
     ns_pad = Tt.shape[2]
     ce = None
     if pair:
@@ -391,7 +475,7 @@ def build_extruded_corner(mesh, D_1d, dtype,
         WzT=jnp.asarray(mm.window_matrix(mesh.nz, mesh.degree).T, dtype),
         Dz=jnp.asarray(mm.deriv_block_matrix(mesh.nz, D_1d), dtype),
         statics=(tuple(map(tuple, np.asarray(D_1d, np.float64))),
-                 XQ, WQ, S, pair),
+                 XQ, WQ, S, pair, g),
     )
 
 
@@ -406,6 +490,8 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
     if corner:
         XQ = tuple(float(v) for v in corner[0])
         WQ = tuple(float(v) for v in corner[1])
+        geom_deg = corner[2]
+        nch, jtable = _monomial_table(geom_deg)
 
     def kernel(*refs):
         if pair:
@@ -465,18 +551,20 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
                         acc = t if acc is None else acc + t
                     wy_sc[pslice(i * n + b)] = acc
             if corner:
-                # expand the 37 monomial channels to (S, ez) planes once
-                # per stack batch (37 exact-placement matmuls against the
-                # 0/1 layer->lane map); the z quadrature weights fold
-                # into the coefficient channel here
+                # expand the monomial channels (37 trilinear / 163
+                # triquadratic) to (S, ez) planes once per stack batch
+                # (exact-placement matmuls against the 0/1 layer->lane
+                # map); the z quadrature weights fold into the
+                # coefficient channel here
                 Uz = Uz_ref[...]
-                for m in range(37):
+                for m in range(nch + 1):
                     p = matmul(G_ref[m], Uz, ((0,), (0,)), b_exact=True)
-                    jp_sc[m] = p * wzrow_ref[...] if m == 36 else p
+                    jp_sc[m] = p * wzrow_ref[...] if m == nch else p
 
         if corner:
             # geometry reconstruction + metric transform at footprint
-            # node q = (a, b): J columns are the trilinear monomials at
+            # node q = (a, b): J entries are the map's derivative
+            # monomials (table-driven — order 1 or 2) evaluated at
             # (XQ[a], XQ[b], zrow); G = scale * adj(J) adj(J)^T / |det|
             # applied in factored form (t = a^T w, f = scale * a t) —
             # the extruded analogue of the structured corner kernel's
@@ -488,26 +576,32 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
                     wq = WQ[q // n] * WQ[q % n]
                     dsl = pl.ds(q * S, S)
                     zrow = zrow_ref[...]
-                    jp = lambda m: jp_sc[m]
+                    zpow = [None, zrow]
+                    if geom_deg > 1:
+                        zpow.append(zrow * zrow)
 
-                    def J0(p):
-                        return ((jp(4 * p) + yb * jp(4 * p + 1))
-                                + zrow * (jp(4 * p + 2)
-                                          + yb * jp(4 * p + 3)))
+                    def J(col, p):
+                        # group by z power: one plane-FMA chain per
+                        # z-power, scalar xy weights folded host-side
+                        acc = None
+                        for mz in range(geom_deg + 1):
+                            zacc = None
+                            for ch, mx, my, mz_ in jtable[col][p]:
+                                if mz_ != mz:
+                                    continue
+                                w = (xa ** mx) * (yb ** my)
+                                t = w * jp_sc[ch]
+                                zacc = t if zacc is None else zacc + t
+                            if zacc is None:
+                                continue
+                            if zpow[mz] is not None:
+                                zacc = zacc * zpow[mz]
+                            acc = zacc if acc is None else acc + zacc
+                        return acc
 
-                    def J1(p):
-                        return ((jp(12 + 4 * p) + xa * jp(13 + 4 * p))
-                                + zrow * (jp(14 + 4 * p)
-                                          + xa * jp(15 + 4 * p)))
-
-                    def J2(p):
-                        return (jp(24 + 4 * p) + xa * jp(25 + 4 * p)
-                                + yb * jp(26 + 4 * p)
-                                + (xa * yb) * jp(27 + 4 * p))
-
-                    J00, J10, J20 = J0(0), J0(1), J0(2)
-                    J01, J11, J21 = J1(0), J1(1), J1(2)
-                    J02, J12, J22 = J2(0), J2(1), J2(2)
+                    J00, J10, J20 = J(0, 0), J(0, 1), J(0, 2)
+                    J01, J11, J21 = J(1, 0), J(1, 1), J(1, 2)
+                    J02, J12, J22 = J(2, 0), J(2, 1), J(2, 2)
                     a00 = J11 * J22 - J12 * J21
                     a01 = J02 * J21 - J01 * J22
                     a02 = J01 * J12 - J02 * J11
@@ -518,7 +612,7 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
                     a21 = J01 * J20 - J00 * J21
                     a22 = J00 * J11 - J01 * J10
                     det = J00 * a00 + J01 * a10 + J02 * a20
-                    scale = (wq * jp(36)) / jnp.abs(det)
+                    scale = (wq * jp_sc[nch]) / jnp.abs(det)
                     wx = wx_sc[dsl]
                     wy = wy_sc[dsl]
                     wz = wz_sc[dsl]
@@ -564,8 +658,8 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
 def _call(op, gs, pair: bool, interpret: bool, precision):
     corner = isinstance(op, PallasExtrudedCorner)
     if corner:
-        D_host, XQ, WQ, S, _ = op.statics
-        _, nz, ns_pad = op.T.shape
+        D_host, XQ, WQ, S, _, geom_deg = op.statics
+        nch1, nz, ns_pad = op.T.shape
         n2 = op.rows.shape[0]
         ez = nz * int(round(n2 ** 0.5))
     else:
@@ -581,7 +675,7 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
     mats = ([op.Uz, op.zrow, op.wzrow] if corner else []) \
         + [op.WzT, op.Dz]
     kernel = _mk_kernel(n, S, D_host, precision, pair,
-                        corner=(XQ, WQ) if corner else None)
+                        corner=(XQ, WQ, geom_deg) if corner else None)
     vmem = pltpu.VMEM
     io_spec = pl.BlockSpec((n2, S, gz), lambda b, s: (0, b, 0),
                            memory_space=vmem)
@@ -593,7 +687,7 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
         args.append(op.ce)
     if corner:
         # whole monomial block per stack batch (geometry is tiny now)
-        in_specs.append(pl.BlockSpec((37, nz, S),
+        in_specs.append(pl.BlockSpec((nch1, nz, S),
                                      lambda b, s: (0, 0, b),
                                      memory_space=vmem))
         args.append(op.T)
@@ -606,7 +700,7 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
     args += mats
     scratch = [pltpu.VMEM((n2 * S, ez), dtype) for _ in range(4)]
     if corner:
-        scratch.append(pltpu.VMEM((37, S, ez), dtype))
+        scratch.append(pltpu.VMEM((nch1, S, ez), dtype))
     return pl.pallas_call(
         kernel,
         grid=(nb, n2),

@@ -169,8 +169,10 @@ class ExtrudedShardedModel:
         if self._ext_pallas:
             from fustpu.ops import pallas_extruded as pex
 
+            geom_deg = 1 if mesh.geom_nodes is None else 2
             S_b = pex.pick_stack_batch(n, smax, ez, gz, pair=hetero_pair,
-                                       corner=self._ext_corner)
+                                       corner=self._ext_corner,
+                                       geom_deg=geom_deg)
             if S_b is None:  # pragma: no cover - guarded by model resolve
                 raise ValueError("no VMEM-feasible stack batch per device")
             smax_pad = -(-smax // S_b) * S_b
@@ -197,13 +199,14 @@ class ExtrudedShardedModel:
             lin_hetero = not model.uniform and self.kind == "linear"
             D_t = tuple(map(tuple, np.asarray(disc._D_host, np.float64)))
             if self._ext_corner:
-                # capacity mode: per-device 37-channel monomial streams
-                # (identity-padded) instead of the 6/quad-point G
+                # capacity mode: per-device monomial streams (37
+                # channels trilinear / 163 hex27, identity-padded)
+                # instead of the 6/quad-point G
                 Tall = pex.corner_stream(
                     mesh, np.broadcast_to(-1.0 / rho_f, nc_)
-                    if lin_hetero else None)           # (ns, nz, 37)
-                Tc = np.empty((k, 37, mesh.nz, smax_pad))
-                Tc[:] = pex._T_IDENTITY[None, :, None, None]
+                    if lin_hetero else None)        # (ns, nz, nch+1)
+                Tc = np.empty((k, Tall.shape[2], mesh.nz, smax_pad))
+                Tc[:] = pex._t_identity(geom_deg)[None, :, None, None]
                 for d in range(k):
                     Tc[d, :, :, :len(stacks_of[d])] = Tall[
                         stacks_of[d]].transpose(2, 1, 0)
@@ -212,7 +215,8 @@ class ExtrudedShardedModel:
                 repl["Uzp"] = self._repl(Uz)
                 repl["zrowp"] = self._repl(zrow)
                 repl["wzrowp"] = self._repl(wzrow)
-                self._pex_statics = (D_t, XQ, WQ, S_b, hetero_pair)
+                self._pex_statics = (D_t, XQ, WQ, S_b, hetero_pair,
+                                     geom_deg)
             else:
                 if lin_hetero:
                     # fold the per-cell coefficient into the stream
