@@ -87,8 +87,8 @@ def test_demo_bowl_two_layer_cross_path(tmp_path):
     vals = {}
     for geom in ("conformal", "unstructured"):
         out = run_demo("demo_nonlinear_bowl.py", "--two-layer",
-                       "--elements", "12", "--geometry", geom,
-                       "--periods", "0.5",
+                       "--elements", "9", "--geometry", geom,
+                       "--periods", "0.25",
                        "--output", str(tmp_path / geom))
         assert "two-layer medium" in out
         m = re.search(r"pressure at focus: (\S+) Pa", out)
