@@ -120,6 +120,14 @@ def time_orders(base):
 
 
 def main():
+    if "--time" not in sys.argv:
+        # span analysis is host-side numpy + plan builds; never touch
+        # the (possibly tunnel-dead) TPU backend for it.  build_plan's
+        # jnp.asarray otherwise initialises axon and can hang >590 s
+        # during a tunnel outage.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from fustpu.mesh.unstructured import UnstructuredHexMesh, reorder_cells
 
     degree = 4

@@ -309,20 +309,37 @@ def _indexed_contract(u, G, coeff, D):
     """Per-cell stiffness contraction of gathered fields u (cells,n,n,n).
     `coeff=None` skips the per-cell coefficient multiply (callers that
     fold the coefficient into `u` up front — valid because a per-cell
-    constant commutes with the in-cell contractions)."""
+    constant commutes with the in-cell contractions).
+
+    DENSE-OPERATOR form: the factorized einsums batch tiny (n, n) dots
+    per cell — MXU-hostile shapes on TPU (a 128x128 systolic array sees
+    <4% utilisation at n=5).  Building the three (n^3, n^3) dense
+    derivative operators Dq3 = I (x) D (x) I instead puts CELLS on the M
+    axis — (cells, n^3) @ (n^3, n^3) is a clean MXU matmul — at n^2 more
+    FLOPs, which the MXU absorbs (~0.05 ms per million DOF in bf16).
+    f64 (the oracle-gated tests) keeps HIGHEST; f32 uses the validated
+    bf16x3 scheme (the same trade every fused kernel makes)."""
     cells, n = u.shape[0], D.shape[0]
-    wx = jnp.einsum("qi,cijk->cqjk", D, u, precision=_PRECISION)
-    wy = jnp.einsum("qj,cijk->ciqk", D, u, precision=_PRECISION)
-    wz = jnp.einsum("qk,cijk->cijq", D, u, precision=_PRECISION)
-    Gr = G.reshape(cells, n, n, n, 6)
-    c = 1.0 if coeff is None else coeff[:, None, None, None]
+    dtype = u.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    D3 = (jnp.kron(jnp.kron(D, eye), eye),
+          jnp.kron(jnp.kron(eye, D), eye),
+          jnp.kron(jnp.kron(eye, eye), D))
+    con = _mk_einsum(
+        _PRECISION if dtype == jnp.float64 else "bf16x3", dtype)
+    u2 = u.reshape(cells, n ** 3)
+    wx = con("pq,cq->cp", D3[0], u2)
+    wy = con("pq,cq->cp", D3[1], u2)
+    wz = con("pq,cq->cp", D3[2], u2)
+    Gr = G.reshape(cells, n ** 3, 6)
+    c = 1.0 if coeff is None else coeff[:, None]
     f0 = c * (Gr[..., 0] * wx + Gr[..., 1] * wy + Gr[..., 2] * wz)
     f1 = c * (Gr[..., 1] * wx + Gr[..., 3] * wy + Gr[..., 4] * wz)
     f2 = c * (Gr[..., 2] * wx + Gr[..., 4] * wy + Gr[..., 5] * wz)
-    y = jnp.einsum("qi,cqjk->cijk", D, f0, precision=_PRECISION)
-    y = y + jnp.einsum("qj,ciqk->cijk", D, f1, precision=_PRECISION)
-    y = y + jnp.einsum("qk,cijq->cijk", D, f2, precision=_PRECISION)
-    return y
+    y = con("pq,cp->cq", D3[0], f0)
+    y = y + con("pq,cp->cq", D3[1], f1)
+    y = y + con("pq,cp->cq", D3[2], f2)
+    return y.reshape(cells, n, n, n)
 
 
 def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
