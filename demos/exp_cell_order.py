@@ -104,7 +104,7 @@ def time_orders(base):
                                         interpret=interp)[:1].sum() + v,
             None, vals, chain=20, reps=5, baseline=bl)
         _, G = pre.cell_geometry_factors(mesh)
-        G = jnp.asarray(G, jnp.float32)
+        G = jnp.asarray(np.moveaxis(G, 2, 0), jnp.float32)  # comp-major
         D = jnp.asarray(mesh.element.deriv_1d, jnp.float32)
         dm = jnp.asarray(mesh.dofmap)
         coeff = jnp.ones(mesh.num_cells, jnp.float32)

@@ -52,7 +52,7 @@ def main():
     print(f"plan: WR={wr}x{nwin}, spill={plan.spos.shape[0]}")
 
     _, G = pre.cell_geometry_factors(mesh)
-    G = jnp.asarray(G, jnp.float32)
+    G = jnp.asarray(np.moveaxis(G, 2, 0), jnp.float32)  # component-major
     D = jnp.asarray(mesh.element.deriv_1d, jnp.float32)
     dm = jnp.asarray(mesh.dofmap)
     rng = np.random.default_rng(0)

@@ -46,7 +46,7 @@ def main():
     coeff = jnp.ones(mesh.nc, dtype)
     coeff_flat = jnp.ones(mesh.num_cells, dtype)
     dofmap = jnp.asarray(mesh.dofmap)
-    G_idx = jnp.asarray(disc._G_host, dtype)
+    G_idx = jnp.asarray(np.moveaxis(disc._G_host, 2, 0), dtype)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(mesh.grid_shape), dtype)
     base = B.sync_baseline()

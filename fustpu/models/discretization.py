@@ -178,7 +178,9 @@ class Discretization:
         unstructured meshes.  (A windowed slice-gather formulation was
         measured 50x SLOWER than the element-wise gather on this TPU
         stack — XLA serializes windowed scatters; see BENCH_NOTES.)"""
-        return (jnp.asarray(self._G_host, self.dtype),
+        return (jnp.asarray(
+                    np.ascontiguousarray(np.moveaxis(self._G_host, 2, 0)),
+                    self.dtype),
                 jnp.asarray(self.mesh.dofmap),
                 jnp.asarray(self._D_host, self.dtype))
 

@@ -273,7 +273,9 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
                             D: jax.Array, ndofs: int,
                             pull=None, engine=None,
                             engine_interpret: bool = False) -> jax.Array:
-    """G: (cells, n^3, 6); dofmap: (cells, n^3); `coeff`: per-cell
+    """G: (6, cells, n^3) — component-MAJOR: the naive (cells, n^3, 6)
+    device layout lane-pads its minor dim 6 to 128 on TPU (~21x HBM
+    size and per-apply G traffic); dofmap: (cells, n^3); `coeff`: per-cell
     coefficients, or None for unit coefficients (skips the per-cell
     multiply — the uniform-media fold passes the folded FIELD and no
     coefficient vector).  `pull`: optional
@@ -306,7 +308,8 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
 
 
 def _indexed_contract(u, G, coeff, D):
-    """Per-cell stiffness contraction of gathered fields u (cells,n,n,n).
+    """Per-cell stiffness contraction of gathered fields u (cells,n,n,n);
+    G in component-major (6, cells, n^3) layout.
     `coeff=None` skips the per-cell coefficient multiply (callers that
     fold the coefficient into `u` up front — valid because a per-cell
     constant commutes with the in-cell contractions).
@@ -331,11 +334,10 @@ def _indexed_contract(u, G, coeff, D):
     wx = con("pq,cq->cp", D3[0], u2)
     wy = con("pq,cq->cp", D3[1], u2)
     wz = con("pq,cq->cp", D3[2], u2)
-    Gr = G.reshape(cells, n ** 3, 6)
     c = 1.0 if coeff is None else coeff[:, None]
-    f0 = c * (Gr[..., 0] * wx + Gr[..., 1] * wy + Gr[..., 2] * wz)
-    f1 = c * (Gr[..., 1] * wx + Gr[..., 3] * wy + Gr[..., 4] * wz)
-    f2 = c * (Gr[..., 2] * wx + Gr[..., 4] * wy + Gr[..., 5] * wz)
+    f0 = c * (G[0] * wx + G[1] * wy + G[2] * wz)
+    f1 = c * (G[1] * wx + G[3] * wy + G[4] * wz)
+    f2 = c * (G[2] * wx + G[4] * wy + G[5] * wz)
     y = con("pq,cp->cq", D3[0], f0)
     y = y + con("pq,cp->cq", D3[1], f1)
     y = y + con("pq,cp->cq", D3[2], f2)
@@ -357,7 +359,8 @@ def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
     coefficients are constant within a cell they commute with the
     in-cell contractions, so the two gathered fields fold to
     c1*u1 + c2*u2 BEFORE one derivative/transform pass — half the
-    contraction FLOPs of two applies."""
+    contraction FLOPs of two applies.  G in component-major
+    (6, cells, n^3) layout (see stiffness_apply_indexed)."""
     n = D.shape[0]
     cells = dofmap.shape[0]
     if engine is not None:

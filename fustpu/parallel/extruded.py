@@ -668,9 +668,12 @@ class IndexedShardedModel:
 
         disc = model.disc
         G_host = disc._G_host
-        Gd = np.zeros((k, cmax, nd, 6))
+        # component-major per-device blocks (see operators
+        # .stiffness_apply_indexed: minor-dim-6 layouts lane-pad to 128)
+        Gd = np.zeros((k, 6, cmax, nd))
         for d in range(k):
-            Gd[d, :len(cells_of[d])] = G_host[cells_of[d]]
+            Gd[d, :, :len(cells_of[d])] = np.moveaxis(
+                G_host[cells_of[d]], 2, 0)
 
         def cellvec(c):
             out = np.zeros((k, cmax))

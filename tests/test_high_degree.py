@@ -88,7 +88,7 @@ def test_cross_path_consistency(P):
         jnp.asarray(elem.deriv_1d), P))
 
     y_ix = np.asarray(ops.stiffness_apply_indexed(
-        jnp.asarray(x.reshape(-1)), jnp.asarray(G),
+        jnp.asarray(x.reshape(-1)), jnp.asarray(np.moveaxis(G, 2, 0)),
         jnp.asarray(coeff.reshape(-1)), jnp.asarray(mesh.dofmap),
         jnp.asarray(elem.deriv_1d), mesh.ndofs)).reshape(mesh.grid_shape)
 

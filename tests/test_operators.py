@@ -100,8 +100,8 @@ def test_stiffness_operator(setup):
     assert rel_l2(np.asarray(y).ravel(), y_ref) < TOL
 
     y_idx = ops.stiffness_apply_indexed(
-        jnp.asarray(x), jnp.asarray(G), jnp.asarray(coeff),
-        jnp.asarray(mesh.dofmap), D, mesh.ndofs)
+        jnp.asarray(x), jnp.asarray(np.moveaxis(G, 2, 0)),
+        jnp.asarray(coeff), jnp.asarray(mesh.dofmap), D, mesh.ndofs)
     assert rel_l2(np.asarray(y_idx), y_ref) < TOL
 
 

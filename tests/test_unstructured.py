@@ -43,6 +43,7 @@ def test_unstructured_stiffness_vs_oracle():
     coeff = rng.uniform(0.5, 2.0, umesh.num_cells)
 
     _, G = pre.cell_geometry_factors(umesh)
+    G = np.moveaxis(G, 2, 0)                   # component-major layout
     D = umesh.element.deriv_1d
     y = np.asarray(ops.stiffness_apply_indexed(
         jnp.asarray(x), jnp.asarray(G), jnp.asarray(coeff),
@@ -539,7 +540,7 @@ def test_indexed_pair_matches_two_applies():
     c1 = jnp.asarray(rng.uniform(0.5, 2.0, umesh.num_cells))
     c2 = jnp.asarray(rng.uniform(-1.0, 1.0, umesh.num_cells))
     _, G = pre.cell_geometry_factors(umesh)
-    G = jnp.asarray(G)
+    G = jnp.asarray(np.moveaxis(G, 2, 0))      # component-major layout
     D = jnp.asarray(umesh.element.deriv_1d)
     dm = jnp.asarray(umesh.dofmap)
     plan = pg.build_plan(umesh.dofmap.reshape(-1).astype(np.int64),
