@@ -83,6 +83,21 @@ if LANEPICK not in ("onehot", "dg"):
     raise ValueError(
         f"FUSTPU_ENGINE_LANEPICK={LANEPICK!r}: must be onehot|dg")
 
+# Stream layout (r5): "col" = the r4 (N, 1) column streams; "packed" =
+# (N/128, 128) compact streams with the TRANSPOSED one-hot per 128-lane
+# sub-tile.  Why: TPU tiled layouts lane-pad a minor dim of 1 to 128,
+# so every (N, 1) stream (code, live, values, the expanded field) costs
+# 128x its logical HBM size AND per-tile DMA traffic — ~1 MB per 2048-
+# element tile per stream, which matches the engine's measured ~15x gap
+# above its one-hot roofline (BENCH_NOTES r4/r5).  The packed kernels
+# flip the one-hot: Ht (nwin*WR, 128) built from a (1, 128) code ROW
+# broadcast down sublanes, A2 = W^T @ Ht puts outputs on LANES, and the
+# pick reduces over SUBLANES — no lane<->sublane relayout anywhere.
+LAYOUT = os.environ.get("FUSTPU_ENGINE_LAYOUT", "packed")
+if LAYOUT not in ("col", "packed"):
+    raise ValueError(
+        f"FUSTPU_ENGINE_LAYOUT={LAYOUT!r}: must be col|packed")
+
 
 def _lane_pick(A, lo, tm):
     """out[i, 0] = A[i, lo[i]] for A (tm, 128), lo (tm, 1) int32."""
@@ -287,6 +302,10 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
             break
     # window slack past the top id so no start needs clamping
     nrows = -(-(-(-(nsrc + 1) // 128)) // 8) * 8 + WR
+    if LAYOUT == "packed" and tm % 128 == 0:
+        # compact (Np/128, 128) streams (see the LAYOUT note at top)
+        code = code.reshape(Np // 128, 128)
+        live = live.reshape(Np // 128, 128)
     # int32 spill indices: XLA's TPU gather/scatter prefetches the index
     # operand to SMEM (1 MB) — int64 indices hit the limit at ~130k
     # entries (measured compile failure on a capped-WR 2.8M-DOF mesh)
@@ -296,6 +315,13 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
         spos=jnp.asarray(np.asarray(spill_pos, np.int32)),
         sidx=jnp.asarray(np.asarray(spill_idx, np.int32)),
         statics=(WR, ntiles, nrows, N, use_nwin, tm))
+
+
+def _plan_packed(plan: GatherPlan) -> bool:
+    """Layout is carried by the code stream's shape — (Np/128, 128)
+    packed vs (Np, 1) column — so statics (shared by stacked sharded
+    plans) stay unchanged."""
+    return plan.code.shape[1] == 128
 
 
 _SPILL_CHUNK = 98304        # indices per spill op: 4B * 98304 < 1 MB SMEM
@@ -529,6 +555,189 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
     return kernel
 
 
+def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
+    """Transposed one-hot over 128-output sub-tiles: Ht (nwin*WR, 128)
+    from a (1, 128) code row broadcast down sublanes, A2 = W^T @ Ht puts
+    the sub-tile's outputs on the LANES, and the element pick is a
+    masked SUBLANE reduction — all streams stay (rows, 128) compact."""
+    rows = tm // 128
+
+    def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
+        b = pl.program_id(0)
+        f32 = o_ref.dtype
+        bf = jnp.bfloat16
+        cps = []
+        for k in range(nwin):
+            s = pl.multiple_of(woff_ref[k, b], 8)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, WR)], scratch.at[k * WR:(k + 1) * WR],
+                sem)
+            cp.start()
+            cps.append(cp)
+        WRn = nwin * WR
+        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
+        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        for cp in cps:
+            cp.wait()
+        W = scratch[...]
+        exact = f32 == jnp.float64
+        if not exact:
+            wh, wl, wl2 = _split3(W, f32)
+        for j in range(rows):
+            cj = code_ref[j:j + 1, :]
+            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
+            lo = jnp.broadcast_to(cj % 128, (128, 128))
+            dn = (((0,), (0,)), ((), ()))
+            if exact:
+                Ht = (hi == isub).astype(f32)
+                A2 = jax.lax.dot_general(W, Ht, dn,
+                                         preferred_element_type=f32)
+            else:
+                Ht = (hi == isub).astype(bf)
+                d = lambda a: jax.lax.dot_general(
+                    a, Ht, dn, preferred_element_type=f32)
+                A2 = d(wh) + d(wl) + d(wl2)
+            o_ref[j:j + 1, :] = jnp.sum(
+                A2 * (msub == lo).astype(f32), axis=0, keepdims=True)
+
+    return kernel
+
+
+def _mk_gather2_kernel_packed(WR: int, nwin: int, tm: int):
+    """Two-field packed gather sharing Ht per sub-tile (the pair form's
+    shared one-hot, transposed)."""
+    rows = tm // 128
+
+    def kernel(woff_ref, code_ref, x1_hbm, x2_hbm, o1_ref, o2_ref,
+               s1, s2, sem1, sem2):
+        b = pl.program_id(0)
+        f32 = o1_ref.dtype
+        bf = jnp.bfloat16
+        cps = []
+        for k in range(nwin):
+            s = pl.multiple_of(woff_ref[k, b], 8)
+            cps.append(pltpu.make_async_copy(
+                x1_hbm.at[pl.ds(s, WR)], s1.at[k * WR:(k + 1) * WR],
+                sem1))
+            cps.append(pltpu.make_async_copy(
+                x2_hbm.at[pl.ds(s, WR)], s2.at[k * WR:(k + 1) * WR],
+                sem2))
+        for cp in cps:
+            cp.start()
+        WRn = nwin * WR
+        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
+        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        for cp in cps:
+            cp.wait()
+        exact = f32 == jnp.float64
+        Ws = (s1[...], s2[...])
+        if not exact:
+            Wsp = tuple(_split3(w, f32) for w in Ws)
+        for j in range(rows):
+            cj = code_ref[j:j + 1, :]
+            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
+            lo = jnp.broadcast_to(cj % 128, (128, 128))
+            dn = (((0,), (0,)), ((), ()))
+            pick = (msub == lo).astype(f32)
+            if exact:
+                Ht = (hi == isub).astype(f32)
+                for w, o in ((Ws[0], o1_ref), (Ws[1], o2_ref)):
+                    A2 = jax.lax.dot_general(w, Ht, dn,
+                                             preferred_element_type=f32)
+                    o[j:j + 1, :] = jnp.sum(A2 * pick, axis=0,
+                                            keepdims=True)
+            else:
+                Ht = (hi == isub).astype(bf)
+                for (wh, wl, wl2), o in zip(Wsp, (o1_ref, o2_ref)):
+                    d = lambda a: jax.lax.dot_general(
+                        a, Ht, dn, preferred_element_type=f32)
+                    A2 = d(wh) + d(wl) + d(wl2)
+                    o[j:j + 1, :] = jnp.sum(A2 * pick, axis=0,
+                                            keepdims=True)
+
+    return kernel
+
+
+def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
+    """Transposed one-hot scatter: per 128-element sub-tile the window
+    contribution is Ht @ Vs^T with Vs[l, t] = v[t] * (lo[t] == l) — a
+    sublane spread built from (1, 128) rows; same RMW window protocol
+    as the column kernel."""
+    rows = tm // 128
+
+    def kernel(*refs):
+        (woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
+         scratch) = refs[:7]
+        sem = refs[7]
+        b = pl.program_id(0)
+        f32 = scratch.dtype
+        bf = jnp.bfloat16
+        s0 = pl.multiple_of(woff_ref[0, b], 8)
+        cin = pltpu.make_async_copy(
+            y_hbm.at[pl.ds(s0, WR)], scratch.at[:WR], sem)
+        cin.start()
+        if nwin == 2:
+            sem2 = refs[8]
+            s1 = pl.multiple_of(woff_ref[1, b], 8)
+            disjoint = jnp.abs(s1 - s0) >= WR
+            cin2 = pltpu.make_async_copy(
+                y_hbm.at[pl.ds(s1, WR)], scratch.at[WR:], sem2)
+
+            @pl.when(disjoint)
+            def _early_read2():
+                cin2.start()
+
+        WRn = nwin * WR
+        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
+        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        exact = f32 == jnp.float64
+        C = None
+        for j in range(rows):
+            cj = code_ref[j:j + 1, :]
+            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
+            lo = jnp.broadcast_to(cj % 128, (128, 128))
+            vj = v_ref[j:j + 1, :] * live_ref[j:j + 1, :]
+            Vs = (msub == lo).astype(f32) * vj         # (128 l, 128 t)
+            dn = (((1,), (1,)), ((), ()))
+            if exact:
+                Ht = (hi == isub).astype(f32)
+                Cj = jax.lax.dot_general(Ht, Vs, dn,
+                                         preferred_element_type=f32)
+            else:
+                Ht = (hi == isub).astype(bf)
+                Vh, Vl, Vl2 = _split3(Vs, f32)
+                d = lambda a: jax.lax.dot_general(
+                    Ht, a, dn, preferred_element_type=f32)
+                Cj = d(Vh) + d(Vl) + d(Vl2)
+            C = Cj if C is None else C + Cj
+        cin.wait()
+        scratch[:WR] = scratch[:WR] + C[:WR]
+        co = pltpu.make_async_copy(
+            scratch.at[:WR], y_hbm.at[pl.ds(s0, WR)], sem)
+        co.start()
+        if nwin == 2:
+            @pl.when(jnp.logical_not(disjoint))
+            def _serial_read2():
+                co.wait()
+                cin2.start()
+
+            cin2.wait()
+            scratch[WR:] = scratch[WR:] + C[WR:]
+            co2 = pltpu.make_async_copy(
+                scratch.at[WR:], y_hbm.at[pl.ds(s1, WR)], sem2)
+            co2.start()
+
+            @pl.when(disjoint)
+            def _drain_write1():
+                co.wait()
+
+            co2.wait()
+        else:
+            co.wait()
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather(x_flat: jax.Array, plan: GatherPlan,
            interpret: bool = False) -> jax.Array:
@@ -537,21 +746,33 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
     x2 = jnp.zeros((nrows * 128,), x_flat.dtype)
     x2 = jax.lax.dynamic_update_slice(x2, x_flat.reshape(-1),
                                       (0,)).reshape(nrows, 128)
+    if _plan_packed(plan):
+        rows = tm // 128
+        kernel = _mk_gather_kernel_packed(WR, nwin, tm)
+        code_spec = pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
+        out_spec = pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
+        out_shape = jax.ShapeDtypeStruct((ntiles * rows, 128),
+                                         x_flat.dtype)
+    else:
+        kernel = _mk_gather_kernel(WR, nwin, tm)
+        code_spec = pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
+        out_spec = pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
+        out_shape = jax.ShapeDtypeStruct((ntiles * tm, 1), x_flat.dtype)
     out = pl.pallas_call(
-        _mk_gather_kernel(WR, nwin, tm),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                code_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+            out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
                                        x_flat.dtype),
                             pltpu.SemaphoreType.DMA],
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles * tm, 1), x_flat.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(plan.woff, plan.code, x2).reshape(-1)
     if plan.spos.shape[0]:
@@ -573,19 +794,26 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             z, x.reshape(-1), (0,)).reshape(nrows, 128)
 
     p1, p2 = pad(x1_flat), pad(x2_flat)
-    shp = jax.ShapeDtypeStruct((ntiles * tm, 1), x1_flat.dtype)
+    if _plan_packed(plan):
+        rows = tm // 128
+        kernel = _mk_gather2_kernel_packed(WR, nwin, tm)
+        io = lambda: pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
+        shp = jax.ShapeDtypeStruct((ntiles * rows, 128), x1_flat.dtype)
+    else:
+        kernel = _mk_gather2_kernel(WR, nwin, tm)
+        io = lambda: pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
+        shp = jax.ShapeDtypeStruct((ntiles * tm, 1), x1_flat.dtype)
     o1, o2 = pl.pallas_call(
-        _mk_gather2_kernel(WR, nwin, tm),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                io(),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
-                       pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))],
+            out_specs=[io(), io()],
             scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
                                        x1_flat.dtype),
                             pltpu.VMEM((nwin * WR, 128),
@@ -609,18 +837,27 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
     """y[g[p]] += v[p] over zeros(ndofs) — deterministic f32 accumulate."""
     WR, ntiles, nrows, N, nwin, tm = plan.statics
     vp = jnp.zeros((ntiles * tm,), vals.dtype)
-    vp = jax.lax.dynamic_update_slice(
-        vp, vals.reshape(-1), (0,)).reshape(ntiles * tm, 1)
+    vp = jax.lax.dynamic_update_slice(vp, vals.reshape(-1), (0,))
+    if _plan_packed(plan):
+        rows = tm // 128
+        vp = vp.reshape(ntiles * rows, 128)
+        kernel = _mk_scatter_kernel_packed(WR, nwin, tm)
+        stream = lambda: pl.BlockSpec((rows, 128),
+                                      lambda b, woff: (b, 0))
+    else:
+        vp = vp.reshape(ntiles * tm, 1)
+        kernel = _mk_scatter_kernel(WR, nwin, tm)
+        stream = lambda: pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
     y0 = jnp.zeros((nrows, 128), vals.dtype)
     y2 = pl.pallas_call(
-        _mk_scatter_kernel(WR, nwin, tm),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=[
-                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
-                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
-                pl.BlockSpec((tm, 1), lambda b, woff: (b, 0)),
+                stream(),
+                stream(),
+                stream(),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),

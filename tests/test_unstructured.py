@@ -651,3 +651,47 @@ def test_stacked_plans_two_window_ladder():
         ref = np.zeros(nsrc, np.float32)
         np.add.at(ref, g, np.asarray(v))
         assert np.abs(y - ref).max() <= 1e-5 * max(1.0, np.abs(ref).max())
+
+
+def test_gather_engine_packed_layout():
+    """The packed (N/128, 128) stream layout (transposed one-hot,
+    sublane pick) round-trips gather/gather2/scatter_add exactly and
+    agrees bit-for-bit with the column layout — incl. two-window plans,
+    dead padding and spill entries.  (The (N, 1) column streams lane-pad
+    128x in HBM; packed is the default, col kept for A/B.)"""
+    import jax.numpy as jnp
+
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(11)
+    nsrc, N = 60000, 50000
+    # clustered + a far cluster so the two-window mode engages
+    g = np.sort(rng.integers(0, nsrc // 2, N)).astype(np.int64)
+    g[::7] += nsrc // 2 - 1000
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float64)
+    x2 = 3.0 * x
+    vals = jnp.asarray(rng.standard_normal(N), jnp.float64)
+    ref = np.zeros(nsrc)
+    np.add.at(ref, g, np.asarray(vals))
+    old = pg.LAYOUT
+    try:
+        outs = {}
+        for layout in ("col", "packed"):
+            pg.LAYOUT = layout
+            plan = pg.build_plan(g, nsrc)
+            assert pg._plan_packed(plan) == (layout == "packed")
+            outs[layout] = (
+                np.asarray(pg.gather(x, plan, interpret=True)),
+                np.asarray(pg.gather2(x, x2, plan, interpret=True)[1]),
+                np.asarray(pg.scatter_add(vals, plan, nsrc,
+                                          interpret=True)))
+        # gathers are pure selections -> bitwise equal across layouts;
+        # the scatter accumulates in a different association order (one
+        # tile-wide matmul vs 16 sub-tile matmuls) -> roundoff-level
+        assert np.array_equal(outs["col"][0], outs["packed"][0])
+        assert np.array_equal(outs["col"][1], outs["packed"][1])
+        assert np.abs(outs["col"][2] - outs["packed"][2]).max() < 1e-12
+        assert np.array_equal(outs["packed"][0], np.asarray(x)[g])
+        assert np.abs(outs["packed"][2] - ref).max() < 1e-12
+    finally:
+        pg.LAYOUT = old
