@@ -89,6 +89,32 @@ def main():
     probe("copy (8192,1)",
           lambda x, o: o.__setitem__(..., x[...]), (TM, 1))
 
+    # 5. HBM layout padding check: does a (N, 1) f32 array occupy 128x
+    #    its logical size on this chip?  (The premise behind the packed
+    #    engine streams, FUSTPU_ENGINE_LAYOUT.)
+    dev = jax.devices()[0]
+
+    def used():
+        try:
+            return dev.memory_stats()["bytes_in_use"]
+        except Exception:
+            return None
+
+    n = 1 << 20
+    base = used()
+    col = jnp.zeros((n, 1), jnp.float32)
+    _sync(col)
+    after_col = used()
+    packed = jnp.zeros((n // 128, 128), jnp.float32)
+    _sync(packed)
+    after_packed = used()
+    if base is not None:
+        print(f"HBM bytes for (2^20, 1) f32: {after_col - base:,} "
+              f"(logical {4 * n:,}); for (2^13, 128): "
+              f"{after_packed - after_col:,}")
+    else:
+        print("memory_stats unavailable on this backend")
+
 
 if __name__ == "__main__":
     main()
