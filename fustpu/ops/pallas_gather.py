@@ -7,14 +7,22 @@ per-tile WINDOWS of the DOF vector, so the work runs on the MXU/VPU:
 
 - gather  out[p] = x[g[p]]:  per tile of TM outputs, ONE (WR, 128)
   window of the DOF storage is DMA'd in at a row-granular (8-aligned)
-  start chosen per tile; the in-kernel one-hot row matrix H (TM, WR)
+  start chosen per tile; a one-hot matrix built from the target codes
   picks each element's row via an MXU matmul (exact: x enters as a
-  3-term bf16 split), and a masked lane reduction picks the lane.
+  3-term bf16 split) and a masked reduction picks the lane.
 - scatter y[g[p]] += v[p]:   the TRANSPOSED one-hot contraction
-  H^T @ (v ⊙ lane-one-hot) accumulates a (WR, 128) window contribution
-  on the MXU (f32 accumulate, deterministic), added into y by an
-  in-kernel read-modify-write DMA (sequential grid orders overlapping
-  windows).
+  accumulates a (WR, 128) window contribution on the MXU (f32
+  accumulate, deterministic), added into y by an in-kernel
+  read-modify-write DMA (sequential grid orders overlapping windows).
+
+Stream layout (r5 default "packed"): every per-element stream (code,
+live, values, the expanded field) is stored (N/128, 128) compact and
+processed in 128-output sub-tiles with the one-hot TRANSPOSED (Ht from
+a (1, 128) code row broadcast down sublanes; outputs land on lanes,
+the pick reduces over sublanes).  The r4 "col" kernels kept the
+streams as (N, 1) columns, which TPU tiled layouts lane-pad 128x in
+HBM — ~1 MB of DMA per 2048-element tile per stream
+(FUSTPU_ENGINE_LAYOUT=col retains them for A/B).
 
 Windows exist because of the mesh's first-touch DOF numbering
 (fustpu.mesh.unstructured._numbering): a cell batch addresses a compact
@@ -52,8 +60,9 @@ def _tm_from_env() -> int:
     """Outputs per tile.  FUSTPU_ENGINE_TM overrides the default 2048
     (read ONCE at import — plans and kernels must agree on TM, so it
     cannot change within a process).  Larger tiles amortise per-tile
-    overhead when WR floors at 64 but lane-pad the (TM,1) index streams
-    to TM*128 floats of VMEM each — mind the budget."""
+    overhead when WR floors at 64; in the "col" layout they also
+    lane-pad the (TM, 1) index streams to TM*128 floats of VMEM each —
+    mind the budget there (packed streams stay compact)."""
     v = os.environ.get("FUSTPU_ENGINE_TM")
     if v is None or v == "":
         return 2048
@@ -114,10 +123,12 @@ class GatherPlan:
     """woff (2, ntiles) int32 window ROW starts (multiples of 8,
     TRANSPOSED: the scalar-prefetch operand is lane-padded to 128 in
     SMEM, so the tile axis must be minor — (ntiles, 2) hits the 1 MB
-    SMEM cap at ~2000 tiles); code
-    (ntiles*TM, 1) packed hi*128+lo relative to the window stack
-    (nwin*WR*128 = dead); live (ntiles*TM, 1) 0/1; spill_pos/spill_idx
-    device arrays; statics (WR, ntiles, nrows, N, nwin, TM)."""
+    SMEM cap at ~2000 tiles); code holds hi*128+lo relative to the
+    window stack (nwin*WR*128 = dead) and live the 0/1 mask — both
+    (ntiles*TM/128, 128) compact ("packed") or (ntiles*TM, 1) column
+    ("col"); the layout rides on code.shape (see _plan_packed).
+    spill_pos/spill_idx device arrays; statics (WR, ntiles, nrows, N,
+    nwin, TM)."""
 
     def __init__(self, woff, code, live, spos, sidx, statics):
         self.woff = woff
