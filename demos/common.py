@@ -128,6 +128,14 @@ def run_demo(model, dt: float, num_steps: int, args, name: str):
     done = 0
     sampler = None
     dist_writer = None
+    if getattr(args, "dist_output", ""):
+        if not sharded:
+            print("[fustpu] --dist-output ignored: model is not sharded "
+                  "(use --output for single-device snapshots)",
+                  flush=True)
+        elif not args.snapshot_every:
+            print("[fustpu] --dist-output set but --snapshot-every is 0 "
+                  "— no per-shard snapshots will be written", flush=True)
     wall = 0.0
     chunk_walls = []
     probe = None

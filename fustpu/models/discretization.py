@@ -285,6 +285,15 @@ def resolve_stiffness_impl(impl: str, disc: Discretization) -> str:
                 # (37 channels trilinear, 163 for curved hex27 prisms)
                 if disc.ext_pallas_fits(corner=True):
                     return "extruded_pallas_corner"
+                import warnings
+
+                warnings.warn(
+                    "corner capacity mode requested but no VMEM-"
+                    "feasible stack batch exists for this mesh — "
+                    "falling back to the G-stream paths, which "
+                    "materialise the FULL geometry stream (at capacity "
+                    "scale this can exhaust host/device memory)",
+                    stacklevel=2)
             return ("extruded_pallas"
                     if on_tpu() and disc.ext_pallas_fits() else "extruded")
         # general (non-prismatic) unstructured: the windowed one-hot

@@ -93,6 +93,15 @@ class WesterveltModel(WaveModelBase):
             # the pair kernel's VMEM budget (doubled field IO + the ce
             # block) is tighter than the single kernel's — fall back to
             # the XLA pair path rather than fail at Mosaic compile
+            if self._ext_corner:
+                import warnings
+
+                warnings.warn(
+                    "heterogeneous corner capacity mode: the PAIR "
+                    "footprint exceeds the VMEM budget — falling back "
+                    "to the XLA extruded pair, which materialises the "
+                    "full G stream (capacity-defeating at >10^8 DOF)",
+                    stacklevel=2)
             self.impl = "extruded"
             self._ext_corner = False
         if self.impl == "extruded_pallas":

@@ -322,14 +322,20 @@ def _indexed_contract(u, G, coeff, D):
     FLOPs, which the MXU absorbs (~0.05 ms per million DOF in bf16).
     f64 (the oracle-gated tests) keeps HIGHEST; f32 uses the validated
     bf16x3 scheme (the same trade every fused kernel makes)."""
+    from fustpu.models.discretization import on_tpu
+
     cells, n = u.shape[0], D.shape[0]
     dtype = u.dtype
     eye = jnp.eye(n, dtype=dtype)
     D3 = (jnp.kron(jnp.kron(D, eye), eye),
           jnp.kron(jnp.kron(eye, D), eye),
           jnp.kron(jnp.kron(eye, eye), D))
+    # bf16x3 only where the MXU-shape rationale applies; CPU/f64 keep
+    # HIGHEST (review r5: a CPU f32 run would pay 3 dense passes AND an
+    # accuracy downgrade for nothing)
     con = _mk_einsum(
-        _PRECISION if dtype == jnp.float64 else "bf16x3", dtype)
+        "bf16x3" if (dtype != jnp.float64 and on_tpu()) else _PRECISION,
+        dtype)
     u2 = u.reshape(cells, n ** 3)
     wx = con("pq,cq->cp", D3[0], u2)
     wy = con("pq,cq->cp", D3[1], u2)

@@ -313,8 +313,11 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
             break
     # window slack past the top id so no start needs clamping
     nrows = -(-(-(-(nsrc + 1) // 128)) // 8) * 8 + WR
-    if LAYOUT == "packed" and tm % 128 == 0:
-        # compact (Np/128, 128) streams (see the LAYOUT note at top)
+    if LAYOUT == "packed" and tm % 1024 == 0:
+        # compact (Np/128, 128) streams (see the LAYOUT note at top).
+        # tm % 1024: the packed blocks are (tm/128, 128) and Mosaic
+        # requires the 2nd-to-last block dim %8 — smaller TM values
+        # keep the col layout (they compiled there and still do)
         code = code.reshape(Np // 128, 128)
         live = live.reshape(Np // 128, 128)
     # int32 spill indices: XLA's TPU gather/scatter prefetches the index

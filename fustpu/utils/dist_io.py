@@ -39,14 +39,15 @@ def _model_layout(smodel):
         return meta, {d: {} for d in range(int(np.prod(smodel.S)))}
     if isinstance(smodel, ExtrudedShardedModel):
         meta = {"kind": "rows", "n2d": smodel.mesh.n2d, "gz": smodel.gz,
-                "ndofs": smodel.mesh.ndofs}
+                "ndofs": smodel.mesh.ndofs, "k": smodel.k}
         per = {d: {"idx": smodel.rowsg[d][smodel.rowmask[d]].astype(
                        np.int64),
                    "mask": smodel.rowmask[d]}
                for d in range(smodel.k)}
         return meta, per
     if isinstance(smodel, IndexedShardedModel):
-        meta = {"kind": "dofs", "ndofs": smodel.mesh.ndofs}
+        meta = {"kind": "dofs", "ndofs": smodel.mesh.ndofs,
+                "k": smodel.k}
         per = {d: {"idx": smodel.gids[d][smodel.gmask[d]].astype(np.int64),
                    "mask": smodel.gmask[d]}
                for d in range(smodel.k)}
@@ -127,6 +128,16 @@ def assemble_snapshot(directory: str, name: str) -> np.ndarray:
         pieces[d] = np.load(p)
     if not pieces:
         raise FileNotFoundError(f"no shards for '{name}' in {directory}")
+    # every device shard must be present — zero-filling a missing piece
+    # would silently corrupt the "bit-exact" reassembly contract
+    nshards = (int(np.prod(meta["S"])) if meta["kind"] == "box_grid"
+               else meta["k"])
+    missing = sorted(set(range(nshards)) - set(pieces))
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot '{name}' is missing shard files for devices "
+            f"{missing} (found {sorted(pieces)}) — collect every "
+            f"process's output directory before reassembly")
     any_piece = next(iter(pieces.values()))
 
     if meta["kind"] == "box_grid":

@@ -433,8 +433,9 @@ def test_pallas_extruded_corner_pair_matches_xla():
 
 def test_model_extruded_corner_impl():
     """stiffness_impl='pallas_corner' on an extruded import resolves to
-    the capacity kernel and solves identically; a curved hex27 prism
-    mesh refuses it (trilinear-only) and falls back to the G stream."""
+    the capacity kernel and solves identically (hex27 prisms route
+    through the 163-channel quadratic stream — see
+    test_pallas_extruded_corner_hex27)."""
     from fustpu.models.westervelt import WesterveltModel
 
     mex, _ = _cyl()
