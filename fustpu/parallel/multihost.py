@@ -162,6 +162,30 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
         checked2 += 1
     assert checked2 > 0
 
+    # ---- phase 2b: per-shard snapshot output across the process group
+    # (the reference's parallel VTXWriter: every rank writes only its
+    # piece, numba-cpu/demo_linear_box.py:479-480).  Every process dumps
+    # its addressable shards into a SHARED directory; process 0
+    # reassembles offline and checks against the single-device field.
+    from jax.experimental import multihost_utils
+
+    from fustpu.utils.dist_io import ShardSnapshotWriter, assemble_snapshot
+
+    snap_dir = "/tmp/_mh_snap"
+    if pid == 0:
+        import shutil
+
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    multihost_utils.sync_global_devices("snapdir-clean")
+    w2 = ShardSnapshotWriter(snap_dir, sm2)
+    w2.write("u", ds2.u)
+    multihost_utils.sync_global_devices("snapshots-written")
+    if pid == 0:
+        back = assemble_snapshot(snap_dir, "u")
+        errs = (np.linalg.norm(back - u2)
+                / max(np.linalg.norm(u2), 1e-300))
+        assert errs < 1e-12, errs
+
     # ---- phase 3: NON-PRISMATIC mesh, per-device gather/scatter engine,
     # heterogeneous Westervelt pair, traced global-norm probe ------------
     from fustpu.mesh.extruded import as_extruded
