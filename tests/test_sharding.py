@@ -727,3 +727,59 @@ def test_sharded_extruded_corner_capacity_mode():
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
+
+
+def test_sharded_extruded_corner_hex27():
+    """Curved (hex27) prisms through the SHARDED corner capacity mode:
+    per-device 163-channel monomial streams with identity padding at
+    geometry order 2 == the single-device XLA solve at 1e-12."""
+    import dataclasses
+
+    from fustpu.elements.hex import hex8_tabulate
+    from fustpu.mesh.extruded import as_extruded
+    from fustpu.mesh.unstructured import from_box
+    from fustpu.parallel.extruded import ExtrudedShardedModel
+
+    lat3 = np.array([[i / 2, j / 2, k / 2] for i in range(3)
+                     for j in range(3) for k in range(3)])
+
+    def phi(x):
+        # the same gentle prismatic curvature test_extruded's hex27
+        # gate uses (vertex columns survive; layers curved and graded),
+        # scaled to a physical mm-class domain
+        x = np.asarray(x, np.float64)
+        out = x.copy()
+        out[..., 0] = x[..., 0] + 0.04 * np.sin(1.3 * x[..., 1])
+        out[..., 1] = x[..., 1] + 0.05 * np.sin(1.1 * x[..., 0] + 0.4)
+        out[..., 2] = x[..., 2] * (1.0 + 0.1 * x[..., 2]) \
+            + 0.06 * np.sin(1.7 * x[..., 0] + 0.5 * x[..., 1])
+        return out * 2e-3
+
+    bm = build_box_mesh((3, 2, 4), 3)
+    um = from_box(bm, shuffle_seed=11)
+    vals, _ = hex8_tabulate(lat3)
+    gl = np.einsum("qv,cvd->cqd", vals, um.vertices[um.cells])
+    curved = as_extruded(dataclasses.replace(
+        um, vertices=phi(um.vertices), geom_nodes=phi(gl)))
+    assert curved is not None and curved.geom_nodes is not None
+    mat = Material(sound_speed=1500.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=1.0e6, amplitude=1.0e5)
+    ext = curved.boundary_facets()
+    cen = curved.facet_centroids(ext)
+    xmin = cen[:, 0].min()
+    args = (curved, mat, src, ext[cen[:, 0] < xmin + 1e-6],
+            ext[cen[:, 0] >= xmin + 1e-6])
+    ref = WesterveltModel(*args, dtype=jnp.float64,
+                          stiffness_impl="extruded")
+    m = WesterveltModel(*args, dtype=jnp.float64,
+                        stiffness_impl="pallas_corner")
+    assert m.impl == "extruded_pallas" and m._ext_corner
+    dt, _ = ref.cfl_dt(0.4)
+    s0, _ = ref.solve(ref.init_state(), dt, 8)
+    sm = ExtrudedShardedModel(m, num_devices=5)
+    assert sm._ext_corner
+    ss, _ = sm.solve(sm.init_state(), dt, 8)
+    err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s0.u).ravel())
+           / np.linalg.norm(np.asarray(s0.u)))
+    assert err < 1e-12, err
