@@ -118,10 +118,12 @@ class PallasExtrudedCorner:
     /root/reference/cuda/scatterer.py:104-277 is the capability the scale
     targets).
 
-    T:    (nch+1, nz, ns_pad) monomial stream, stack minor (padding
-          stacks carry IDENTITY geometry with a ZERO coefficient
-          channel — their contributions vanish without 0/0 in the det
-          division)
+    T:    (nch+1, ns_pad, nz) monomial stream, z minor (a stack-minor
+          layout would lane-pad the stack batch S to 128 in the VMEM
+          block — the same 128x padding lesson as the engine streams;
+          padding stacks carry IDENTITY geometry with a ZERO
+          coefficient channel, so their contributions vanish without
+          0/0 in the det division)
     rows: (n^2, ns_pad) int32 row gather/scatter indices
     ce:   None, or (2, ns_pad, ez) pair coefficient planes (then the
           stream's coefficient channel is 1 and the two fields combine
@@ -172,7 +174,7 @@ def _ext_vmem_bytes(n: int, S: int, ez: int, gz: int, pair: bool,
     if corner:
         nz = ez // n
         nch = (37 if geom_deg == 1 else 163)
-        gblk = 2 * nch * nz * _pad(S, 128) + nch * S * ezp
+        gblk = 2 * nch * S * _pad(nz, 128) + nch * S * ezp
         temps = 18 * S * ezp + 2 * q * ezp
     else:
         gblk = 2 * 6 * S * ezp
@@ -405,13 +407,13 @@ def _t_identity(g: int) -> np.ndarray:
 
 
 def _pack_corner(Tsn: np.ndarray, rows2d: np.ndarray, S: int, g: int):
-    """(ns, nz, nch+1) + (ns, n^2) -> ((nch+1, nz, ns_pad),
+    """(ns, nz, nch+1) + (ns, n^2) -> ((nch+1, ns_pad, nz),
     (n^2, ns_pad)), identity-padded."""
     ns, nz = Tsn.shape[0], Tsn.shape[1]
     ns_pad = -(-ns // S) * S
-    Tt = np.empty((Tsn.shape[2], nz, ns_pad))
+    Tt = np.empty((Tsn.shape[2], ns_pad, nz))
     Tt[:, :, :] = _t_identity(g)[:, None, None]
-    Tt[:, :, :ns] = Tsn.transpose(2, 1, 0)
+    Tt[:, :ns, :] = Tsn.transpose(2, 0, 1)
     n2 = rows2d.shape[1]
     rows_t = np.zeros((n2, ns_pad), np.int32)
     rows_t[:, :ns] = np.asarray(rows2d, np.int64).T
@@ -456,7 +458,7 @@ def build_extruded_corner(mesh, D_1d, dtype,
                          "kernel")
     Tt, rows_t = _pack_corner(corner_stream(mesh, coeff), mesh.rows2d, S,
                               g)
-    ns_pad = Tt.shape[2]
+    ns_pad = Tt.shape[1]
     ce = None
     if pair:
         ce = np.zeros((2, ns_pad, mesh.nz * n))
@@ -558,7 +560,7 @@ def _mk_kernel(n: int, S: int, D: tuple, precision, pair: bool,
                 # coefficient channel here
                 Uz = Uz_ref[...]
                 for m in range(nch + 1):
-                    p = matmul(G_ref[m], Uz, ((0,), (0,)), b_exact=True)
+                    p = matmul(G_ref[m], Uz, C10, b_exact=True)
                     jp_sc[m] = p * wzrow_ref[...] if m == nch else p
 
         if corner:
@@ -659,7 +661,7 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
     corner = isinstance(op, PallasExtrudedCorner)
     if corner:
         D_host, XQ, WQ, S, _, geom_deg = op.statics
-        nch1, nz, ns_pad = op.T.shape
+        nch1, ns_pad, nz = op.T.shape
         n2 = op.rows.shape[0]
         ez = nz * int(round(n2 ** 0.5))
     else:
@@ -687,8 +689,8 @@ def _call(op, gs, pair: bool, interpret: bool, precision):
         args.append(op.ce)
     if corner:
         # whole monomial block per stack batch (geometry is tiny now)
-        in_specs.append(pl.BlockSpec((nch1, nz, S),
-                                     lambda b, s: (0, 0, b),
+        in_specs.append(pl.BlockSpec((nch1, S, nz),
+                                     lambda b, s: (0, b, 0),
                                      memory_space=vmem))
         args.append(op.T)
     else:

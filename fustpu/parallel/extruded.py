@@ -205,11 +205,11 @@ class ExtrudedShardedModel:
                 Tall = pex.corner_stream(
                     mesh, np.broadcast_to(-1.0 / rho_f, nc_)
                     if lin_hetero else None)        # (ns, nz, nch+1)
-                Tc = np.empty((k, Tall.shape[2], mesh.nz, smax_pad))
+                Tc = np.empty((k, Tall.shape[2], smax_pad, mesh.nz))
                 Tc[:] = pex._t_identity(geom_deg)[None, :, None, None]
                 for d in range(k):
-                    Tc[d, :, :, :len(stacks_of[d])] = Tall[
-                        stacks_of[d]].transpose(2, 1, 0)
+                    Tc[d, :, :len(stacks_of[d]), :] = Tall[
+                        stacks_of[d]].transpose(2, 0, 1)
                 dist["Tc"] = put(Tc)
                 Uz, zrow, wzrow, XQ, WQ = pex._z_vectors(mesh)
                 repl["Uzp"] = self._repl(Uz)
