@@ -9,8 +9,9 @@ structured corner kernel makes (demos/exp_capacity.py) — this is the
 imported-mesh configuration of the reference's 10^8+-DOF MPI runs
 (BASELINE.md; /root/reference/cuda/scatterer.py:104-277).
 
-    python demos/exp_capacity_imported.py [--m 16] [--nz 600]
+    python demos/exp_capacity_imported.py [--m 48] [--nz 120]
         [--degree 4] [--steps 10] [--impl pallas_corner]
+        (defaults ~100M DOF: corner stream ~210 MB vs ~4.1 GB G stream)
 """
 
 import sys
@@ -26,11 +27,14 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--m", type=int, default=16,
+    p.add_argument("--m", type=int, default=48,
                    help="butterfly sectors (2D footprint resolution)")
-    p.add_argument("--mr", type=int, default=8)
-    p.add_argument("--nr-ann", type=int, default=8)
-    p.add_argument("--nz", type=int, default=600)
+    p.add_argument("--mr", type=int, default=24)
+    p.add_argument("--nr-ann", type=int, default=24)
+    p.add_argument("--nz", type=int, default=120,
+                   help="layers; lane budget prefers WIDE footprints "
+                        "over deep extrusions (ez = nz*(P+1) pads to "
+                        "128 multiples in every VMEM plane)")
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--impl", default="pallas_corner",
