@@ -102,7 +102,12 @@ if LANEPICK not in ("onehot", "dg"):
 # flip the one-hot: Ht (nwin*WR, 128) built from a (1, 128) code ROW
 # broadcast down sublanes, A2 = W^T @ Ht puts outputs on LANES, and the
 # pick reduces over SUBLANES — no lane<->sublane relayout anywhere.
-LAYOUT = os.environ.get("FUSTPU_ENGINE_LAYOUT", "packed")
+# Default stays "col" (the chip-proven r4 kernels) until the packed
+# kernels' Mosaic lowering is validated on hardware: they use 1-sublane
+# block stores (o_ref[j:j+1]) that interpret mode cannot vet, and the
+# r5 tunnel outage prevented the compile check + A/B (BENCH_NOTES r5
+# queue runs 1/1b) — flip after measurement.
+LAYOUT = os.environ.get("FUSTPU_ENGINE_LAYOUT", "col")
 if LAYOUT not in ("col", "packed"):
     raise ValueError(
         f"FUSTPU_ENGINE_LAYOUT={LAYOUT!r}: must be col|packed")
