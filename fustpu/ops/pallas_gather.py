@@ -129,22 +129,23 @@ class GatherPlan:
     TRANSPOSED: the scalar-prefetch operand is lane-padded to 128 in
     SMEM, so the tile axis must be minor — (ntiles, 2) hits the 1 MB
     SMEM cap at ~2000 tiles); code holds hi*128+lo relative to the
-    window stack (nwin*WR*128 = dead) and live the 0/1 mask — both
-    (ntiles*TM/128, 128) compact ("packed") or (ntiles*TM, 1) column
-    ("col"); the layout rides on code.shape (see _plan_packed).
+    window stack (nwin*WR*128 = dead) — (ntiles*TM/128, 128) compact
+    ("packed") or (ntiles*TM, 1) column ("col"); the layout rides on
+    code.shape (see _plan_packed).  A dead code suffices to kill an
+    element in BOTH directions (its one-hot column is all-zero), so no
+    separate liveness mask is stored or streamed.
     spill_pos/spill_idx device arrays; statics (WR, ntiles, nrows, N,
     nwin, TM)."""
 
-    def __init__(self, woff, code, live, spos, sidx, statics):
+    def __init__(self, woff, code, spos, sidx, statics):
         self.woff = woff
         self.code = code
-        self.live = live
         self.spos = spos
         self.sidx = sidx
         self.statics = statics
 
     def tree_flatten(self):
-        return ((self.woff, self.code, self.live, self.spos, self.sidx),
+        return ((self.woff, self.code, self.spos, self.sidx),
                 self.statics)
 
     @classmethod
@@ -274,8 +275,6 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
         WSZ = WR * 128
         woff = np.zeros((2, ntiles), np.int32)
         code = np.zeros((Np, 1), np.int32)
-        live = np.zeros((Np, 1), np.float32)
-        live[:N, 0] = 1.0
         dead = use_nwin * WSZ
         spill_pos, spill_idx = [], []
         for t in range(ntiles):
@@ -309,7 +308,6 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
             woff[:, t] = (s, s2)
             sl = slice(t * tm, (t + 1) * tm)
             code[sl, 0] = code_t
-            live[sl, 0] *= ok
             bad = np.nonzero(~ok & ~isdead
                              & (np.arange(t * tm, (t + 1) * tm) < N))[0]
             spill_pos.extend(t * tm + bad)
@@ -324,13 +322,11 @@ def build_plan(indices: np.ndarray, nsrc: int, WR: int | None = None,
         # requires the 2nd-to-last block dim %8 — smaller TM values
         # keep the col layout (they compiled there and still do)
         code = code.reshape(Np // 128, 128)
-        live = live.reshape(Np // 128, 128)
     # int32 spill indices: XLA's TPU gather/scatter prefetches the index
     # operand to SMEM (1 MB) — int64 indices hit the limit at ~130k
     # entries (measured compile failure on a capped-WR 2.8M-DOF mesh)
     return GatherPlan(
         woff=jnp.asarray(woff), code=jnp.asarray(code),
-        live=jnp.asarray(live),
         spos=jnp.asarray(np.asarray(spill_pos, np.int32)),
         sidx=jnp.asarray(np.asarray(spill_idx, np.int32)),
         statics=(WR, ntiles, nrows, N, use_nwin, tm))
@@ -401,17 +397,16 @@ def build_stacked_plans(index_sets, nsrc: int, tm: int | None = None,
     statics = plans[0].statics
     S = max(int(p.spos.shape[0]) for p in plans)
     dead_pos, dead_idx = N, nsrc
-    woff, code, live, spos, sidx = [], [], [], [], []
+    woff, code, spos, sidx = [], [], [], []
     for p in plans:
         woff.append(np.asarray(p.woff))
         code.append(np.asarray(p.code))
-        live.append(np.asarray(p.live))
         ns = int(p.spos.shape[0])
         spos.append(np.concatenate(
             [np.asarray(p.spos), np.full(S - ns, dead_pos, np.int32)]))
         sidx.append(np.concatenate(
             [np.asarray(p.sidx), np.full(S - ns, dead_idx, np.int32)]))
-    return (np.stack(woff), np.stack(code), np.stack(live),
+    return (np.stack(woff), np.stack(code),
             np.stack(spos), np.stack(sidx), statics)
 
 
@@ -502,9 +497,9 @@ def _mk_gather2_kernel(WR: int, nwin: int, tm: int):
 
 def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
     def kernel(*refs):
-        (woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
-         scratch) = refs[:7]
-        sem = refs[7]
+        (woff_ref, code_ref, v_ref, y_in, y_hbm,
+         scratch) = refs[:6]
+        sem = refs[6]
         b = pl.program_id(0)
         f32 = scratch.dtype
         bf = jnp.bfloat16
@@ -522,7 +517,7 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
             # after window 1's round trip.  (sem2 is a separate
             # semaphore: with one semaphore a wait cannot tell which
             # in-flight copy completed.)
-            sem2 = refs[8]
+            sem2 = refs[7]
             s1 = pl.multiple_of(woff_ref[1, b], 8)
             disjoint = jnp.abs(s1 - s0) >= WR
             cin2 = pltpu.make_async_copy(
@@ -536,7 +531,7 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
         hi = codev // 128
         lo = codev % 128
         il = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
-        V = jnp.where(lo == il, 1.0, 0.0) * (v_ref[...] * live_ref[...])
+        V = jnp.where(lo == il, 1.0, 0.0) * v_ref[...]
         i1 = jax.lax.broadcasted_iota(jnp.int32, (tm, nwin * WR), 1)
         d = lambda a, q: jax.lax.dot_general(
             a, q, (((0,), (0,)), ((), ())), preferred_element_type=f32)
@@ -685,9 +680,9 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
     rows = tm // 128
 
     def kernel(*refs):
-        (woff_ref, code_ref, live_ref, v_ref, y_in, y_hbm,
-         scratch) = refs[:7]
-        sem = refs[7]
+        (woff_ref, code_ref, v_ref, y_in, y_hbm,
+         scratch) = refs[:6]
+        sem = refs[6]
         b = pl.program_id(0)
         f32 = scratch.dtype
         bf = jnp.bfloat16
@@ -696,7 +691,7 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
             y_hbm.at[pl.ds(s0, WR)], scratch.at[:WR], sem)
         cin.start()
         if nwin == 2:
-            sem2 = refs[8]
+            sem2 = refs[7]
             s1 = pl.multiple_of(woff_ref[1, b], 8)
             disjoint = jnp.abs(s1 - s0) >= WR
             cin2 = pltpu.make_async_copy(
@@ -715,7 +710,7 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
             cj = code_ref[j:j + 1, :]
             hi = jnp.broadcast_to(cj // 128, (WRn, 128))
             lo = jnp.broadcast_to(cj % 128, (128, 128))
-            vj = v_ref[j:j + 1, :] * live_ref[j:j + 1, :]
+            vj = v_ref[j:j + 1, :]
             Vs = (msub == lo).astype(f32) * vj         # (128 l, 128 t)
             dn = (((1,), (1,)), ((), ()))
             if exact:
@@ -876,7 +871,6 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
             in_specs=[
                 stream(),
                 stream(),
-                stream(),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -886,11 +880,11 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 + [pltpu.SemaphoreType.DMA] * (nwin - 1)),
         ),
         out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
-        input_output_aliases={4: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(plan.woff, plan.code, plan.live, vp, y0)
+    )(plan.woff, plan.code, vp, y0)
     yf = y2.reshape(-1)
     if plan.spos.shape[0]:
         # padded side (spill target nsrc.. lands in dead rows, spill

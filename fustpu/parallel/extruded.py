@@ -741,7 +741,7 @@ class IndexedShardedModel:
             for d in range(k):
                 eng_dm[d, :len(cells_of[d])] = (
                     ldm[d, :len(cells_of[d])].astype(np.int64))
-            ew, ec, el, es, ei, self._eng_statics = pg.build_stacked_plans(
+            ew, ec, es, ei, self._eng_statics = pg.build_stacked_plans(
                 [eng_dm[d].reshape(-1) for d in range(k)], nloc)
             if not pg.plan_covers(es.shape[1], eng_dm[0].size):
                 import warnings
@@ -754,7 +754,6 @@ class IndexedShardedModel:
             else:
                 dist["eng_woff"] = put(ew, np.int32)
                 dist["eng_code"] = put(ec, np.int32)
-                dist["eng_live"] = put(el, np.float32)
                 dist["eng_spos"] = put(es, np.int32)
                 dist["eng_sidx"] = put(ei, np.int32)
                 self._eng_interpret = not on_tpu()
@@ -809,7 +808,7 @@ class IndexedShardedModel:
             from fustpu.ops import pallas_gather as pg
 
             plan = pg.GatherPlan(
-                d["eng_woff"], d["eng_code"], d["eng_live"],
+                d["eng_woff"], d["eng_code"],
                 d["eng_spos"], d["eng_sidx"], self._eng_statics)
             kw = dict(engine=plan, engine_interpret=self._eng_interpret)
         else:

@@ -635,14 +635,14 @@ def test_stacked_plans_two_window_ladder():
         return g[rng.permutation(g.size)]
 
     gs = [two_cluster(60000), two_cluster(100000)]
-    ew, ec, el, es, ei, statics = pg.build_stacked_plans(gs, nsrc)
+    ew, ec, es, ei, statics = pg.build_stacked_plans(gs, nsrc)
     WR, _, _, N, nwin, _ = statics
     assert nwin == 2
     assert WR <= 64          # per-cluster sizing, not the ~500-row span
     for d, g in enumerate(gs):
         plan = pg.GatherPlan(jnp.asarray(ew[d]), jnp.asarray(ec[d]),
-                             jnp.asarray(el[d]), jnp.asarray(es[d]),
-                             jnp.asarray(ei[d]), statics)
+                             jnp.asarray(es[d]), jnp.asarray(ei[d]),
+                             statics)
         x = jnp.asarray(rng.standard_normal(nsrc), jnp.float32)
         out = np.asarray(pg.gather(x, plan, interpret=True))[:g.size]
         assert np.array_equal(out, np.asarray(x)[g])
