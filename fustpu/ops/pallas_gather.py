@@ -102,12 +102,15 @@ if LANEPICK not in ("onehot", "dg"):
 # flip the one-hot: Ht (nwin*WR, 128) built from a (1, 128) code ROW
 # broadcast down sublanes, A2 = W^T @ Ht puts outputs on LANES, and the
 # pick reduces over SUBLANES — no lane<->sublane relayout anywhere.
-# Default stays "col" (the chip-proven r4 kernels) until the packed
-# kernels' Mosaic lowering is validated on hardware: they use 1-sublane
-# block stores (o_ref[j:j+1]) that interpret mode cannot vet, and the
-# r5 tunnel outage prevented the compile check + A/B (BENCH_NOTES r5
-# queue runs 1/1b) — flip after measurement.
-LAYOUT = os.environ.get("FUSTPU_ENGINE_LAYOUT", "col")
+# "packed" is the default on three-source evidence (BENCH_NOTES r5):
+# numerics gated bit-exact in interpret mode; Mosaic lowering compiled
+# clean against a deviceless v5e topology (tests/test_tpu_aot.py); and
+# XLA cost analysis certifies 14-18x less memory traffic at the 627k
+# bench scale (gather 639 -> 35 MB with the 630 MB of padded (N, 1)
+# temp buffers gone entirely; scatter 653 -> 37; gather2 657 -> 47).
+# The r4 column kernels stay one env var away; on-chip wall-clock A/B
+# still queued (the one thing AOT cannot measure).
+LAYOUT = os.environ.get("FUSTPU_ENGINE_LAYOUT", "packed")
 if LAYOUT not in ("col", "packed"):
     raise ValueError(
         f"FUSTPU_ENGINE_LAYOUT={LAYOUT!r}: must be col|packed")
