@@ -288,18 +288,19 @@ def stiffness_apply_indexed(x_flat: jax.Array, G: jax.Array,
     n = D.shape[0]
     cells = dofmap.shape[0]
     if engine is not None:
+        # engine path: windowed one-hot gather/scatter + the FUSED
+        # Pallas contraction (the XLA dense-operator form materialises
+        # ~10x the minimum HBM traffic — pallas_gather.dense_contract)
         from fustpu.ops import pallas_gather as pg
 
-        u = pg.gather(x_flat, engine,
-                      interpret=engine_interpret).reshape(cells, n, n, n)
-    else:
-        u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
-    y = _indexed_contract(u, G, coeff, D)
-    if engine is not None:
-        from fustpu.ops import pallas_gather as pg
-
+        u2 = pg.gather(x_flat, engine,
+                       interpret=engine_interpret).reshape(cells, n ** 3)
+        y = pg.dense_contract(u2, G, D, coeff=coeff,
+                              interpret=engine_interpret)
         return pg.scatter_add(y.reshape(-1), engine, ndofs,
                               interpret=engine_interpret)
+    u = gather_dofs(x_flat, dofmap).reshape(cells, n, n, n)
+    y = _indexed_contract(u, G, coeff, D)
     if pull is not None:
         from fustpu.ops.gather_scatter import pull_scatter_dofs
 
@@ -332,7 +333,10 @@ def _indexed_contract(u, G, coeff, D):
           jnp.kron(jnp.kron(eye, eye), D))
     # bf16x3 only where the MXU-shape rationale applies; CPU/f64 keep
     # HIGHEST (review r5: a CPU f32 run would pay 3 dense passes AND an
-    # accuracy downgrade for nothing)
+    # accuracy downgrade for nothing).  (A stacked-operator two-dot form
+    # was cost-audited WORSE — 491 vs 416 MB — the concats outweigh the
+    # saved dispatches; the real traffic fix is the fused Pallas
+    # contraction in pallas_gather.dense_contract, used on TPU.)
     con = _mk_einsum(
         "bf16x3" if (dtype != jnp.float64 and on_tpu()) else _PRECISION,
         dtype)
@@ -373,18 +377,15 @@ def stiffness_apply_indexed_pair(x1: jax.Array, c1: jax.Array,
         from fustpu.ops import pallas_gather as pg
 
         u1, u2 = pg.gather2(x1, x2, engine, interpret=engine_interpret)
-        u1 = u1.reshape(cells, n, n, n)
-        u2 = u2.reshape(cells, n, n, n)
-    else:
-        u1 = gather_dofs(x1, dofmap).reshape(cells, n, n, n)
-        u2 = gather_dofs(x2, dofmap).reshape(cells, n, n, n)
-    u = (c1[:, None, None, None] * u1 + c2[:, None, None, None] * u2)
-    y = _indexed_contract(u, G, None, D)
-    if engine is not None:
-        from fustpu.ops import pallas_gather as pg
-
+        u2f = (c1[:, None] * u1.reshape(cells, n ** 3)
+               + c2[:, None] * u2.reshape(cells, n ** 3))
+        y = pg.dense_contract(u2f, G, D, interpret=engine_interpret)
         return pg.scatter_add(y.reshape(-1), engine, ndofs,
                               interpret=engine_interpret)
+    u1 = gather_dofs(x1, dofmap).reshape(cells, n, n, n)
+    u2 = gather_dofs(x2, dofmap).reshape(cells, n, n, n)
+    u = (c1[:, None, None, None] * u1 + c2[:, None, None, None] * u2)
+    y = _indexed_contract(u, G, None, D)
     if pull is not None:
         from fustpu.ops.gather_scatter import pull_scatter_dofs
 

@@ -848,6 +848,97 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
     return o1[:N], o2[:N]
 
 
+# ---------------------------------------------------------------------------
+# Fused per-cell contraction for the engine path: the XLA dense-operator
+# form materialises every intermediate (w/f planes, bf16 casts) in HBM —
+# cost-audited ~416 MB per apply at the 627k bench shape against a
+# ~40 MB minimum (u + G + y once).  One Pallas pass gets the minimum:
+# per tile of CT cells, the three (n^3, n^3) dense operators (VMEM-
+# resident, bf16x3-split in-kernel) run as clean MXU matmuls with the
+# metric transform fused pointwise between them.
+# ---------------------------------------------------------------------------
+
+def _mk_contract_kernel(nq: int, precision, with_coeff: bool):
+    from fustpu.ops.pallas_stiffness import _mk_matmul
+
+    def kernel(*refs):
+        if with_coeff:
+            u_ref, g_ref, d3_ref, c_ref, o_ref = refs
+        else:
+            u_ref, g_ref, d3_ref, o_ref = refs
+        f32 = o_ref.dtype
+        matmul = _mk_matmul(precision, f32)
+        u = u_ref[...]
+        w = [matmul(u, d3_ref[q], ((1,), (1,))) for q in range(3)]
+        G = lambda m: g_ref[m]
+        c = c_ref[...] if with_coeff else 1.0
+        f0 = c * (G(0) * w[0] + G(1) * w[1] + G(2) * w[2])
+        f1 = c * (G(1) * w[0] + G(3) * w[1] + G(4) * w[2])
+        f2 = c * (G(2) * w[0] + G(4) * w[1] + G(5) * w[2])
+        y = matmul(f0, d3_ref[0], ((1,), (0,)))
+        y = y + matmul(f1, d3_ref[1], ((1,), (0,)))
+        y = y + matmul(f2, d3_ref[2], ((1,), (0,)))
+        o_ref[...] = y
+
+    return kernel
+
+
+def contract_tile_cells(n3: int) -> int:
+    """Cells per tile: scale down as n^3 grows so the VMEM working set
+    (u/w/f planes + the three (n3p, n3p) operators, double-buffered io)
+    stays comfortably inside the budget."""
+    n3p = -(-n3 // 128) * 128
+    for ct in (1024, 512, 256, 128, 64, 32, 16, 8):
+        planes = 12 * ct * n3p               # u, 3 w, 3 f, y + io buffers
+        mats = 3 * n3p * n3p * 2
+        if (planes + mats) * 4 < 13 * 2**20:
+            return ct
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def dense_contract(u2: jax.Array, G6: jax.Array, D: jax.Array,
+                   coeff: jax.Array | None = None,
+                   interpret: bool = False,
+                   precision="auto") -> jax.Array:
+    """y2[c] = sum_q D3q^T (coeff_c * G_c . (D3q u2[c])) — the per-cell
+    stiffness contraction between the engine's gather and scatter, one
+    fused HBM pass.  u2: (cells, n^3); G6: (6, cells, n^3) component-
+    major; D: (n, n); coeff: optional (cells,)."""
+    cells, n3 = u2.shape
+    n = D.shape[0]
+    assert n ** 3 == n3
+    if precision == "auto":
+        precision = (jax.lax.Precision.HIGHEST
+                     if u2.dtype == jnp.float64 else "bf16x3")
+    eye = jnp.eye(n, dtype=u2.dtype)
+    D3 = jnp.stack([jnp.kron(jnp.kron(D, eye), eye),
+                    jnp.kron(jnp.kron(eye, D), eye),
+                    jnp.kron(jnp.kron(eye, eye), D)])
+    ct = contract_tile_cells(n3)
+    # ragged last tile: pallas masks out-of-range rows itself (garbage
+    # reads feed rows whose writes are masked) — padding the operands
+    # with jnp.pad instead was cost-audited at +70 MB of pure copies
+    args = [u2, G6, D3]
+    in_specs = [
+        pl.BlockSpec((ct, n3), lambda b: (b, 0)),
+        pl.BlockSpec((6, ct, n3), lambda b: (0, b, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if coeff is not None:
+        args.append(coeff.reshape(cells, 1))
+        in_specs.append(pl.BlockSpec((ct, 1), lambda b: (b, 0)))
+    out = pl.pallas_call(
+        _mk_contract_kernel(n3, precision, coeff is not None),
+        grid=(-(-cells // ct),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ct, n3), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((cells, n3), u2.dtype),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("ndofs", "interpret"))
 def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
                 interpret: bool = False) -> jax.Array:

@@ -242,3 +242,22 @@ def test_extruded_corner_hex27_lowers(tpu_dev):
     x = jax.ShapeDtypeStruct((curved.ndofs,), jnp.float32)
     aot_compile(tpu_dev, lambda xx: pex.stiffness_apply_extruded_pallas(
         xx, opc, curved.ndofs), x)
+
+
+def test_dense_contract_lowers(tpu_dev):
+    """The fused engine contraction (cells on the MXU M axis, metric
+    transform fused in VMEM) compiles, with and without the per-cell
+    coefficient, at P=4 and P=2 tile sizes."""
+    from fustpu.ops import pallas_gather as pg
+
+    for n, cells in ((5, 9600), (3, 777)):   # incl. a ragged tile count
+        u = jax.ShapeDtypeStruct((cells, n ** 3), jnp.float32)
+        G = jax.ShapeDtypeStruct((6, cells, n ** 3), jnp.float32)
+        D = jax.ShapeDtypeStruct((n, n), jnp.float32)
+        co = jax.ShapeDtypeStruct((cells,), jnp.float32)
+        aot_compile(tpu_dev,
+                    lambda uu, GG, DD: pg.dense_contract(uu, GG, DD),
+                    u, G, D)
+        aot_compile(tpu_dev,
+                    lambda uu, GG, DD, cc: pg.dense_contract(
+                        uu, GG, DD, coeff=cc), u, G, D, co)
