@@ -69,13 +69,21 @@ def main():
            aot(lambda a: ps.stiffness_apply_pallas(model._stiff_op, a),
                x), mesh.ndofs)
 
-    def step(u, v, ku, kv, t):
-        s = model.step(RKState(u, v, ku, kv, t), dt)
+    def solve20(u, v, ku, kv, t):
+        # the PRODUCTION form: a scanned solve (a single out-of-scan
+        # step traces without buffer reuse and reads 15x more — audit
+        # what actually runs)
+        s, _ = model.solve(RKState(u, v, ku, kv, t), dt, 20)
         return s.u
 
     s0 = jax.eval_shape(lambda: model.init_state())
-    report("Westervelt RK4 step (P=4, 32^3)",
-           aot(step, s0.u, s0.v, s0.ku, s0.kv, s0.t), mesh.ndofs)
+    c20 = aot(solve20, s0.u, s0.v, s0.ku, s0.kv, s0.t)
+    ca = c20.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    by = ca.get("bytes accessed", float("nan")) / 20
+    print(f"{'Westervelt RK4 step (in-scan, P=4, 32^3)':<44} "
+          f"{by/1e6:9.1f} MB  {'':>10}  SoL {by/(HBM_GBS*1e9)*1e3:6.3f}"
+          f" ms  ({by/mesh.ndofs:5.1f} B/dof)", flush=True)
 
     # ---- extruded import: G stream vs corner capacity stream ----------
     from fustpu.mesh import msh_io
