@@ -22,7 +22,20 @@ Physicality checks (all printed as '#' comment lines to stderr):
 """
 
 import json
+import os
 import sys
+
+import jax
+
+# persistent compile cache: repeated bench runs skip the multi-minute
+# remote compiles when the backend's client supports executable
+# serialization (harmless no-op otherwise)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import jax.numpy as jnp
 
