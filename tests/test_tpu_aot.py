@@ -250,7 +250,7 @@ def test_dense_contract_lowers(tpu_dev):
     coefficient, at P=4 and P=2 tile sizes."""
     from fustpu.ops import pallas_gather as pg
 
-    for n, cells in ((5, 9600), (3, 777)):   # incl. a ragged tile count
+    for n, cells in ((5, 9600), (3, 777), (7, 500)):  # ragged + P=6 scale
         u = jax.ShapeDtypeStruct((cells, n ** 3), jnp.float32)
         G = jax.ShapeDtypeStruct((6, cells, n ** 3), jnp.float32)
         D = jax.ShapeDtypeStruct((n, n), jnp.float32)
