@@ -40,6 +40,11 @@ def main():
     p.add_argument("--impl", default="pallas_corner",
                    choices=["pallas_corner", "extruded_pallas",
                             "extruded"])
+    p.add_argument("--aot-check", action="store_true",
+                   help="no TPU needed: AOT-compile the solve against a "
+                        "deviceless v5e topology and print XLA's memory "
+                        "analysis (does this config FIT?) + certified "
+                        "per-step traffic, then exit")
     p.add_argument("--radius", type=float, default=0.035)
     p.add_argument("--length", type=float, default=0.12)
     p.add_argument("--piston", type=float, default=0.01)
@@ -84,6 +89,41 @@ def main():
           flush=True)
 
     dt, _ = model.cfl_dt(0.35)
+
+    if args.aot_check:
+        from jax.experimental import topologies
+        from fustpu.models.timestepping import RKState
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", False)
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x2")
+        sh = jax.sharding.SingleDeviceSharding(topo.devices[0])
+        s0 = jax.eval_shape(lambda: model.init_state())
+
+        def solve2(u, v_, ku, kv, tt):
+            s, _ = model.solve(RKState(u, v_, ku, kv, tt), dt, 2)
+            return s.u
+
+        t0 = time.perf_counter()
+        avals = [jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+                 for a in (s0.u, s0.v, s0.ku, s0.kv, s0.t)]
+        cc = jax.jit(solve2, in_shardings=(sh,) * 5,
+                     out_shardings=sh).lower(*avals).compile()
+        ma = cc.memory_analysis()
+        ca = cc.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        tot = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+               + ma.temp_size_in_bytes) / 2 ** 30
+        print(f"AOT v5e compile OK [{time.perf_counter() - t0:.0f}s]: "
+              f"args {ma.argument_size_in_bytes/2**30:.2f} + temps "
+              f"{ma.temp_size_in_bytes/2**30:.2f} + out "
+              f"{ma.output_size_in_bytes/2**30:.2f} = {tot:.2f} GiB "
+              f"(v5e HBM 16); certified traffic "
+              f"{ca.get('bytes accessed')/2/2**30:.2f} GiB/step -> SoL "
+              f"{ca.get('bytes accessed')/2/800e9*1e3:.0f} ms/step")
+        return
+
     state = model.init_state()
     t0 = time.perf_counter()
     state, _ = model.solve(state, dt, 1)
