@@ -44,8 +44,40 @@ def comment(msg):
     print("#", msg, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s: float = 150.0) -> bool:
+    """Fail FAST if the accelerator backend is unreachable.
+
+    During an axon tunnel outage `jax.devices()` can hang for many
+    minutes inside backend init (BENCH_NOTES r4: >590 s), eating the
+    driver's whole budget.  Probe device enumeration in a SUBPROCESS
+    under a hard timeout; on failure print a diagnostic comment and
+    return False so the caller can exit(1) quickly.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('DEVICES_OK', jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        comment(f"backend probe HUNG >{timeout_s:.0f}s "
+                "(tunnel outage?) — aborting fast instead of hanging")
+        return False
+    if r.returncode != 0 or "DEVICES_OK" not in r.stdout:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        comment("backend probe failed: " + " | ".join(tail))
+        return False
+    comment("backend probe ok: " + r.stdout.strip().splitlines()[-1])
+    return True
+
+
 def main():
     import numpy as np
+
+    if not probe_backend():
+        comment("no usable accelerator backend — exiting without a metric")
+        sys.exit(1)
 
     from fustpu.mesh.box import build_box_mesh
     from fustpu.ops import precompute as pre
