@@ -116,6 +116,57 @@ if LAYOUT not in ("col", "packed"):
         f"FUSTPU_ENGINE_LAYOUT={LAYOUT!r}: must be col|packed")
 
 
+def _subw_from_env() -> int:
+    """Sub-tiles per one-hot MXU dispatch in the packed kernels.
+
+    With the padding traffic gone (packed streams) the engine's
+    remaining cost model is per-DISPATCH overhead: at SUBW=1 every 128
+    outputs cost one (nwin*WR, 128) one-hot matmul — ~11k dispatches
+    per apply at the 627k bench scale, ~150 ns/dispatch measured
+    (BENCH_NOTES r3 dispatch study).  SUBW lane-concatenates that many
+    one-hot blocks into a single (nwin*WR, 128*SUBW) operand so one
+    MXU dispatch serves SUBW sub-tiles — identical FLOPs and HBM
+    traffic, 1/SUBW the dispatch count.  Capped per-plan so the widened
+    block stays within the VMEM budget (_subw_eff)."""
+    v = os.environ.get("FUSTPU_ENGINE_SUBW")
+    if v is None or v == "":
+        return 1
+    try:
+        sw = int(v)
+    except ValueError:
+        raise ValueError(f"FUSTPU_ENGINE_SUBW={v!r}: not an integer")
+    if sw < 1:
+        raise ValueError(f"FUSTPU_ENGINE_SUBW={sw}: must be >= 1")
+    return sw
+
+
+# Read at trace time by the packed kernel makers; tests flip the module
+# global directly (and clear the jit caches) — the env var exists for
+# on-device A/B runs.
+SUBW = _subw_from_env()
+
+
+def _subw_eff(WR: int, nwin: int, rows: int) -> int:
+    """Effective widening for a plan: never wider than the tile has
+    sub-tiles, and capped so the widened one-hot working set
+    (~6 B/element over (nwin*WR, 128*sw): bf16 Ht + int32 compare
+    operands) stays under ~3 MB next to the window scratch, bf16x3
+    splits and A2."""
+    cap = max(1, (3 * 2**20) // (nwin * WR * 128 * 6))
+    return max(1, min(SUBW, rows, cap))
+
+
+def _row_concat(ref, j0: int, kk: int):
+    """(1, 128*kk) lane-concatenation of kk consecutive (1, 128) rows
+    of a packed (rows, 128) stream block.  A (kk, 128) -> (1, 128*kk)
+    reshape would be a lane<->sublane relayout (rejected by Mosaic);
+    concatenating whole-vreg rows along lanes is layout-preserving."""
+    if kk == 1:
+        return ref[j0:j0 + 1, :]
+    return jnp.concatenate(
+        [ref[j0 + i:j0 + i + 1, :] for i in range(kk)], axis=1)
+
+
 def _lane_pick(A, lo, tm):
     """out[i, 0] = A[i, lo[i]] for A (tm, 128), lo (tm, 1) int32."""
     if LANEPICK == "dg":
@@ -576,8 +627,12 @@ def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
     """Transposed one-hot over 128-output sub-tiles: Ht (nwin*WR, 128)
     from a (1, 128) code row broadcast down sublanes, A2 = W^T @ Ht puts
     the sub-tile's outputs on the LANES, and the element pick is a
-    masked SUBLANE reduction — all streams stay (rows, 128) compact."""
+    masked SUBLANE reduction — all streams stay (rows, 128) compact.
+    SUBW > 1 lane-concatenates that many sub-tiles' code rows so one
+    (nwin*WR, 128*SUBW) one-hot dispatch serves them all (same FLOPs
+    and traffic, 1/SUBW the MXU dispatch count)."""
     rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
 
     def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
@@ -592,18 +647,20 @@ def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
             cp.start()
             cps.append(cp)
         WRn = nwin * WR
-        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
-        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         for cp in cps:
             cp.wait()
         W = scratch[...]
         exact = f32 == jnp.float64
         if not exact:
             wh, wl, wl2 = _split3(W, f32)
-        for j in range(rows):
-            cj = code_ref[j:j + 1, :]
-            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
-            lo = jnp.broadcast_to(cj % 128, (128, 128))
+        for j0 in range(0, rows, sw):
+            kk = min(sw, rows - j0)
+            L = 128 * kk
+            cw = _row_concat(code_ref, j0, kk)
+            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
+            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+            hi = jnp.broadcast_to(cw // 128, (WRn, L))
+            lo = jnp.broadcast_to(cw % 128, (128, L))
             dn = (((0,), (0,)), ((), ()))
             if exact:
                 Ht = (hi == isub).astype(f32)
@@ -614,16 +671,20 @@ def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
                 d = lambda a: jax.lax.dot_general(
                     a, Ht, dn, preferred_element_type=f32)
                 A2 = d(wh) + d(wl) + d(wl2)
-            o_ref[j:j + 1, :] = jnp.sum(
-                A2 * (msub == lo).astype(f32), axis=0, keepdims=True)
+            yw = jnp.sum(A2 * (msub == lo).astype(f32), axis=0,
+                         keepdims=True)
+            for i in range(kk):
+                o_ref[j0 + i:j0 + i + 1, :] = yw[:, 128 * i:128 * (i + 1)]
 
     return kernel
 
 
 def _mk_gather2_kernel_packed(WR: int, nwin: int, tm: int):
-    """Two-field packed gather sharing Ht per sub-tile (the pair form's
-    shared one-hot, transposed)."""
+    """Two-field packed gather sharing Ht per sub-tile group (the pair
+    form's shared one-hot, transposed; SUBW widening as in the
+    single-field kernel)."""
     rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
 
     def kernel(woff_ref, code_ref, x1_hbm, x2_hbm, o1_ref, o2_ref,
                s1, s2, sem1, sem2):
@@ -642,35 +703,39 @@ def _mk_gather2_kernel_packed(WR: int, nwin: int, tm: int):
         for cp in cps:
             cp.start()
         WRn = nwin * WR
-        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
-        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         for cp in cps:
             cp.wait()
         exact = f32 == jnp.float64
         Ws = (s1[...], s2[...])
         if not exact:
             Wsp = tuple(_split3(w, f32) for w in Ws)
-        for j in range(rows):
-            cj = code_ref[j:j + 1, :]
-            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
-            lo = jnp.broadcast_to(cj % 128, (128, 128))
+        for j0 in range(0, rows, sw):
+            kk = min(sw, rows - j0)
+            L = 128 * kk
+            cw = _row_concat(code_ref, j0, kk)
+            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
+            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+            hi = jnp.broadcast_to(cw // 128, (WRn, L))
+            lo = jnp.broadcast_to(cw % 128, (128, L))
             dn = (((0,), (0,)), ((), ()))
             pick = (msub == lo).astype(f32)
+
+            def emit(A2, o):
+                yw = jnp.sum(A2 * pick, axis=0, keepdims=True)
+                for i in range(kk):
+                    o[j0 + i:j0 + i + 1, :] = yw[:, 128 * i:128 * (i + 1)]
+
             if exact:
                 Ht = (hi == isub).astype(f32)
                 for w, o in ((Ws[0], o1_ref), (Ws[1], o2_ref)):
-                    A2 = jax.lax.dot_general(w, Ht, dn,
-                                             preferred_element_type=f32)
-                    o[j:j + 1, :] = jnp.sum(A2 * pick, axis=0,
-                                            keepdims=True)
+                    emit(jax.lax.dot_general(
+                        w, Ht, dn, preferred_element_type=f32), o)
             else:
                 Ht = (hi == isub).astype(bf)
                 for (wh, wl, wl2), o in zip(Wsp, (o1_ref, o2_ref)):
                     d = lambda a: jax.lax.dot_general(
                         a, Ht, dn, preferred_element_type=f32)
-                    A2 = d(wh) + d(wl) + d(wl2)
-                    o[j:j + 1, :] = jnp.sum(A2 * pick, axis=0,
-                                            keepdims=True)
+                    emit(d(wh) + d(wl) + d(wl2), o)
 
     return kernel
 
@@ -679,8 +744,11 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
     """Transposed one-hot scatter: per 128-element sub-tile the window
     contribution is Ht @ Vs^T with Vs[l, t] = v[t] * (lo[t] == l) — a
     sublane spread built from (1, 128) rows; same RMW window protocol
-    as the column kernel."""
+    as the column kernel.  SUBW widens the contraction's t axis over
+    that many sub-tiles (one dispatch, and the inter-group C adds
+    fold into the MXU accumulate)."""
     rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
 
     def kernel(*refs):
         (woff_ref, code_ref, v_ref, y_in, y_hbm,
@@ -705,16 +773,18 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
                 cin2.start()
 
         WRn = nwin * WR
-        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, 128), 0)
-        msub = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         exact = f32 == jnp.float64
         C = None
-        for j in range(rows):
-            cj = code_ref[j:j + 1, :]
-            hi = jnp.broadcast_to(cj // 128, (WRn, 128))
-            lo = jnp.broadcast_to(cj % 128, (128, 128))
-            vj = v_ref[j:j + 1, :]
-            Vs = (msub == lo).astype(f32) * vj         # (128 l, 128 t)
+        for j0 in range(0, rows, sw):
+            kk = min(sw, rows - j0)
+            L = 128 * kk
+            cw = _row_concat(code_ref, j0, kk)
+            vw = _row_concat(v_ref, j0, kk)
+            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
+            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+            hi = jnp.broadcast_to(cw // 128, (WRn, L))
+            lo = jnp.broadcast_to(cw % 128, (128, L))
+            Vs = (msub == lo).astype(f32) * vw         # (128 l, L t)
             dn = (((1,), (1,)), ((), ()))
             if exact:
                 Ht = (hi == isub).astype(f32)

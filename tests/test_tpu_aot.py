@@ -85,6 +85,33 @@ def test_engine_kernels_lower(tpu_dev, layout, nwin):
                 lambda vv: pg.scatter_add(vv, plan, nsrc), v)
 
 
+@pytest.mark.parametrize("nwin", [1, 2])
+def test_engine_subw_lowers(tpu_dev, nwin):
+    """The SUBW-widened packed kernels (lane-concatenated one-hot
+    blocks, one MXU dispatch per SUBW sub-tiles) lower clean — the
+    lane-axis jnp.concatenate of whole-vreg rows is layout-preserving
+    for Mosaic (verified here, not assumed)."""
+    from fustpu.ops import pallas_gather as pg
+
+    old = pg.SUBW
+    try:
+        pg.SUBW = 8
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+        plan, nsrc, N = _plan("packed", nwin)
+        x = jax.ShapeDtypeStruct((nsrc,), jnp.float32)
+        v = jax.ShapeDtypeStruct((N,), jnp.float32)
+        aot_compile(tpu_dev, lambda xx: pg.gather(xx, plan), x)
+        aot_compile(tpu_dev,
+                    lambda xx: pg.gather2(xx, xx * 2.0, plan)[0], x)
+        aot_compile(tpu_dev,
+                    lambda vv: pg.scatter_add(vv, plan, nsrc), v)
+    finally:
+        pg.SUBW = old
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+
+
 def test_engine_tm4096_lowers_packed_only(tpu_dev):
     """The TM=4096 ladder rung compiles in the PACKED layout; in the col
     layout its lane-padded (4096, 1) streams exceed the 16 MB scoped
@@ -106,6 +133,13 @@ def test_engine_tm4096_lowers_packed_only(tpu_dev):
         aot_compile(tpu_dev,
                     lambda xx: pg.scatter_add(
                         xx[:N] * 0 + 1.0, plan, nsrc)[:nsrc], x)
+        # the TM=8192 rung (queue run 5) must also lower packed
+        plan8 = pg.build_plan(g, nsrc, tm=8192)
+        assert pg._plan_packed(plan8)
+        aot_compile(tpu_dev, lambda xx: pg.gather(xx, plan8), x)
+        aot_compile(tpu_dev,
+                    lambda xx: pg.scatter_add(
+                        xx[:N] * 0 + 1.0, plan8, nsrc)[:nsrc], x)
         pg.LAYOUT = "col"
         plan_c = pg.build_plan(g, nsrc, tm=4096)
         assert not pg._plan_packed(plan_c)

@@ -440,6 +440,66 @@ def test_gather_engine_tile_size_knob():
             os.environ["FUSTPU_ENGINE_TM"] = prior
 
 
+def test_gather_engine_subw_widening():
+    """SUBW (sub-tiles per one-hot MXU dispatch, packed layout) is a
+    pure dispatch-width knob: gather/gather2 stay bit-exact and the
+    scatter stays at f64 roundoff for ragged (3), aligned (4) and
+    whole-tile (16) widths, plus over-wide clamping (64 -> rows).  The
+    env parser rejects junk."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(21)
+    nsrc, N = 9000, 11000
+    g = np.sort(rng.integers(0, nsrc, N)).astype(np.int64)
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float64)
+    vals = rng.standard_normal(N)
+    ref = np.zeros(nsrc)
+    np.add.at(ref, g, vals)
+    old = pg.SUBW
+    try:
+        for sw in (3, 4, 16, 64):
+            pg.SUBW = sw
+            for f in (pg.gather, pg.gather2, pg.scatter_add):
+                f.clear_cache()
+            plan = pg.build_plan(g, nsrc)
+            out = np.asarray(pg.gather(x, plan, interpret=True))
+            assert np.array_equal(out, np.asarray(x)[g]), sw
+            o1, o2 = pg.gather2(x, 2.0 * x, plan, interpret=True)
+            assert np.array_equal(np.asarray(o1), np.asarray(x)[g]), sw
+            assert np.array_equal(np.asarray(o2),
+                                  2.0 * np.asarray(x)[g]), sw
+            y = np.asarray(pg.scatter_add(jnp.asarray(vals), plan, nsrc,
+                                          interpret=True))
+            assert np.abs(y - ref).max() < 1e-12, sw
+    finally:
+        pg.SUBW = old
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+
+    import os
+    prior = os.environ.get("FUSTPU_ENGINE_SUBW")
+    try:
+        for bad in ("abc", "0", "-4"):
+            os.environ["FUSTPU_ENGINE_SUBW"] = bad
+            with pytest.raises(ValueError):
+                pg._subw_from_env()
+        del os.environ["FUSTPU_ENGINE_SUBW"]
+        assert pg._subw_from_env() == 1
+    finally:
+        if prior is None:
+            os.environ.pop("FUSTPU_ENGINE_SUBW", None)
+        else:
+            os.environ["FUSTPU_ENGINE_SUBW"] = prior
+    # the VMEM cap: wide windows shrink the effective width
+    try:
+        pg.SUBW = 16
+        assert pg._subw_eff(64, 2, 16) == 16    # bench-scale: uncapped
+        assert pg._subw_eff(512, 2, 16) == 4    # 1024-row windows: capped
+        assert pg._subw_eff(512, 2, 2) == 2     # never wider than the tile
+    finally:
+        pg.SUBW = old
+
+
 def test_gather_engine_lanepick_dg():
     """The dynamic-gather lane-pick variant (LANEPICK='dg') returns the
     same exact gather/gather2 results as the one-hot baseline."""
