@@ -125,11 +125,15 @@ def main():
         return
 
     state = model.init_state()
+    # warm up with the SAME scan length that gets timed: solve(k) and
+    # solve(1) are different scan lengths, i.e. different executables —
+    # timing the first solve(k) measures a fresh multi-second compile,
+    # not the solver (the r5 "862 ms/step" artifact: steady was 46)
     t0 = time.perf_counter()
-    state, _ = model.solve(state, dt, 1)
+    state, _ = model.solve(state, dt, args.steps)
     _sync(state.u)
-    print(f"first step (compile): {time.perf_counter() - t0:.1f}s",
-          flush=True)
+    print(f"first solve({args.steps}) incl. compile: "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     state, _ = model.solve(state, dt, args.steps)
     _sync(state.u)

@@ -88,6 +88,18 @@ class BoxMesh:
         d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
         return float(d.max(axis=(1, 2)).min())
 
+    def h_cfl(self) -> float:
+        """CFL length scale: sqrt(3) x the smallest corner-pair distance
+        over all cells.  On a cube this IS the diameter (so isotropic
+        meshes keep the reference's dt convention exactly), but on
+        anisotropic cells it binds on the THIN direction — the diameter
+        overestimates the stable dt by the aspect ratio (measured NaN
+        on high-aspect imported cylinders, BENCH_NOTES r5)."""
+        c = self.cell_corners_flat
+        d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
+        d[:, np.arange(8), np.arange(8)] = np.inf
+        return float(np.sqrt(3.0) * d.min())
+
     # ----- DOF indexing -------------------------------------------------
     @functools.cached_property
     def dofmap(self) -> np.ndarray:

@@ -106,6 +106,15 @@ class UnstructuredHexMesh:
         d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
         return float(d.max(axis=(1, 2)).min())
 
+    def h_cfl(self) -> float:
+        """sqrt(3) x smallest corner-pair distance (== diameter on a
+        cube; binds on the thin direction of anisotropic cells — see
+        BoxMesh.h_cfl)."""
+        c = self.cell_corners_flat
+        d = np.linalg.norm(c[:, :, None, :] - c[:, None, :, :], axis=-1)
+        d[:, np.arange(8), np.arange(8)] = np.inf
+        return float(np.sqrt(3.0) * d.min())
+
     @property
     def geom_degree(self) -> int:
         return 1 if self.geom_nodes is None else 2

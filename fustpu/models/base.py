@@ -71,6 +71,11 @@ class WaveModelBase:
         source period (reference numba-cpu/demo_linear_box.py:94-100)."""
         cfl = self.DEFAULT_CFL if cfl is None else cfl
         c_max = float(np.max(self.material.sound_speed))
-        dt = cfl * self.mesh.hmin() / (c_max * self.mesh.degree**2)
+        # h_cfl == hmin (the diameter) on cube cells, but binds on the
+        # thin direction of anisotropic cells — the diameter convention
+        # overestimates the stable dt by the aspect ratio there (NaN on
+        # high-aspect imported cylinders, BENCH_NOTES r5)
+        h = getattr(self.mesh, "h_cfl", self.mesh.hmin)()
+        dt = cfl * h / (c_max * self.mesh.degree**2)
         spp = int(self.source.period / dt) + 1
         return self.source.period / spp, spp

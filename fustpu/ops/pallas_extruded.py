@@ -221,11 +221,127 @@ def pick_stack_batch(n: int, ns: int, ez: int, gz: int,
     return None
 
 
+def _probe_cache_path():
+    import pathlib
+
+    return (pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+            / "ext_slab_probe.json")
+
+
+def _probe_compiles(n: int, S: int, ez: int, gz: int, pair: bool,
+                    corner: bool, geom_deg: int) -> bool:
+    """Deviceless Mosaic compile of ONE stack batch of the kernel at
+    exactly this (n, S, ez, gz) — per-grid-step VMEM is independent of
+    the batch COUNT, so a single-batch synthetic op certifies the
+    production shape.  Results are cached on disk (keyed by the shape
+    tuple): the probe costs a ~20-40 s local compile the first time."""
+    import json
+
+    key = f"{n}-{S}-{ez}-{gz}-{int(pair)}-{int(corner)}-{geom_deg}"
+    path = _probe_cache_path()
+    try:
+        cache = json.loads(path.read_text())
+    except Exception:
+        cache = {}
+    if key in cache:
+        return bool(cache[key])
+    ok = False
+    try:
+        from jax.experimental import topologies
+
+        from fustpu.elements import gll
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x2")
+        sh = jax.sharding.SingleDeviceSharding(topo.devices[0])
+        n2, nz = n * n, ez // n
+        D = np.asarray(gll.derivative_matrix(n), np.float64)
+        rows = jnp.zeros((n2, S), jnp.int32)
+        WzT = jnp.zeros((gz, ez), jnp.float32)
+        Dz = jnp.zeros((ez, ez), jnp.float32)
+        ce = jnp.zeros((2, S, ez), jnp.float32)
+        if corner:
+            nch = 37 if geom_deg == 1 else 163
+            Uz, zrow, wzrow, XQ, WQ = (
+                jnp.zeros((nz, ez), jnp.float32),
+                jnp.zeros((1, ez), jnp.float32),
+                jnp.zeros((1, ez), jnp.float32),
+                tuple(np.asarray(gll.gll_nodes_unit(n), np.float64)),
+                tuple(np.asarray(
+                    gll.gll_points_weights_unit(n)[1], np.float64)))
+            op = PallasExtrudedCorner(
+                T=jnp.zeros((nch + 1, S, nz), jnp.float32), rows=rows,
+                ce=ce if pair else None, Uz=Uz, zrow=zrow, wzrow=wzrow,
+                WzT=WzT, Dz=Dz,
+                statics=(tuple(map(tuple, D)), XQ, WQ, S, pair,
+                         geom_deg))
+        elif pair:
+            op = PallasExtrudedPair(
+                Gt=jnp.zeros((n2, 6, S, ez), jnp.float32), rows=rows,
+                ce=ce, WzT=WzT, Dz=Dz,
+                statics=(tuple(map(tuple, D)), S))
+        else:
+            op = PallasExtruded(
+                Gt=jnp.zeros((n2, 6, S, ez), jnp.float32), rows=rows,
+                WzT=WzT, Dz=Dz, statics=(tuple(map(tuple, D)), S))
+        nd = 8 * gz
+        aval = jax.ShapeDtypeStruct((nd,), jnp.float32, sharding=sh)
+        if pair:
+            f = lambda a, b: stiffness_apply_extruded_pallas_pair(
+                a, b, op, nd)
+            jax.jit(f, in_shardings=(sh, sh),
+                    out_shardings=sh).lower(aval, aval).compile()
+        else:
+            f = lambda a: stiffness_apply_extruded_pallas(a, op, nd)
+            jax.jit(f, in_shardings=(sh,),
+                    out_shardings=sh).lower(aval).compile()
+        ok = True
+    except Exception:
+        ok = False
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        cache[key] = ok
+        path.write_text(json.dumps(cache))
+    except OSError:
+        pass
+    return ok
+
+
+def probed_stack_batch(n: int, ns: int, ez: int, gz: int,
+                       pair: bool = False, corner: bool = False,
+                       geom_deg: int = 1) -> int | None:
+    """pick_stack_batch, with a deviceless-compile escape hatch for deep
+    extrusions: when the conservative estimator rejects EVERY rung (the
+    r5 nz=140 capacity case — measured ~40% over Mosaic's true
+    allocation), candidate rungs under a relaxed 24 MB estimate are
+    AOT-verified with the actual Mosaic compiler (libtpu's compile-only
+    client; no chip needed) and the largest that compiles wins.  Hosts
+    without libtpu, or FUSTPU_EXT_AOT_PROBE=0, keep the conservative
+    answer."""
+    import os
+
+    S = pick_stack_batch(n, ns, ez, gz, pair, corner=corner,
+                         geom_deg=geom_deg)
+    if S is not None or os.environ.get("FUSTPU_EXT_AOT_PROBE") == "0" \
+            or os.environ.get("FUSTPU_EXT_SLAB_BATCH"):
+        return S
+    cap = _pad(max(ns, 1), 8)
+    for Sc in _S_CANDIDATES:
+        if Sc > cap:
+            continue
+        if _ext_vmem_bytes(n, Sc, ez, gz, pair, corner=corner,
+                           geom_deg=geom_deg) >= 24 * 2**20:
+            continue
+        if _probe_compiles(n, Sc, ez, gz, pair, corner, geom_deg):
+            return Sc
+    return None
+
+
 def ext_pallas_fits(n: int, ns: int, nz: int, gz: int,
                     pair: bool = False, corner: bool = False,
                     geom_deg: int = 1) -> bool:
-    return pick_stack_batch(n, ns, nz * n, gz, pair, corner=corner,
-                            geom_deg=geom_deg) is not None
+    return probed_stack_batch(n, ns, nz * n, gz, pair, corner=corner,
+                              geom_deg=geom_deg) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +380,7 @@ def build_extruded(mesh, G_cells, D_1d, dtype,
     coeff: optional per-cell coefficient folded into the stream."""
     n = mesh.degree + 1
     gz = mesh.gz
-    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz)
+    S = probed_stack_batch(n, mesh.nstacks, mesh.nz * n, gz)
     if S is None:
         raise ValueError("no VMEM-feasible stack batch; use the XLA "
                          "extruded path")
@@ -285,7 +401,7 @@ def build_extruded_pair(mesh, G_cells, D_1d, dtype, c1_cells,
     coefficients (the heterogeneous Westervelt stage)."""
     n = mesh.degree + 1
     gz = mesh.gz
-    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=True)
+    S = probed_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=True)
     if S is None:
         raise ValueError("no VMEM-feasible stack batch for the pair "
                          "kernel; use the XLA extruded pair path")
@@ -451,8 +567,8 @@ def build_extruded_corner(mesh, D_1d, dtype,
     g = 1 if mesh.geom_nodes is None else 2
     n = mesh.degree + 1
     gz = mesh.gz
-    S = pick_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=pair,
-                         corner=True, geom_deg=g)
+    S = probed_stack_batch(n, mesh.nstacks, mesh.nz * n, gz, pair=pair,
+                           corner=True, geom_deg=g)
     if S is None:
         raise ValueError("no VMEM-feasible stack batch for the corner "
                          "kernel")

@@ -170,9 +170,10 @@ class ExtrudedShardedModel:
             from fustpu.ops import pallas_extruded as pex
 
             geom_deg = 1 if mesh.geom_nodes is None else 2
-            S_b = pex.pick_stack_batch(n, smax, ez, gz, pair=hetero_pair,
-                                       corner=self._ext_corner,
-                                       geom_deg=geom_deg)
+            S_b = pex.probed_stack_batch(n, smax, ez, gz,
+                                         pair=hetero_pair,
+                                         corner=self._ext_corner,
+                                         geom_deg=geom_deg)
             if S_b is None:  # pragma: no cover - guarded by model resolve
                 raise ValueError("no VMEM-feasible stack batch per device")
             smax_pad = -(-smax // S_b) * S_b

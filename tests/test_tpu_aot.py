@@ -295,3 +295,21 @@ def test_dense_contract_lowers(tpu_dev):
         aot_compile(tpu_dev,
                     lambda uu, GG, DD, cc: pg.dense_contract(
                         uu, GG, DD, coeff=cc), u, G, D, co)
+
+
+def test_probed_stack_batch_deep_extrusion(tpu_dev):
+    """Deep extrusions (ez past the conservative VMEM estimate) get a
+    stack batch from the Mosaic compile probe instead of falling back
+    to the XLA path — the r5 nz=140 capacity case (the estimator is
+    ~40% over Mosaic's true allocation; chip-measured S=16/24 compile
+    where it predicted None)."""
+    from fustpu.ops.pallas_extruded import (pick_stack_batch,
+                                            probed_stack_batch)
+
+    # when the conservative estimator succeeds, the probe never runs
+    assert probed_stack_batch(5, 2880, 600, 481) == \
+        pick_stack_batch(5, 2880, 600, 481)
+    # nz=140 / P=4 / gz=561: conservative None, probe admits a batch
+    assert pick_stack_batch(5, 2842, 700, 561, corner=True) is None
+    S = probed_stack_batch(5, 2842, 700, 561, corner=True)
+    assert S is not None and S >= 8
