@@ -720,10 +720,10 @@ def test_sharded_extruded_corner_capacity_mode():
                         stiffness_impl="pallas_corner")
     assert m.impl == "extruded_pallas" and m._ext_corner
     dt, _ = model.cfl_dt(0.4)
-    ref, _ = model.solve(model.init_state(), dt, 10)
+    ref, _ = model.solve(model.init_state(), dt, 4)
     sm = ExtrudedShardedModel(m, num_devices=8)
     assert sm._ext_corner
-    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    ss, _ = sm.solve(sm.init_state(), dt, 4)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
@@ -776,10 +776,12 @@ def test_sharded_extruded_corner_hex27():
                         stiffness_impl="pallas_corner")
     assert m.impl == "extruded_pallas" and m._ext_corner
     dt, _ = ref.cfl_dt(0.4)
-    s0, _ = ref.solve(ref.init_state(), dt, 8)
+    # 3 steps: the 1e-12 trajectory gate exercises every stage coupling;
+    # interpret-mode hex27 (163 channels) makes extra steps pure cost
+    s0, _ = ref.solve(ref.init_state(), dt, 3)
     sm = ExtrudedShardedModel(m, num_devices=5)
     assert sm._ext_corner
-    ss, _ = sm.solve(sm.init_state(), dt, 8)
+    ss, _ = sm.solve(sm.init_state(), dt, 3)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s0.u).ravel())
            / np.linalg.norm(np.asarray(s0.u)))
     assert err < 1e-12, err
