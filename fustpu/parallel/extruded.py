@@ -527,12 +527,16 @@ class ExtrudedShardedModel:
 
         return probe
 
-    def solve(self, state: timestepping.RKState, dt: float, num_steps: int,
-              tf=None, probe=None):
-        key = ("solve", num_steps, tf is not None, probe)
+    def solver_fn(self, num_steps: int, clamp_tf: bool = False,
+                  probe=None):
+        """The jitted sharded solver `fn(ctx, state_tuple, dt, tf)` for
+        `num_steps` scan steps, WITHOUT executing it — lowerable against
+        ShapeDtypeStruct avals (e.g. for deviceless multi-chip AOT
+        certification over a `jax.experimental.topologies` mesh swapped
+        into `self.device_mesh`)."""
+        key = ("solve", num_steps, clamp_tf, probe)
         if key not in self._solve_cache:
             vec = P(AXIS)
-            clamp_tf = tf is not None
 
             def fn(ctx, u, v, ku, kv, t, dt_, tf_):
                 sq = lambda a: a.reshape(a.shape[1:])
@@ -568,10 +572,15 @@ class ExtrudedShardedModel:
                 check_vma=False)
             self._solve_cache[key] = jax.jit(
                 lambda ctx, st, dt_, tf_: mapped(ctx, *st, dt_, tf_))
+        return self._solve_cache[key]
+
+    def solve(self, state: timestepping.RKState, dt: float, num_steps: int,
+              tf=None, probe=None):
+        fn = self.solver_fn(num_steps, clamp_tf=tf is not None,
+                            probe=probe)
         dt_ = jnp.asarray(float(dt), self.dtype)
         tf_ = jnp.asarray(0.0 if tf is None else float(tf), self.dtype)
-        (u, v, ku, kv, t), ys = self._solve_cache[key](
-            self.ctx, tuple(state), dt_, tf_)
+        (u, v, ku, kv, t), ys = fn(self.ctx, tuple(state), dt_, tf_)
         return timestepping.RKState(u, v, ku, kv, t), ys
 
     def step(self, state, dt, tf=None):
@@ -767,6 +776,7 @@ class IndexedShardedModel:
 
     _put = ExtrudedShardedModel._put
     _repl = ExtrudedShardedModel._repl
+    solver_fn = ExtrudedShardedModel.solver_fn
     solve = ExtrudedShardedModel.solve
     step = ExtrudedShardedModel.step
     cfl_dt = ExtrudedShardedModel.cfl_dt
