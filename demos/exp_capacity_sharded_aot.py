@@ -83,7 +83,7 @@ def main():
     smodel = ExtrudedShardedModel(model, num_devices=args.devices)
     assert smodel._ext_corner
     print(f"sharded model built ({args.devices} shards, "
-          f"{smodel.nloc/1e6:.1f}M local dofs/shard)  "
+          f"~{mesh.ndofs/args.devices/1e6:.1f}M dofs/shard)  "
           f"[{time.perf_counter()-t0:.0f}s]", flush=True)
 
     s0 = smodel.init_state()          # shapes only; built on the CPU mesh
