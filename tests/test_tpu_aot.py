@@ -313,3 +313,59 @@ def test_probed_stack_batch_deep_extrusion(tpu_dev):
     assert pick_stack_batch(5, 2842, 700, 561, corner=True) is None
     S = probed_stack_batch(5, 2842, 700, 561, corner=True)
     assert S is not None and S >= 8
+
+
+def test_sharded_solver_lowers_for_tpu_topology(tpu_dev):
+    """The production sharded corner solver (ExtrudedShardedModel:
+    Mosaic kernels + shard_map psum + scan) AOT-compiles against a
+    deviceless multi-chip v5e mesh — the mechanism behind
+    demos/exp_capacity_sharded_aot.py's 0.42B-DOF 4-chip
+    certification."""
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from fustpu.config import Material, Source
+    from fustpu.mesh.extruded import as_extruded
+    from fustpu.mesh.msh_io import _facets_from_quads
+    from fustpu.mesh.shapes import cylinder_mesh
+    from fustpu.mesh.unstructured import UnstructuredHexMesh
+    from fustpu.models.westervelt import WesterveltModel
+    from fustpu.parallel.extruded import AXIS, ExtrudedShardedModel
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    v, c, t = cylinder_mesh(0.015, 0.03, 0.01, m=3, mr=1, nr_ann=1,
+                            nz=6)
+    um = UnstructuredHexMesh(degree=3, vertices=v, cells=c,
+                             facet_tag_map=_facets_from_quads(c, t))
+    mesh = as_extruded(um)
+    mat = Material(sound_speed=1500.0, density=1000.0, nonlinearity=3.5,
+                   attenuation_dB=0.3)
+    src = Source(frequency=1.0e6, amplitude=1.0e5)
+    model = WesterveltModel(mesh, mat, src, mesh.boundary_facets(1),
+                            mesh.boundary_facets(2), dtype=jnp.float32,
+                            stiffness_impl="pallas_corner")
+    smodel = ExtrudedShardedModel(model, num_devices=4)
+    s0 = smodel.init_state()
+    st_shapes = [(a.shape, a.dtype, a.ndim) for a in s0]
+    del s0
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x2")
+    tmesh = Mesh(np.asarray(topo.devices[:4]), (AXIS,))
+    smodel.device_mesh = tmesh
+    smodel._pallas_interpret = False
+    sh_of = lambda spec: NamedSharding(tmesh, spec)
+    ctx_avals = jax.tree.map(
+        lambda a, spec: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                             sharding=sh_of(spec)),
+        smodel.ctx, smodel.ctx_spec)
+    taval = jax.ShapeDtypeStruct((), jnp.float32, sharding=sh_of(P()))
+    st_avals = tuple(
+        jax.ShapeDtypeStruct(shp, dt,
+                             sharding=sh_of(P(AXIS) if nd else P()))
+        for shp, dt, nd in st_shapes)
+    cc = smodel.solver_fn(2).lower(ctx_avals, st_avals, taval,
+                                   taval).compile()
+    assert cc.memory_analysis().temp_size_in_bytes >= 0
