@@ -91,8 +91,9 @@ def main():
     del s0
 
     # swap in the deviceless TPU slice and lower the REAL solver
+    topo_name = {4: "v5e:2x2", 8: "v5e:2x4", 16: "v5e:4x4"}[args.devices]
     topo = topologies.get_topology_desc(platform="tpu",
-                                        topology_name="v5e:2x2")
+                                        topology_name=topo_name)
     assert len(topo.devices) >= args.devices
     topo_mesh = Mesh(np.asarray(topo.devices[:args.devices]), (AXIS,))
     smodel.device_mesh = topo_mesh
@@ -120,7 +121,7 @@ def main():
     tot = (ma.argument_size_in_bytes + ma.output_size_in_bytes
            + ma.temp_size_in_bytes) / 2**30
     by = ca.get("bytes accessed", float("nan")) / args.steps
-    print(f"AOT v5e:2x2 compile OK [{time.perf_counter()-t0:.0f}s]: "
+    print(f"AOT {topo_name} compile OK [{time.perf_counter()-t0:.0f}s]: "
           f"PER-DEVICE args {ma.argument_size_in_bytes/2**30:.2f} + "
           f"temps {ma.temp_size_in_bytes/2**30:.2f} + out "
           f"{ma.output_size_in_bytes/2**30:.2f} = {tot:.2f} GiB of 16; "
