@@ -146,6 +146,64 @@ def _subw_from_env() -> int:
 SUBW = _subw_from_env()
 
 
+def _stage_from_env() -> str:
+    v = os.environ.get("FUSTPU_ENGINE_STAGE", "auto")
+    if v not in ("auto", "0", "1"):
+        raise ValueError(
+            f"FUSTPU_ENGINE_STAGE={v!r}: must be auto|0|1")
+    return v
+
+
+# Staged field residency (the r5 scan-tax fix).  Device profiling of the
+# production RK scan showed the engine's gather/scatter kernels running
+# exactly bimodal: fast when XLA memory-space assignment promoted the
+# 12.9 MB field operand to VMEM, 40-60% slower when the row-granular
+# window DMAs hit HBM (~8 GB/s for 512 B scattered rows) — and in the
+# full model MSA promoted 0 of 8 instances (BENCH_NOTES r5).  "Staged"
+# kernels make residency unconditional: the whole field is a
+# grid-CONSTANT VMEM block (fetched once per kernel at full contiguous
+# bandwidth, ~50 us for 12.9 MB), windows become plain VMEM slices, and
+# the scatter accumulates into a VMEM-resident output written back once.
+# auto: stage whenever the field(s) + working margin fit STAGE_CAP
+# (packed layout only); 0/1 force.  Read at trace time; tests flip the
+# module global and clear the jit caches.
+STAGE = _stage_from_env()
+
+
+def _stage_cap_from_env() -> int:
+    v = os.environ.get("FUSTPU_ENGINE_STAGE_CAP")
+    return int(v) if v else 120 * 2**20
+
+
+# Upper bound on nfields*field + _STAGE_MARGIN for auto-staging.
+# Probe-informed (deviceless v5e AOT, r5): the enforcement is against
+# the core's physical 128 MiB VMEM — a 107 MB single staged field
+# lowers clean, a 2x92 MB gather2 is rejected at 187 of 128 MiB.  The
+# margin covers the double-buffered code/value/output stream blocks
+# plus the one-hot temporaries (bounded ~3 MB by _subw_eff).
+STAGE_CAP = _stage_cap_from_env()
+_STAGE_MARGIN = 12 * 2**20
+
+
+def _staged(plan: "GatherPlan", dtype, nfields: int = 1) -> bool:
+    """Whether gather/scatter on this plan stage the field(s) VMEM-
+    resident (packed layout only — the legacy col kernels keep their
+    DMA protocol)."""
+    if not _plan_packed(plan):
+        return False
+    if STAGE == "0":
+        return False
+    if STAGE == "1":
+        return True
+    nrows = plan.statics[2]
+    field = nfields * nrows * 128 * jnp.dtype(dtype).itemsize
+    return field + _STAGE_MARGIN <= STAGE_CAP
+
+
+def _stage_limit(field_bytes: int) -> int:
+    return int(field_bytes) + _STAGE_MARGIN
+
+
 def _subw_eff(WR: int, nwin: int, rows: int) -> int:
     """Effective widening for a plan: never wider than the tile has
     sub-tiles, and capped so the widened one-hot working set
@@ -623,6 +681,56 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
     return kernel
 
 
+def _gather_subtiles(code_ref, Ws, o_refs, WRn: int, rows: int,
+                     sw: int, f32):
+    """Shared packed-gather sub-tile loop: per group of sw 128-output
+    sub-tiles, ONE transposed one-hot Ht (WRn, 128*sw) picks each
+    field's window rows on the MXU (bf16x3-exact for f32) and a masked
+    sublane reduction picks the lane.  `Ws`/`o_refs`: parallel tuples of
+    (WRn, 128) windows and (rows, 128) output refs (gather2 shares Ht
+    across its two fields)."""
+    bf = jnp.bfloat16
+    exact = f32 == jnp.float64
+    if not exact:
+        Wsp = tuple(_split3(w, f32) for w in Ws)
+    for j0 in range(0, rows, sw):
+        kk = min(sw, rows - j0)
+        L = 128 * kk
+        cw = _row_concat(code_ref, j0, kk)
+        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
+        msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+        hi = jnp.broadcast_to(cw // 128, (WRn, L))
+        lo = jnp.broadcast_to(cw % 128, (128, L))
+        dn = (((0,), (0,)), ((), ()))
+        pick = (msub == lo).astype(f32)
+
+        def emit(A2, o):
+            yw = jnp.sum(A2 * pick, axis=0, keepdims=True)
+            for i in range(kk):
+                o[j0 + i:j0 + i + 1, :] = yw[:, 128 * i:128 * (i + 1)]
+
+        if exact:
+            Ht = (hi == isub).astype(f32)
+            for w, o in zip(Ws, o_refs):
+                emit(jax.lax.dot_general(w, Ht, dn,
+                                         preferred_element_type=f32), o)
+        else:
+            Ht = (hi == isub).astype(bf)
+            for (wh, wl, wl2), o in zip(Wsp, o_refs):
+                d = lambda a: jax.lax.dot_general(
+                    a, Ht, dn, preferred_element_type=f32)
+                emit(d(wh) + d(wl) + d(wl2), o)
+
+
+def _win_slices(x_ref, woff_ref, b, WR: int, nwin: int):
+    """(nwin*WR, 128) window of a VMEM-RESIDENT field: plain dynamic
+    slices (starts are 8-row-granular by construction) instead of the
+    unstaged kernels' per-window HBM DMAs."""
+    parts = [x_ref[pl.ds(pl.multiple_of(woff_ref[k, b], 8), WR)]
+             for k in range(nwin)]
+    return parts[0] if nwin == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
     """Transposed one-hot over 128-output sub-tiles: Ht (nwin*WR, 128)
     from a (1, 128) code row broadcast down sublanes, A2 = W^T @ Ht puts
@@ -637,7 +745,6 @@ def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
     def kernel(woff_ref, code_ref, x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
         f32 = o_ref.dtype
-        bf = jnp.bfloat16
         cps = []
         for k in range(nwin):
             s = pl.multiple_of(woff_ref[k, b], 8)
@@ -646,35 +753,31 @@ def _mk_gather_kernel_packed(WR: int, nwin: int, tm: int):
                 sem)
             cp.start()
             cps.append(cp)
-        WRn = nwin * WR
         for cp in cps:
             cp.wait()
-        W = scratch[...]
-        exact = f32 == jnp.float64
-        if not exact:
-            wh, wl, wl2 = _split3(W, f32)
-        for j0 in range(0, rows, sw):
-            kk = min(sw, rows - j0)
-            L = 128 * kk
-            cw = _row_concat(code_ref, j0, kk)
-            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
-            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
-            hi = jnp.broadcast_to(cw // 128, (WRn, L))
-            lo = jnp.broadcast_to(cw % 128, (128, L))
-            dn = (((0,), (0,)), ((), ()))
-            if exact:
-                Ht = (hi == isub).astype(f32)
-                A2 = jax.lax.dot_general(W, Ht, dn,
-                                         preferred_element_type=f32)
-            else:
-                Ht = (hi == isub).astype(bf)
-                d = lambda a: jax.lax.dot_general(
-                    a, Ht, dn, preferred_element_type=f32)
-                A2 = d(wh) + d(wl) + d(wl2)
-            yw = jnp.sum(A2 * (msub == lo).astype(f32), axis=0,
-                         keepdims=True)
-            for i in range(kk):
-                o_ref[j0 + i:j0 + i + 1, :] = yw[:, 128 * i:128 * (i + 1)]
+        _gather_subtiles(code_ref, (scratch[...],), (o_ref,),
+                         nwin * WR, rows, sw, f32)
+
+    return kernel
+
+
+def _mk_gather_kernel_packed_staged(WR: int, nwin: int, tm: int):
+    """Staged variant: the WHOLE field is a VMEM-resident operand
+    (grid-constant block — Mosaic fetches it once, one contiguous
+    full-bandwidth DMA), and the per-tile windows are plain VMEM
+    slices.  This removes the row-granular HBM window DMAs whose
+    residency otherwise depends on XLA memory-space assignment — the
+    root cause of the bimodal in-scan kernel times (BENCH_NOTES r5
+    scan-tax resolution): inside the production RK body MSA promoted
+    0/8 engine operands and every window read paid ~8 GB/s HBM."""
+    rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
+
+    def kernel(woff_ref, code_ref, x_ref, o_ref):
+        b = pl.program_id(0)
+        W = _win_slices(x_ref, woff_ref, b, WR, nwin)
+        _gather_subtiles(code_ref, (W,), (o_ref,),
+                         nwin * WR, rows, sw, o_ref.dtype)
 
     return kernel
 
@@ -702,51 +805,70 @@ def _mk_gather2_kernel_packed(WR: int, nwin: int, tm: int):
                 sem2))
         for cp in cps:
             cp.start()
-        WRn = nwin * WR
         for cp in cps:
             cp.wait()
-        exact = f32 == jnp.float64
-        Ws = (s1[...], s2[...])
-        if not exact:
-            Wsp = tuple(_split3(w, f32) for w in Ws)
-        for j0 in range(0, rows, sw):
-            kk = min(sw, rows - j0)
-            L = 128 * kk
-            cw = _row_concat(code_ref, j0, kk)
-            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
-            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
-            hi = jnp.broadcast_to(cw // 128, (WRn, L))
-            lo = jnp.broadcast_to(cw % 128, (128, L))
-            dn = (((0,), (0,)), ((), ()))
-            pick = (msub == lo).astype(f32)
-
-            def emit(A2, o):
-                yw = jnp.sum(A2 * pick, axis=0, keepdims=True)
-                for i in range(kk):
-                    o[j0 + i:j0 + i + 1, :] = yw[:, 128 * i:128 * (i + 1)]
-
-            if exact:
-                Ht = (hi == isub).astype(f32)
-                for w, o in ((Ws[0], o1_ref), (Ws[1], o2_ref)):
-                    emit(jax.lax.dot_general(
-                        w, Ht, dn, preferred_element_type=f32), o)
-            else:
-                Ht = (hi == isub).astype(bf)
-                for (wh, wl, wl2), o in zip(Wsp, (o1_ref, o2_ref)):
-                    d = lambda a: jax.lax.dot_general(
-                        a, Ht, dn, preferred_element_type=f32)
-                    emit(d(wh) + d(wl) + d(wl2), o)
+        _gather_subtiles(code_ref, (s1[...], s2[...]), (o1_ref, o2_ref),
+                         nwin * WR, rows, sw, f32)
 
     return kernel
 
 
+def _mk_gather2_kernel_packed_staged(WR: int, nwin: int, tm: int):
+    """Staged two-field gather: BOTH fields VMEM-resident (see
+    _mk_gather_kernel_packed_staged), windows are slices, one shared Ht
+    per sub-tile group."""
+    rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
+
+    def kernel(woff_ref, code_ref, x1_ref, x2_ref, o1_ref, o2_ref):
+        b = pl.program_id(0)
+        W1 = _win_slices(x1_ref, woff_ref, b, WR, nwin)
+        W2 = _win_slices(x2_ref, woff_ref, b, WR, nwin)
+        _gather_subtiles(code_ref, (W1, W2), (o1_ref, o2_ref),
+                         nwin * WR, rows, sw, o1_ref.dtype)
+
+    return kernel
+
+
+def _scatter_contrib(code_ref, v_ref, WRn: int, rows: int, sw: int, f32):
+    """Shared packed-scatter contribution: C (WRn, 128) = sum over
+    sub-tile groups of Ht @ Vs^T with Vs[l, t] = v[t] * (lo[t] == l) —
+    a sublane spread built from (1, 128) rows (bf16x3-exact for f32).
+    SUBW widens the contraction's t axis over that many sub-tiles (one
+    dispatch, and the inter-group C adds fold into the MXU
+    accumulate)."""
+    bf = jnp.bfloat16
+    exact = f32 == jnp.float64
+    C = None
+    for j0 in range(0, rows, sw):
+        kk = min(sw, rows - j0)
+        L = 128 * kk
+        cw = _row_concat(code_ref, j0, kk)
+        vw = _row_concat(v_ref, j0, kk)
+        isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
+        msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
+        hi = jnp.broadcast_to(cw // 128, (WRn, L))
+        lo = jnp.broadcast_to(cw % 128, (128, L))
+        Vs = (msub == lo).astype(f32) * vw             # (128 l, L t)
+        dn = (((1,), (1,)), ((), ()))
+        if exact:
+            Ht = (hi == isub).astype(f32)
+            Cj = jax.lax.dot_general(Ht, Vs, dn,
+                                     preferred_element_type=f32)
+        else:
+            Ht = (hi == isub).astype(bf)
+            Vh, Vl, Vl2 = _split3(Vs, f32)
+            d = lambda a: jax.lax.dot_general(
+                Ht, a, dn, preferred_element_type=f32)
+            Cj = d(Vh) + d(Vl) + d(Vl2)
+        C = Cj if C is None else C + Cj
+    return C
+
+
 def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
     """Transposed one-hot scatter: per 128-element sub-tile the window
-    contribution is Ht @ Vs^T with Vs[l, t] = v[t] * (lo[t] == l) — a
-    sublane spread built from (1, 128) rows; same RMW window protocol
-    as the column kernel.  SUBW widens the contraction's t axis over
-    that many sub-tiles (one dispatch, and the inter-group C adds
-    fold into the MXU accumulate)."""
+    contribution is Ht @ Vs^T (see _scatter_contrib); same RMW window
+    protocol as the column kernel."""
     rows = tm // 128
     sw = _subw_eff(WR, nwin, rows)
 
@@ -756,7 +878,6 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
         sem = refs[6]
         b = pl.program_id(0)
         f32 = scratch.dtype
-        bf = jnp.bfloat16
         s0 = pl.multiple_of(woff_ref[0, b], 8)
         cin = pltpu.make_async_copy(
             y_hbm.at[pl.ds(s0, WR)], scratch.at[:WR], sem)
@@ -772,31 +893,7 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
             def _early_read2():
                 cin2.start()
 
-        WRn = nwin * WR
-        exact = f32 == jnp.float64
-        C = None
-        for j0 in range(0, rows, sw):
-            kk = min(sw, rows - j0)
-            L = 128 * kk
-            cw = _row_concat(code_ref, j0, kk)
-            vw = _row_concat(v_ref, j0, kk)
-            isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
-            msub = jax.lax.broadcasted_iota(jnp.int32, (128, L), 0)
-            hi = jnp.broadcast_to(cw // 128, (WRn, L))
-            lo = jnp.broadcast_to(cw % 128, (128, L))
-            Vs = (msub == lo).astype(f32) * vw         # (128 l, L t)
-            dn = (((1,), (1,)), ((), ()))
-            if exact:
-                Ht = (hi == isub).astype(f32)
-                Cj = jax.lax.dot_general(Ht, Vs, dn,
-                                         preferred_element_type=f32)
-            else:
-                Ht = (hi == isub).astype(bf)
-                Vh, Vl, Vl2 = _split3(Vs, f32)
-                d = lambda a: jax.lax.dot_general(
-                    Ht, a, dn, preferred_element_type=f32)
-                Cj = d(Vh) + d(Vl) + d(Vl2)
-            C = Cj if C is None else C + Cj
+        C = _scatter_contrib(code_ref, v_ref, nwin * WR, rows, sw, f32)
         cin.wait()
         scratch[:WR] = scratch[:WR] + C[:WR]
         co = pltpu.make_async_copy(
@@ -825,6 +922,38 @@ def _mk_scatter_kernel_packed(WR: int, nwin: int, tm: int):
     return kernel
 
 
+def _mk_scatter_kernel_packed_staged(WR: int, nwin: int, tm: int):
+    """Staged scatter: the WHOLE output vector is a VMEM-RESIDENT
+    revisited block — zero-initialised at grid step 0, accumulated into
+    by plain slice adds per tile, written back to HBM once at grid end
+    by Mosaic's pipeline.  Removes both the per-tile read-modify-write
+    HBM round trips AND the overlapping-window DMA-ordering protocol of
+    the unstaged kernel (within one kernel body the slice adds are
+    ordinary VMEM loads/stores, sequenced by the compiler).  See
+    _mk_gather_kernel_packed_staged for why: in-scan the unstaged RMW
+    windows hit HBM whenever XLA memory-space assignment declines to
+    promote the vector (the r5 scan-tax root cause)."""
+    rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
+
+    def kernel(woff_ref, code_ref, v_ref, o_ref):
+        b = pl.program_id(0)
+        f32 = o_ref.dtype
+
+        @pl.when(b == 0)
+        def _zero_init():
+            o_ref[...] = jnp.zeros(o_ref.shape, f32)
+
+        C = _scatter_contrib(code_ref, v_ref, nwin * WR, rows, sw, f32)
+        s0 = pl.multiple_of(woff_ref[0, b], 8)
+        o_ref[pl.ds(s0, WR)] = o_ref[pl.ds(s0, WR)] + C[:WR]
+        if nwin == 2:
+            s1 = pl.multiple_of(woff_ref[1, b], 8)
+            o_ref[pl.ds(s1, WR)] = o_ref[pl.ds(s1, WR)] + C[WR:]
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gather(x_flat: jax.Array, plan: GatherPlan,
            interpret: bool = False) -> jax.Array:
@@ -833,9 +962,11 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
     x2 = jnp.zeros((nrows * 128,), x_flat.dtype)
     x2 = jax.lax.dynamic_update_slice(x2, x_flat.reshape(-1),
                                       (0,)).reshape(nrows, 128)
+    staged = _staged(plan, x_flat.dtype)
     if _plan_packed(plan):
         rows = tm // 128
-        kernel = _mk_gather_kernel_packed(WR, nwin, tm)
+        kernel = (_mk_gather_kernel_packed_staged(WR, nwin, tm) if staged
+                  else _mk_gather_kernel_packed(WR, nwin, tm))
         code_spec = pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
         out_spec = pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
         out_shape = jax.ShapeDtypeStruct((ntiles * rows, 128),
@@ -845,21 +976,28 @@ def gather(x_flat: jax.Array, plan: GatherPlan,
         code_spec = pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
         out_spec = pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
         out_shape = jax.ShapeDtypeStruct((ntiles * tm, 1), x_flat.dtype)
+    if staged:
+        # grid-constant block: Mosaic fetches the field once
+        x_spec = pl.BlockSpec((nrows, 128), lambda b, woff: (0, 0))
+        scratch = []
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=_stage_limit(
+            nrows * 128 * x2.dtype.itemsize))
+    else:
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((nwin * WR, 128), x_flat.dtype),
+                   pltpu.SemaphoreType.DMA]
+        cparams = None
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
-            in_specs=[
-                code_spec,
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[code_spec, x_spec],
             out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
-                                       x_flat.dtype),
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
+        compiler_params=cparams,
         interpret=interpret,
     )(plan.woff, plan.code, x2).reshape(-1)
     if plan.spos.shape[0]:
@@ -881,34 +1019,40 @@ def gather2(x1_flat: jax.Array, x2_flat: jax.Array, plan: GatherPlan,
             z, x.reshape(-1), (0,)).reshape(nrows, 128)
 
     p1, p2 = pad(x1_flat), pad(x2_flat)
+    staged = _staged(plan, x1_flat.dtype, nfields=2)
     if _plan_packed(plan):
         rows = tm // 128
-        kernel = _mk_gather2_kernel_packed(WR, nwin, tm)
+        kernel = (_mk_gather2_kernel_packed_staged(WR, nwin, tm)
+                  if staged else _mk_gather2_kernel_packed(WR, nwin, tm))
         io = lambda: pl.BlockSpec((rows, 128), lambda b, woff: (b, 0))
         shp = jax.ShapeDtypeStruct((ntiles * rows, 128), x1_flat.dtype)
     else:
         kernel = _mk_gather2_kernel(WR, nwin, tm)
         io = lambda: pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
         shp = jax.ShapeDtypeStruct((ntiles * tm, 1), x1_flat.dtype)
+    if staged:
+        x_spec = lambda: pl.BlockSpec((nrows, 128), lambda b, woff: (0, 0))
+        scratch = []
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=_stage_limit(
+            2 * nrows * 128 * p1.dtype.itemsize))
+    else:
+        x_spec = lambda: pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [pltpu.VMEM((nwin * WR, 128), x1_flat.dtype),
+                   pltpu.VMEM((nwin * WR, 128), x1_flat.dtype),
+                   pltpu.SemaphoreType.DMA,
+                   pltpu.SemaphoreType.DMA]
+        cparams = None
     o1, o2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
-            in_specs=[
-                io(),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[io(), x_spec(), x_spec()],
             out_specs=[io(), io()],
-            scratch_shapes=[pltpu.VMEM((nwin * WR, 128),
-                                       x1_flat.dtype),
-                            pltpu.VMEM((nwin * WR, 128),
-                                       x1_flat.dtype),
-                            pltpu.SemaphoreType.DMA,
-                            pltpu.SemaphoreType.DMA],
+            scratch_shapes=scratch,
         ),
         out_shape=[shp, shp],
+        compiler_params=cparams,
         interpret=interpret,
     )(plan.woff, plan.code, p1, p2)
     o1, o2 = o1.reshape(-1), o2.reshape(-1)
@@ -1026,29 +1170,50 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
         vp = vp.reshape(ntiles * tm, 1)
         kernel = _mk_scatter_kernel(WR, nwin, tm)
         stream = lambda: pl.BlockSpec((tm, 1), lambda b, woff: (b, 0))
-    y0 = jnp.zeros((nrows, 128), vals.dtype)
-    y2 = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(ntiles,),
-            in_specs=[
-                stream(),
-                stream(),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=(
-                [pltpu.VMEM((nwin * WR, 128), vals.dtype),
-                 pltpu.SemaphoreType.DMA]
-                + [pltpu.SemaphoreType.DMA] * (nwin - 1)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
-        input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(plan.woff, plan.code, vp, y0)
+    if _staged(plan, vals.dtype):
+        # VMEM-resident output (revisited block): zero-initialised at
+        # grid step 0, accumulated by slice adds, written back once —
+        # no y0 input, no RMW round trips, no window-ordering protocol
+        y2 = pl.pallas_call(
+            _mk_scatter_kernel_packed_staged(WR, nwin, tm),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[stream(), stream()],
+                out_specs=pl.BlockSpec((nrows, 128),
+                                       lambda b, woff: (0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=_stage_limit(
+                    nrows * 128 * vp.dtype.itemsize)),
+            interpret=interpret,
+        )(plan.woff, plan.code, vp)
+    else:
+        y0 = jnp.zeros((nrows, 128), vals.dtype)
+        y2 = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[
+                    stream(),
+                    stream(),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=(
+                    [pltpu.VMEM((nwin * WR, 128), vals.dtype),
+                     pltpu.SemaphoreType.DMA]
+                    + [pltpu.SemaphoreType.DMA] * (nwin - 1)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nrows, 128), vals.dtype),
+            input_output_aliases={3: 0},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(plan.woff, plan.code, vp, y0)
     yf = y2.reshape(-1)
     if plan.spos.shape[0]:
         # padded side (spill target nsrc.. lands in dead rows, spill

@@ -149,6 +149,55 @@ def test_engine_tm4096_lowers_packed_only(tpu_dev):
         pg.LAYOUT = old
 
 
+@pytest.mark.parametrize("nwin", [1, 2])
+def test_engine_staged_lowers(tpu_dev, nwin):
+    """The staged engine kernels (grid-constant VMEM field block,
+    windows as in-kernel slices; VMEM-resident revisited scatter
+    output — the r5 scan-tax fix) lower clean on v5e."""
+    from fustpu.ops import pallas_gather as pg
+
+    plan, nsrc, N = _plan("packed", nwin)
+    old = pg.STAGE
+    try:
+        pg.STAGE = "1"
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+        x = jax.ShapeDtypeStruct((nsrc,), jnp.float32)
+        v = jax.ShapeDtypeStruct((N,), jnp.float32)
+        aot_compile(tpu_dev, lambda xx: pg.gather(xx, plan), x)
+        aot_compile(tpu_dev,
+                    lambda xx: pg.gather2(xx, xx * 2.0, plan)[0], x)
+        aot_compile(tpu_dev,
+                    lambda vv: pg.scatter_add(vv, plan, nsrc), v)
+    finally:
+        pg.STAGE = old
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+
+
+def test_engine_staged_lowers_at_scan_tax_scale(tpu_dev):
+    """Staged kernels lower at the 3.2M-DOF bodyfit scale (12.4 MB f32
+    field; the gather2 pair stages BOTH fields).  This is the shape the
+    scan-tax fix exists for — Mosaic must accept the raised
+    vmem_limit_bytes (probed: enforcement is vs the core's physical
+    128 MiB, not the 16 MiB default scope)."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(5)
+    nsrc, nc = 3_200_000, 2048
+    base = np.sort(rng.integers(0, nsrc - 4096, nc))
+    g = (base[:, None]
+         + (np.arange(128)[None, :] * 17) % 4096).reshape(-1)
+    plan = pg.build_plan(g.astype(np.int64), nsrc)
+    assert pg._staged(plan, jnp.float32)
+    assert pg._staged(plan, jnp.float32, nfields=2)
+    x = jax.ShapeDtypeStruct((nsrc,), jnp.float32)
+    v = jax.ShapeDtypeStruct((g.size,), jnp.float32)
+    aot_compile(tpu_dev, lambda xx: pg.gather(xx, plan), x)
+    aot_compile(tpu_dev, lambda xx: pg.gather2(xx, xx * 2.0, plan)[0], x)
+    aot_compile(tpu_dev, lambda vv: pg.scatter_add(vv, plan, nsrc), v)
+
+
 # ---------------------------------------------------------------------------
 # structured fused stiffness kernels: production, corner, pair, slab2w
 # ---------------------------------------------------------------------------

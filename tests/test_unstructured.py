@@ -755,3 +755,76 @@ def test_gather_engine_packed_layout():
         assert np.abs(outs["packed"][2] - ref).max() < 1e-12
     finally:
         pg.LAYOUT = old
+
+
+@pytest.mark.parametrize("nwin", [1, 2])
+def test_engine_staged_matches_unstaged(nwin):
+    """The staged kernels (field/output VMEM-resident, windows as
+    slices — the r5 scan-tax fix) are BIT-EXACT against the unstaged
+    DMA-window kernels in both directions, including two-window plans
+    whose windows overlap in rows (the staged scatter drops the
+    DMA-ordering protocol; sequential slice adds must still accumulate
+    overlapping rows correctly)."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(17)
+    nsrc, N = 60000, 50000
+    g = np.sort(rng.integers(0, nsrc // 2, N)).astype(np.int64)
+    if nwin == 2:
+        g[::7] += nsrc // 2 - 1000
+    plan = pg.build_plan(g, nsrc, nwin=nwin)
+    assert plan.statics[4] == nwin
+    x = jnp.asarray(rng.standard_normal(nsrc), jnp.float64)
+    vals = jnp.asarray(rng.standard_normal(N), jnp.float64)
+    ref_s = np.zeros(nsrc)
+    np.add.at(ref_s, g, np.asarray(vals))
+    old = pg.STAGE
+    outs = {}
+    try:
+        for stage in ("0", "1"):
+            pg.STAGE = stage
+            for f in (pg.gather, pg.gather2, pg.scatter_add):
+                f.clear_cache()
+            outs[stage] = (
+                np.asarray(pg.gather(x, plan, interpret=True)),
+                np.asarray(pg.gather2(x, 3.0 * x, plan,
+                                      interpret=True)[1]),
+                np.asarray(pg.scatter_add(vals, plan, nsrc,
+                                          interpret=True)))
+    finally:
+        pg.STAGE = old
+        for f in (pg.gather, pg.gather2, pg.scatter_add):
+            f.clear_cache()
+    for a, b in zip(outs["0"], outs["1"]):
+        assert np.array_equal(a, b)
+    assert np.array_equal(outs["1"][0], np.asarray(x)[g])
+    assert np.array_equal(outs["1"][1], 3.0 * np.asarray(x)[g])
+    assert np.abs(outs["1"][2] - ref_s).max() < 1e-12
+
+
+def test_engine_stage_gate():
+    """Auto-staging respects the probed VMEM cap: small fields stage,
+    fields past STAGE_CAP (and two-field gathers past half of it) fall
+    back to the DMA-window kernels; the col layout never stages."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(3)
+    g = np.sort(rng.integers(0, 6000, 4000)).astype(np.int64)
+    plan = pg.build_plan(g, 6000)
+    assert pg._staged(plan, jnp.float32)
+    # nrows sized so ONE f32 field fits the cap but two do not
+    nrows = (pg.STAGE_CAP - pg._STAGE_MARGIN) // (128 * 4) - 8
+    big = pg.GatherPlan(plan.woff, plan.code, plan.spos, plan.sidx,
+                        (plan.statics[0], plan.statics[1], int(nrows),
+                         plan.statics[3], plan.statics[4],
+                         plan.statics[5]))
+    assert pg._staged(big, jnp.float32)
+    assert not pg._staged(big, jnp.float32, nfields=2)
+    assert not pg._staged(big, jnp.float64)
+    old = pg.LAYOUT
+    try:
+        pg.LAYOUT = "col"
+        plan_c = pg.build_plan(g, 6000)
+        assert not pg._staged(plan_c, jnp.float32)
+    finally:
+        pg.LAYOUT = old
