@@ -113,9 +113,21 @@ def time_orders(base):
                 v, G, coeff, dm, D, mesh.ndofs, engine=plan,
                 engine_interpret=interp), None, x,
             chain=20, reps=5, baseline=bl)
+        # fused single-kernel apply (cell-row plan), when eligible
+        _, Ghost = pre.cell_geometry_factors(mesh)
+        fe = pg.build_fused_engine(np.asarray(mesh.dofmap), mesh.ndofs,
+                                   Ghost, mesh.element.deriv_1d,
+                                   jnp.float32)
+        tf = float("nan")
+        if fe is not None:
+            tf, _ = B.time_apply(
+                lambda p, v: pg.fused_apply(v, coeff, fe, mesh.ndofs,
+                                            interpret=interp),
+                None, x, chain=20, reps=5, baseline=bl)
         print(f"{name:<12} WR={plan.statics[0]:4d}x{plan.statics[4]}"
               f"  gather {tg*1e3:7.3f} "
-              f"ms  scatter {ts*1e3:7.3f} ms  apply {ta*1e3:7.3f} ms",
+              f"ms  scatter {ts*1e3:7.3f} ms  apply {ta*1e3:7.3f} ms"
+              f"  fused {tf*1e3:7.3f} ms",
               flush=True)
 
 

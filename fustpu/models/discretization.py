@@ -172,6 +172,19 @@ class Discretization:
         return plan
 
     @functools.cached_property
+    def fused_engine(self):
+        """Single-kernel gather+contract+scatter engine operator
+        (fustpu.ops.pallas_gather.FusedEngine) — the fused form of the
+        indexed_engine path.  None when the mesh is ineligible (P > 4,
+        spilling cell-row plan, VMEM cap, FUSTPU_ENGINE_FUSED=0);
+        callers fall back to the 3-kernel engine."""
+        from fustpu.ops import pallas_gather as pg
+
+        return pg.build_fused_engine(
+            np.asarray(self.mesh.dofmap), self.mesh.ndofs,
+            self._G_host, self._D_host, self.dtype)
+
+    @functools.cached_property
     def indexed_op(self) -> tuple:
         """(G, dofmap, D) device arrays for the explicit-dofmap stiffness
         (fustpu.ops.operators.stiffness_apply_indexed) — the path for

@@ -113,9 +113,15 @@ class LinearWaveModel(WaveModelBase):
             # 'indexed_engine' routes gather/scatter through the windowed
             # one-hot MXU engine (fustpu.ops.pallas_gather)
             self.c2_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
-            self._stiff_op = disc.indexed_op
             self._idx_engine = (disc.indexed_engine
                                 if self.impl == "indexed_engine" else None)
+            # fully-fused single-kernel form when the mesh is eligible;
+            # it supersedes the 3-kernel tensors — don't hold the
+            # (G, dofmap, D) device copies (~50 B/dof) when it's active
+            self._idx_fused = (disc.fused_engine
+                               if self._idx_engine is not None else None)
+            self._stiff_op = (disc.indexed_op
+                              if self._idx_fused is None else None)
             from fustpu.models.discretization import on_tpu
 
             self._engine_interpret = (self.impl == "indexed_engine"
@@ -184,6 +190,8 @@ class LinearWaveModel(WaveModelBase):
             p["s_sin"] = self.s_sin
         if self.fvec_abs is not None:
             p["fvec"] = self.fvec_abs
+        if getattr(self, "_idx_fused", None) is not None:
+            p["fused"] = self._idx_fused
         return p
 
     def _rhs(self, params, t, u, v):
@@ -219,6 +227,12 @@ class LinearWaveModel(WaveModelBase):
         if self.impl in ("indexed", "indexed_engine"):
             from fustpu.ops import operators as ops
 
+            if "fused" in params:
+                from fustpu.ops import pallas_gather as pg
+
+                return pg.fused_apply(
+                    u_flat, params["c2_c"], params["fused"],
+                    self.mesh.ndofs, interpret=self._engine_interpret)
             G, dofmap, D = params["stiff"]
             return ops.stiffness_apply_indexed(
                 u_flat, G, params["c2_c"], dofmap, D, self.mesh.ndofs,

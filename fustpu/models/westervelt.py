@@ -132,9 +132,15 @@ class WesterveltModel(WaveModelBase):
             self.c3_cells = jnp.asarray((-1.0 / rho).reshape(-1), dtype)
             self.c4_cells = jnp.asarray(
                 (-delta / (rho * c * c)).reshape(-1), dtype)
-            self._stiff_op = disc.indexed_op
             self._idx_engine = (disc.indexed_engine
                                 if self.impl == "indexed_engine" else None)
+            # fully-fused single-kernel form when the mesh is eligible;
+            # it supersedes the 3-kernel tensors — don't hold the
+            # (G, dofmap, D) device copies (~50 B/dof) when it's active
+            self._idx_fused = (disc.fused_engine
+                               if self._idx_engine is not None else None)
+            self._stiff_op = (disc.indexed_op
+                              if self._idx_fused is None else None)
             from fustpu.models.discretization import on_tpu
 
             self._engine_interpret = (self.impl == "indexed_engine"
@@ -242,6 +248,8 @@ class WesterveltModel(WaveModelBase):
             p["s1_sin"], p["s2_sin"] = self.s1_sin, self.s2_sin
         if self.fvec_abs is not None:
             p["fvec"] = self.fvec_abs
+        if getattr(self, "_idx_fused", None) is not None:
+            p["fused"] = self._idx_fused
         return p
 
     def _rhs(self, params, t, u, v):
@@ -294,8 +302,20 @@ class WesterveltModel(WaveModelBase):
         if self.impl in ("indexed", "indexed_engine"):
             from fustpu.ops import operators as ops
 
-            G, dofmap, D = params["stiff"]
             nd = self.mesh.ndofs
+            if "fused" in params:
+                from fustpu.ops import pallas_gather as pg
+
+                if self.uniform:
+                    x = self.c3_scalar * u_flat + self.c4_scalar * v_flat
+                    return pg.fused_apply(
+                        x, None, params["fused"], nd,
+                        interpret=self._engine_interpret)
+                return pg.fused_apply_pair(
+                    u_flat, params["c3_c"], v_flat, params["c4_c"],
+                    params["fused"], nd,
+                    interpret=self._engine_interpret)
+            G, dofmap, D = params["stiff"]
             kw = dict(engine=self._idx_engine,
                       engine_interpret=self._engine_interpret)
             if self.uniform:

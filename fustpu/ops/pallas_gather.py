@@ -682,19 +682,21 @@ def _mk_scatter_kernel(WR: int, nwin: int, tm: int):
 
 
 def _gather_subtiles(code_ref, Ws, o_refs, WRn: int, rows: int,
-                     sw: int, f32):
+                     sw: int, f32, off: int = 0):
     """Shared packed-gather sub-tile loop: per group of sw 128-output
     sub-tiles, ONE transposed one-hot Ht (WRn, 128*sw) picks each
     field's window rows on the MXU (bf16x3-exact for f32) and a masked
     sublane reduction picks the lane.  `Ws`/`o_refs`: parallel tuples of
     (WRn, 128) windows and (rows, 128) output refs (gather2 shares Ht
-    across its two fields)."""
+    across its two fields).  `off`: row offset into code_ref/o_refs —
+    the fused kernel processes several plan tiles per grid step from
+    one supertile-sized block."""
     bf = jnp.bfloat16
     exact = f32 == jnp.float64
     if not exact:
         Wsp = tuple(_split3(w, f32) for w in Ws)
-    for j0 in range(0, rows, sw):
-        kk = min(sw, rows - j0)
+    for j0 in range(off, off + rows, sw):
+        kk = min(sw, off + rows - j0)
         L = 128 * kk
         cw = _row_concat(code_ref, j0, kk)
         isub = jax.lax.broadcasted_iota(jnp.int32, (WRn, L), 0)
@@ -830,18 +832,19 @@ def _mk_gather2_kernel_packed_staged(WR: int, nwin: int, tm: int):
     return kernel
 
 
-def _scatter_contrib(code_ref, v_ref, WRn: int, rows: int, sw: int, f32):
+def _scatter_contrib(code_ref, v_ref, WRn: int, rows: int, sw: int, f32,
+                     off: int = 0):
     """Shared packed-scatter contribution: C (WRn, 128) = sum over
     sub-tile groups of Ht @ Vs^T with Vs[l, t] = v[t] * (lo[t] == l) —
     a sublane spread built from (1, 128) rows (bf16x3-exact for f32).
     SUBW widens the contraction's t axis over that many sub-tiles (one
-    dispatch, and the inter-group C adds fold into the MXU
-    accumulate)."""
+    dispatch, and the inter-group C adds fold into the MXU accumulate).
+    `off`: row offset into code_ref/v_ref (see _gather_subtiles)."""
     bf = jnp.bfloat16
     exact = f32 == jnp.float64
     C = None
-    for j0 in range(0, rows, sw):
-        kk = min(sw, rows - j0)
+    for j0 in range(off, off + rows, sw):
+        kk = min(sw, off + rows - j0)
         L = 128 * kk
         cw = _row_concat(code_ref, j0, kk)
         vw = _row_concat(v_ref, j0, kk)
@@ -1220,3 +1223,263 @@ def scatter_add(vals: jax.Array, plan: GatherPlan, ndofs: int,
         # position N.. reads the zero padding of vp)
         yf = _spill_add(yf, plan.sidx, vp.reshape(-1), plan.spos)
     return yf[:ndofs]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused engine apply: gather + per-cell contraction + scatter in ONE
+# Pallas kernel.  The 3-kernel path pays two HBM round trips of the
+# expanded element stream (gather out -> contract in, contract out ->
+# scatter in), reads the code stream twice, and pays three kernels'
+# pipeline fill per apply.  Fusion needs plan tiles that hold WHOLE
+# cells: the plan is built on a lane-padded per-cell-row dofmap
+# ((cells, 128), n^3 real codes + dead pad — P<=4 only, n^3<=128), so a
+# tm=2048 tile is exactly 16 cells and windows stay as small as the
+# element-flat plan's (same cell count per tile).  ST plan tiles are
+# processed per grid step so the contraction runs at M=ST*16=128 on the
+# MXU; the staged residency machinery (above) provides the field and
+# output as VMEM-resident blocks with no DMA protocol.
+# Reference analogue: one CUDA block does load+contract+atomics in one
+# kernel (/root/reference/cuda/operators.py:73-192).
+# ---------------------------------------------------------------------------
+
+def _fused_from_env() -> str:
+    v = os.environ.get("FUSTPU_ENGINE_FUSED", "auto")
+    if v not in ("auto", "0"):
+        raise ValueError(
+            f"FUSTPU_ENGINE_FUSED={v!r}: must be auto|0")
+    return v
+
+
+# "auto": models use the fused kernel whenever build_fused_engine
+# accepts the mesh; "0" disables (A/B, and the fallback story).
+FUSED = _fused_from_env()
+
+
+@jax.tree_util.register_pytree_node_class
+class FusedEngine:
+    """Cell-row plan + lane-padded operator tensors for fused_apply:
+    plan built on the (cells, 128) padded dofmap (zero spill enforced),
+    G6p (6, cellsp, 128) component-major zero-padded geometry, D3p
+    (3, 128, 128) zero-padded dense derivative operators.  statics:
+    (n3, cells, cellsp, ST)."""
+
+    def __init__(self, plan, G6p, D3p, statics):
+        self.plan = plan
+        self.G6p = G6p
+        self.D3p = D3p
+        self.statics = statics
+
+    def tree_flatten(self):
+        return ((self.plan, self.G6p, self.D3p), self.statics)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, statics=aux)
+
+
+def build_fused_engine(dofmap: np.ndarray, nsrc: int,
+                       G_host: np.ndarray, D_host: np.ndarray,
+                       dtype, tm: int | None = None,
+                       ST: int = 8) -> "FusedEngine | None":
+    """FusedEngine for a (cells, n^3) dofmap, or None when the mesh is
+    ineligible: n^3 > 128 (P > 4), col layout, FUSTPU_ENGINE_FUSED=0,
+    any spill on the cell-row plan (the fused kernel never materialises
+    the gathered stream, so the XLA spill fix-up has nothing to patch),
+    or the pair form's 3 field-sized VMEM buffers exceed the staged
+    cap.  Callers fall back to the staged 3-kernel path."""
+    tm = tm or TM
+    if FUSED == "0" or LAYOUT != "packed" or tm % 1024:
+        return None
+    cells, n3 = dofmap.shape
+    if n3 > 128:
+        return None
+    rows = tm // 128
+    gp = np.full((cells, 128), nsrc, np.int64)
+    gp[:, :n3] = dofmap
+    plan = build_plan(gp.ravel(), nsrc, tm=tm)
+    if int(plan.spos.shape[0]):
+        return None
+    WR, ntiles, nrows, N, nwin, tm_ = plan.statics
+    itemsize = jnp.dtype(dtype).itemsize
+    if 3 * nrows * 128 * itemsize + _STAGE_MARGIN > STAGE_CAP:
+        return None
+    # pad the plan to a whole number of supertiles (build_plan's +1
+    # dead position always adds a partial tile); dead rows carry the
+    # dead code (kills them in both directions) and woff 0
+    ntp = -(-ntiles // ST) * ST
+    if ntp != ntiles:
+        woff = np.zeros((2, ntp), np.int32)
+        woff[:, :ntiles] = np.asarray(plan.woff)
+        code = np.full((ntp * rows, 128), nwin * WR * 128, np.int32)
+        code[:np.asarray(plan.code).shape[0]] = np.asarray(plan.code)
+        plan = GatherPlan(jnp.asarray(woff), jnp.asarray(code),
+                          plan.spos, plan.sidx,
+                          (WR, ntp, nrows, N, nwin, tm_))
+    cellsp = ntp * rows
+    G6p = np.zeros((6, cellsp, 128), np.float64)
+    G6p[:, :cells, :n3] = np.moveaxis(np.asarray(G_host), 2, 0)
+    n = D_host.shape[0]
+    assert n ** 3 == n3
+    eye = np.eye(n)
+    D3p = np.zeros((3, 128, 128), np.float64)
+    D3p[0, :n3, :n3] = np.kron(np.kron(D_host, eye), eye)
+    D3p[1, :n3, :n3] = np.kron(np.kron(eye, D_host), eye)
+    D3p[2, :n3, :n3] = np.kron(np.kron(eye, eye), D_host)
+    return FusedEngine(plan, jnp.asarray(G6p, dtype),
+                       jnp.asarray(D3p, dtype),
+                       (n3, cells, cellsp, ST))
+
+
+def _mk_fused_kernel(WR: int, nwin: int, tm: int, ST: int,
+                     mode: str, precision):
+    """mode: 'coeff' (per-cell coefficient on the metric term), 'plain'
+    (unit coefficient — the uniform-media fold), 'pair' (two fields
+    folded c1*u1 + c2*u2 before one contraction chain)."""
+    from fustpu.ops.pallas_stiffness import _mk_matmul
+
+    rows = tm // 128
+    sw = _subw_eff(WR, nwin, rows)
+
+    def kernel(*refs):
+        if mode == "pair":
+            (woff_ref, code_ref, g_ref, d3_ref, c1_ref, c2_ref,
+             x1_ref, x2_ref, o_ref, u1s, u2s) = refs
+        elif mode == "coeff":
+            (woff_ref, code_ref, g_ref, d3_ref, c_ref,
+             x_ref, o_ref, u1s) = refs
+        else:
+            (woff_ref, code_ref, g_ref, d3_ref,
+             x_ref, o_ref, u1s) = refs
+        b = pl.program_id(0)
+        f32 = o_ref.dtype
+
+        @pl.when(b == 0)
+        def _zero_init():
+            o_ref[...] = jnp.zeros(o_ref.shape, f32)
+
+        for t in range(ST):
+            tt = ST * b + t
+            if mode == "pair":
+                W1 = _win_slices(x1_ref, woff_ref, tt, WR, nwin)
+                W2 = _win_slices(x2_ref, woff_ref, tt, WR, nwin)
+                _gather_subtiles(code_ref, (W1, W2), (u1s, u2s),
+                                 nwin * WR, rows, sw, f32, off=t * rows)
+            else:
+                W = _win_slices(x_ref, woff_ref, tt, WR, nwin)
+                _gather_subtiles(code_ref, (W,), (u1s,),
+                                 nwin * WR, rows, sw, f32, off=t * rows)
+        # per-cell contraction at M = ST*rows (dense-operator form; pad
+        # lanes stay zero end-to-end: dead codes gather 0, D3p/G6p are
+        # zero-padded, and dead codes drop the scatter contributions)
+        if mode == "pair":
+            u = c1_ref[...] * u1s[...] + c2_ref[...] * u2s[...]
+        else:
+            u = u1s[...]
+        matmul = _mk_matmul(precision, f32)
+        w = [matmul(u, d3_ref[q], ((1,), (1,))) for q in range(3)]
+        G = lambda m: g_ref[m]
+        c = c_ref[...] if mode == "coeff" else 1.0
+        f0 = c * (G(0) * w[0] + G(1) * w[1] + G(2) * w[2])
+        f1 = c * (G(1) * w[0] + G(3) * w[1] + G(4) * w[2])
+        f2 = c * (G(2) * w[0] + G(4) * w[1] + G(5) * w[2])
+        y = matmul(f0, d3_ref[0], ((1,), (0,)))
+        y = y + matmul(f1, d3_ref[1], ((1,), (0,)))
+        y = y + matmul(f2, d3_ref[2], ((1,), (0,)))
+        for t in range(ST):
+            tt = ST * b + t
+            C = _scatter_contrib(code_ref, y, nwin * WR, rows, sw, f32,
+                                 off=t * rows)
+            s0 = pl.multiple_of(woff_ref[0, tt], 8)
+            o_ref[pl.ds(s0, WR)] = o_ref[pl.ds(s0, WR)] + C[:WR]
+            if nwin == 2:
+                s1 = pl.multiple_of(woff_ref[1, tt], 8)
+                o_ref[pl.ds(s1, WR)] = o_ref[pl.ds(s1, WR)] + C[WR:]
+
+    return kernel
+
+
+def _fused_call(fe: "FusedEngine", mode: str, precision, xs, coeffs,
+                interpret: bool):
+    """Shared pallas_call assembly for fused_apply / fused_apply_pair."""
+    WR, ntiles, nrows, N, nwin, tm = fe.plan.statics
+    n3, cells, cellsp, ST = fe.statics
+    rows = tm // 128
+    dtype = xs[0].dtype
+    if precision == "auto":
+        precision = (jax.lax.Precision.HIGHEST
+                     if dtype == jnp.float64 else "bf16x3")
+
+    def pad_field(x):
+        z = jnp.zeros((nrows * 128,), x.dtype)
+        return jax.lax.dynamic_update_slice(
+            z, x.reshape(-1), (0,)).reshape(nrows, 128)
+
+    def pad_coeff(cc):
+        z = jnp.zeros((cellsp,), dtype)
+        return jax.lax.dynamic_update_slice(
+            z, cc.reshape(-1).astype(dtype), (0,)).reshape(cellsp, 1)
+
+    CT = ST * rows
+    cell_spec = lambda nminor: pl.BlockSpec(
+        (CT, nminor), lambda b, woff: (b, 0))
+    field_spec = lambda: pl.BlockSpec((nrows, 128),
+                                      lambda b, woff: (0, 0))
+    in_specs = [
+        cell_spec(128),                                     # code
+        pl.BlockSpec((6, CT, 128), lambda b, woff: (0, b, 0)),  # G6p
+        pl.BlockSpec(memory_space=pltpu.VMEM),              # D3p
+    ]
+    args = [fe.plan.woff, fe.plan.code, fe.G6p, fe.D3p]
+    for cc in coeffs:
+        in_specs.append(cell_spec(1))
+        args.append(pad_coeff(cc))
+    for x in xs:
+        in_specs.append(field_spec())
+        args.append(pad_field(x))
+    nf = len(xs)
+    scratch = [pltpu.VMEM((CT, 128), dtype)] * nf
+    y2 = pl.pallas_call(
+        _mk_fused_kernel(WR, nwin, tm, ST, mode, precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles // ST,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((nrows, 128), lambda b, woff: (0, 0)),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_stage_limit(
+                (nf + 1) * nrows * 128 * jnp.dtype(dtype).itemsize)),
+        interpret=interpret,
+    )(*args)
+    return y2.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("ndofs", "interpret",
+                                             "precision"))
+def fused_apply(x_flat: jax.Array, coeff, fe: "FusedEngine",
+                ndofs: int, interpret: bool = False,
+                precision="auto") -> jax.Array:
+    """One-kernel engine stiffness apply:
+    y = scatter(sum_q D3q^T (coeff . G . (D3q gather(x)))).
+    coeff: (cells,) per-cell coefficients or None (unit)."""
+    mode = "plain" if coeff is None else "coeff"
+    coeffs = [] if coeff is None else [coeff]
+    return _fused_call(fe, mode, precision, [x_flat], coeffs,
+                       interpret)[:ndofs]
+
+
+@functools.partial(jax.jit, static_argnames=("ndofs", "interpret",
+                                             "precision"))
+def fused_apply_pair(x1: jax.Array, c1: jax.Array, x2: jax.Array,
+                     c2: jax.Array, fe: "FusedEngine", ndofs: int,
+                     interpret: bool = False,
+                     precision="auto") -> jax.Array:
+    """stiffness(x1; c1) + stiffness(x2; c2) in ONE kernel: both fields
+    gathered sharing the one-hot, folded c1*u1 + c2*u2 per cell before
+    a single contraction chain and a single scatter (the heterogeneous
+    Westervelt stage)."""
+    return _fused_call(fe, "pair", precision, [x1, x2], [c1, c2],
+                       interpret)[:ndofs]

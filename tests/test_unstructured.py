@@ -357,20 +357,32 @@ def test_indexed_engine_matches_plain():
     mesh = msh_io.read_msh(p, 3, detect_extrusion=False)
     mat = Material(sound_speed=1500.0, density=1000.0)
     src = Source(frequency=0.5e6, amplitude=1e5)
+    from fustpu.ops import pallas_gather as pg
+
     outs = []
-    for impl in ("indexed", "indexed_engine"):
-        m = LinearWaveModel(mesh, mat, src, mesh.boundary_facets(1),
-                            mesh.boundary_facets(2), dtype=jnp.float64,
-                            stiffness_impl=impl)
-        assert m.impl == impl
-        if impl == "indexed_engine":
-            assert m._idx_engine is not None and m._engine_interpret
-        dt, _ = m.cfl_dt(0.4)
-        s, _ = m.solve(m.init_state(), dt, 6)
-        outs.append(np.asarray(s.u).ravel())
-    err = (np.linalg.norm(outs[0] - outs[1])
-           / max(np.linalg.norm(outs[0]), 1e-300))
-    assert err < 1e-11, err
+    # three legs: plain indexed, 3-kernel engine (FUSED off), and the
+    # fused single-kernel engine (the production default)
+    old = pg.FUSED
+    try:
+        for impl, fused in (("indexed", "0"), ("indexed_engine", "0"),
+                            ("indexed_engine", "auto")):
+            pg.FUSED = fused
+            m = LinearWaveModel(mesh, mat, src, mesh.boundary_facets(1),
+                                mesh.boundary_facets(2),
+                                dtype=jnp.float64, stiffness_impl=impl)
+            assert m.impl == impl
+            if impl == "indexed_engine":
+                assert m._idx_engine is not None and m._engine_interpret
+                assert (m._idx_fused is not None) == (fused == "auto")
+            dt, _ = m.cfl_dt(0.4)
+            s, _ = m.solve(m.init_state(), dt, 6)
+            outs.append(np.asarray(s.u).ravel())
+    finally:
+        pg.FUSED = old
+    for other in outs[1:]:
+        err = (np.linalg.norm(outs[0] - other)
+               / max(np.linalg.norm(outs[0]), 1e-300))
+        assert err < 1e-11, err
 
 
 def test_gather_engine_primitives():
@@ -828,3 +840,83 @@ def test_engine_stage_gate():
         assert not pg._staged(plan_c, jnp.float32)
     finally:
         pg.LAYOUT = old
+
+
+def test_fused_engine_matches_engine_path():
+    """fused_apply / fused_apply_pair (gather + contraction + scatter in
+    ONE kernel, cell-row plan) match the 3-kernel engine path at f64
+    machine precision in all three modes (coeff / plain / pair), on a
+    dofmap whose cell-row plan takes two windows."""
+    from fustpu.ops import pallas_gather as pg
+    from fustpu.ops.operators import (stiffness_apply_indexed,
+                                      stiffness_apply_indexed_pair)
+
+    rng = np.random.default_rng(2)
+    n = 5
+    n3 = n ** 3
+    cells, ndofs = 300, 9000
+    dm = np.zeros((cells, n3), np.int64)
+    for c in range(cells):
+        dm[c] = min(c * 28, ndofs - n3 - 1) + rng.permutation(n3)
+    G = rng.standard_normal((cells, n3, 6))
+    D = rng.standard_normal((n, n))
+    x1 = jnp.asarray(rng.standard_normal(ndofs))
+    x2 = jnp.asarray(rng.standard_normal(ndofs))
+    c1 = jnp.asarray(rng.standard_normal(cells))
+    c2 = jnp.asarray(rng.standard_normal(cells))
+    plan = pg.build_plan(dm.ravel(), ndofs)
+    Gc = jnp.asarray(np.moveaxis(G, 2, 0))
+    Dj, dmj = jnp.asarray(D), jnp.asarray(dm)
+    fe = pg.build_fused_engine(dm, ndofs, G, D, jnp.float64)
+    assert fe is not None and fe.plan.statics[4] == 2
+    assert fe.plan.statics[1] % fe.statics[3] == 0   # supertile-aligned
+    pairs = [
+        (stiffness_apply_indexed(x1, Gc, c1, dmj, Dj, ndofs, engine=plan,
+                                 engine_interpret=True),
+         pg.fused_apply(x1, c1, fe, ndofs, interpret=True)),
+        (stiffness_apply_indexed(x1, Gc, None, dmj, Dj, ndofs,
+                                 engine=plan, engine_interpret=True),
+         pg.fused_apply(x1, None, fe, ndofs, interpret=True)),
+        (stiffness_apply_indexed_pair(x1, c1, x2, c2, Gc, dmj, Dj,
+                                      ndofs, engine=plan,
+                                      engine_interpret=True),
+         pg.fused_apply_pair(x1, c1, x2, c2, fe, ndofs,
+                             interpret=True)),
+    ]
+    for ref, out in pairs:
+        err = (float(jnp.max(jnp.abs(ref - out)))
+               / float(jnp.max(jnp.abs(ref))))
+        assert err < 1e-12, err
+
+
+def test_fused_engine_eligibility():
+    """build_fused_engine declines P>4 (n^3 > 128 cell rows), spilling
+    plans, and FUSTPU_ENGINE_FUSED=0."""
+    from fustpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(4)
+    n3 = 216                      # P=5
+    dm = np.arange(40 * n3).reshape(40, n3) % 5000
+    G = np.ones((40, n3, 6))
+    D = np.eye(6)
+    assert pg.build_fused_engine(dm, 5000, G, D, jnp.float64) is None
+    # spilling plan: random far-flung ids blow the window ladder
+    n3 = 125
+    dm = rng.integers(0, 4_000_000, (400, n3)).astype(np.int64)
+    G = np.ones((400, n3, 6))
+    D = np.eye(5)
+    assert pg.build_fused_engine(dm, 4_000_000, G, D,
+                                 jnp.float64) is None
+    # kill switch
+    dm = (np.arange(400)[:, None] * 20
+          + np.arange(n3)[None, :]).astype(np.int64)
+    old = pg.FUSED
+    try:
+        pg.FUSED = "0"
+        assert pg.build_fused_engine(dm, 10000, G, D,
+                                     jnp.float64) is None
+        pg.FUSED = "auto"
+        assert pg.build_fused_engine(dm, 10000, G, D,
+                                     jnp.float64) is not None
+    finally:
+        pg.FUSED = old
