@@ -1303,21 +1303,36 @@ def build_fused_engine(dofmap: np.ndarray, nsrc: int,
     itemsize = jnp.dtype(dtype).itemsize
     if 3 * nrows * 128 * itemsize + _STAGE_MARGIN > STAGE_CAP:
         return None
-    # pad the plan to a whole number of supertiles (build_plan's +1
-    # dead position always adds a partial tile); dead rows carry the
-    # dead code (kills them in both directions) and woff 0
+    woff, code, G6p, stat = _fused_finish(
+        plan, cells, n3, np.moveaxis(np.asarray(G_host), 2, 0),
+        ST, rows)
+    plan = GatherPlan(jnp.asarray(woff), jnp.asarray(code),
+                      plan.spos, plan.sidx, stat)
+    return FusedEngine(plan, jnp.asarray(G6p, dtype),
+                       jnp.asarray(_d3_padded(D_host, n3), dtype),
+                       (n3, cells, stat[1] * rows, ST))
+
+
+def _fused_finish(plan, cells: int, n3: int, G6_host, ST: int,
+                  rows: int):
+    """Supertile-pad a zero-spill cell-row plan and build the padded
+    component-major geometry block (host f64).  Dead rows carry the
+    dead code (kills them in both directions) and woff 0; build_plan's
+    +1 dead position always adds a partial tile."""
+    WR, ntiles, nrows, N, nwin, tm_ = plan.statics
     ntp = -(-ntiles // ST) * ST
-    if ntp != ntiles:
-        woff = np.zeros((2, ntp), np.int32)
-        woff[:, :ntiles] = np.asarray(plan.woff)
-        code = np.full((ntp * rows, 128), nwin * WR * 128, np.int32)
-        code[:np.asarray(plan.code).shape[0]] = np.asarray(plan.code)
-        plan = GatherPlan(jnp.asarray(woff), jnp.asarray(code),
-                          plan.spos, plan.sidx,
-                          (WR, ntp, nrows, N, nwin, tm_))
+    woff = np.zeros((2, ntp), np.int32)
+    woff[:, :ntiles] = np.asarray(plan.woff)
+    code = np.full((ntp * rows, 128), nwin * WR * 128, np.int32)
+    code[:np.asarray(plan.code).shape[0]] = np.asarray(plan.code)
     cellsp = ntp * rows
     G6p = np.zeros((6, cellsp, 128), np.float64)
-    G6p[:, :cells, :n3] = np.moveaxis(np.asarray(G_host), 2, 0)
+    G6p[:, :cells, :n3] = G6_host
+    return woff, code, G6p, (WR, ntp, nrows, N, nwin, tm_)
+
+
+def _d3_padded(D_host, n3: int) -> np.ndarray:
+    """(3, 128, 128) zero-padded dense derivative operators."""
     n = D_host.shape[0]
     assert n ** 3 == n3
     eye = np.eye(n)
@@ -1325,9 +1340,62 @@ def build_fused_engine(dofmap: np.ndarray, nsrc: int,
     D3p[0, :n3, :n3] = np.kron(np.kron(D_host, eye), eye)
     D3p[1, :n3, :n3] = np.kron(np.kron(eye, D_host), eye)
     D3p[2, :n3, :n3] = np.kron(np.kron(eye, eye), D_host)
-    return FusedEngine(plan, jnp.asarray(G6p, dtype),
-                       jnp.asarray(D3p, dtype),
-                       (n3, cells, cellsp, ST))
+    return D3p
+
+
+def build_fused_engines_stacked(dofmaps, nsrc: int, G6_hosts,
+                                D_host: np.ndarray, dtype,
+                                tm: int | None = None, ST: int = 8):
+    """Per-device FusedEngine arrays with COMMON statics for use under
+    shard_map (the fused analogue of build_stacked_plans): `dofmaps` is
+    a sequence of equal-shape (cells, n^3) local dofmaps (dead id
+    `nsrc` pads ragged cell counts), `G6_hosts` the matching
+    component-major (6, cells, n^3) geometry blocks.  Returns
+    (woff (k,2,ntp), code (k,cellsp,128), G6p (k,6,cellsp,128),
+    D3p (3,128,128), plan_statics, fe_statics) as host arrays, or None
+    when any device is ineligible — the window geometry is maxed over
+    devices and ZERO spill is required on every device (the fused
+    kernel has no spill fix-up)."""
+    tm = tm or TM
+    if FUSED == "0" or LAYOUT != "packed" or tm % 1024:
+        return None
+    k = len(dofmaps)
+    cells, n3 = dofmaps[0].shape
+    if n3 > 128:
+        return None
+    rows = tm // 128
+    gps = []
+    for dm in dofmaps:
+        if dm.shape != (cells, n3):
+            raise ValueError("per-device dofmaps must be equal shape")
+        gp = np.full((cells, 128), nsrc, np.int64)
+        gp[:, :n3] = dm
+        gps.append(gp.ravel())
+    wr1 = max(pick_wr(g, dead=nsrc, tm=tm) for g in gps)
+    wr2 = max(pick_wr2(g, dead=nsrc, tm=tm) for g in gps)
+    plans = None
+    for nw, wr in _attempt_ladder(wr1, wr2):
+        ps = [build_plan(g, nsrc, WR=wr, nwin=nw, tm=tm) for g in gps]
+        if all(int(p.spos.shape[0]) == 0 for p in ps):
+            plans = ps
+            break
+    if plans is None:
+        return None
+    nrows = plans[0].statics[2]
+    if 3 * nrows * 128 * jnp.dtype(dtype).itemsize + _STAGE_MARGIN \
+            > STAGE_CAP:
+        return None
+    woff, code, G6p = [], [], []
+    for p, G6 in zip(plans, G6_hosts):
+        assert p.statics == plans[0].statics
+        w, c, g, stat = _fused_finish(p, cells, n3, np.asarray(G6),
+                                      ST, rows)
+        woff.append(w)
+        code.append(c)
+        G6p.append(g)
+    cellsp = stat[1] * rows
+    return (np.stack(woff), np.stack(code), np.stack(G6p),
+            _d3_padded(D_host, n3), stat, (n3, cells, cellsp, ST))
 
 
 def _mk_fused_kernel(WR: int, nwin: int, tm: int, ST: int,

@@ -700,7 +700,6 @@ class IndexedShardedModel:
 
         put = self._put
         dist = {
-            "G": put(Gd), "ldm": put(ldm.reshape(k, -1), np.int32),
             "shl": put(shl, np.int32),
             "shm": put(shm.astype(self.dtype)),
         }
@@ -744,6 +743,7 @@ class IndexedShardedModel:
             stiffness_impl = "indexed_engine" if on_tpu() else "indexed"
         self.impl = stiffness_impl
         self._eng_statics = None
+        self._fe_statics = None
         if stiffness_impl == "indexed_engine":
             from fustpu.ops import pallas_gather as pg
 
@@ -751,22 +751,43 @@ class IndexedShardedModel:
             for d in range(k):
                 eng_dm[d, :len(cells_of[d])] = (
                     ldm[d, :len(cells_of[d])].astype(np.int64))
-            ew, ec, es, ei, self._eng_statics = pg.build_stacked_plans(
-                [eng_dm[d].reshape(-1) for d in range(k)], nloc)
-            if not pg.plan_covers(es.shape[1], eng_dm[0].size):
-                import warnings
-
-                warnings.warn(
-                    "gather-engine windows cover this partition poorly "
-                    f"({es.shape[1]}/{eng_dm[0].size} spill) — using the "
-                    "plain indexed path", stacklevel=2)
-                self.impl, self._eng_statics = "indexed", None
+            self._eng_interpret = not on_tpu()
+            # fused single-kernel form first (one Mosaic kernel per
+            # stiffness apply per device, no G/ldm/plan tensors held);
+            # the stacked 3-kernel engine is the fallback
+            fres = pg.build_fused_engines_stacked(
+                [eng_dm[d] for d in range(k)], nloc,
+                [Gd[d] for d in range(k)],
+                np.asarray(disc._D_host), self.dtype)
+            if fres is not None:
+                fw, fc, fg, fd3, self._fe_plan_statics, \
+                    self._fe_statics = fres
+                dist["fe_woff"] = put(fw, np.int32)
+                dist["fe_code"] = put(fc, np.int32)
+                dist["fe_g"] = put(fg)
+                repl["fe_d3"] = self._repl(
+                    fd3.astype(jnp.dtype(self.dtype)))
             else:
-                dist["eng_woff"] = put(ew, np.int32)
-                dist["eng_code"] = put(ec, np.int32)
-                dist["eng_spos"] = put(es, np.int32)
-                dist["eng_sidx"] = put(ei, np.int32)
-                self._eng_interpret = not on_tpu()
+                ew, ec, es, ei, self._eng_statics = \
+                    pg.build_stacked_plans(
+                        [eng_dm[d].reshape(-1) for d in range(k)], nloc)
+                if not pg.plan_covers(es.shape[1], eng_dm[0].size):
+                    import warnings
+
+                    warnings.warn(
+                        "gather-engine windows cover this partition "
+                        f"poorly ({es.shape[1]}/{eng_dm[0].size} spill)"
+                        " — using the plain indexed path", stacklevel=2)
+                    self.impl, self._eng_statics = "indexed", None
+                else:
+                    dist["eng_woff"] = put(ew, np.int32)
+                    dist["eng_code"] = put(ec, np.int32)
+                    dist["eng_spos"] = put(es, np.int32)
+                    dist["eng_sidx"] = put(ei, np.int32)
+        if self._fe_statics is None:
+            # the explicit-dofmap tensors only exist off the fused path
+            dist["G"] = put(Gd)
+            dist["ldm"] = put(ldm.reshape(k, -1), np.int32)
         self.ctx = {"dist": dist, "repl": repl}
         self.ctx_spec = {
             "dist": {key: P(AXIS) for key in dist},
@@ -812,23 +833,39 @@ class IndexedShardedModel:
     def _local_rhs(self, ctx, t, u, v):
         d = ctx["dist"]
         m = self.model
-        n3 = self.mesh.element.ndofs
-        ldm = d["ldm"].reshape(-1, n3)
-        D = ctx["repl"]["D"]
-        if self._eng_statics is not None:
+        if self._fe_statics is not None:
             from fustpu.ops import pallas_gather as pg
 
-            plan = pg.GatherPlan(
-                d["eng_woff"], d["eng_code"],
-                d["eng_spos"], d["eng_sidx"], self._eng_statics)
-            kw = dict(engine=plan, engine_interpret=self._eng_interpret)
+            fe = pg.FusedEngine(
+                pg.GatherPlan(d["fe_woff"], d["fe_code"],
+                              jnp.zeros((0,), jnp.int32),
+                              jnp.zeros((0,), jnp.int32),
+                              self._fe_plan_statics),
+                d["fe_g"], ctx["repl"]["fe_d3"], self._fe_statics)
+            stiff = lambda x, c: pg.fused_apply(
+                x, c, fe, self.nloc, interpret=self._eng_interpret)
+            stiff_pair = lambda x1, c1, x2, c2: pg.fused_apply_pair(
+                x1, c1, x2, c2, fe, self.nloc,
+                interpret=self._eng_interpret)
         else:
-            kw = {}
-        stiff = lambda x, c: xops.stiffness_apply_indexed(
-            x, d["G"], c, ldm, D, self.nloc, **kw)
-        stiff_pair = lambda x1, c1, x2, c2: \
-            xops.stiffness_apply_indexed_pair(
-                x1, c1, x2, c2, d["G"], ldm, D, self.nloc, **kw)
+            n3 = self.mesh.element.ndofs
+            ldm = d["ldm"].reshape(-1, n3)
+            D = ctx["repl"]["D"]
+            if self._eng_statics is not None:
+                from fustpu.ops import pallas_gather as pg
+
+                plan = pg.GatherPlan(
+                    d["eng_woff"], d["eng_code"],
+                    d["eng_spos"], d["eng_sidx"], self._eng_statics)
+                kw = dict(engine=plan,
+                          engine_interpret=self._eng_interpret)
+            else:
+                kw = {}
+            stiff = lambda x, c: xops.stiffness_apply_indexed(
+                x, d["G"], c, ldm, D, self.nloc, **kw)
+            stiff_pair = lambda x1, c1, x2, c2: \
+                xops.stiffness_apply_indexed_pair(
+                    x1, c1, x2, c2, d["G"], ldm, D, self.nloc, **kw)
         if self.kind == "linear":
             b = self._exchange(ctx, stiff(u, d["c2"]))
             a_c, a_s = sources.linear_source_coeffs(t, m.source, m.c_src)

@@ -349,14 +349,18 @@ def test_sharded_nonprismatic_unstructured(k):
     assert err < 1e-12, err
 
 
-def test_sharded_nonprismatic_engine():
+@pytest.mark.parametrize("fused", [True, False])
+def test_sharded_nonprismatic_engine(fused):
     """The per-device gather/scatter ENGINE (windowed one-hot MXU path,
     interpret mode here) inside IndexedShardedModel == single-device at
     1e-12 — the TPU production configuration for sharded non-prismatic
-    meshes, including ragged per-device cell counts (dead-id padding)
-    and padded spill entries (stacked per-device plans)."""
+    meshes, including ragged per-device cell counts (dead-id padding).
+    fused=True: the single-kernel fused form (stacked cell-row plans);
+    fused=False: the stacked 3-kernel plans with padded spill
+    entries."""
     from fustpu.mesh.extruded import as_extruded
     from fustpu.mesh.unstructured import from_box
+    from fustpu.ops import pallas_gather as pg
     from fustpu.parallel.extruded import shard_unstructured
 
     bm = build_box_mesh((4, 3, 3), 3, perturb=0.15, seed=4,
@@ -372,9 +376,18 @@ def test_sharded_nonprismatic_engine():
                             ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
     dt, _ = model.cfl_dt(0.4)
     ref, _ = model.solve(model.init_state(), dt, 10)
-    sm = shard_unstructured(model, num_devices=5,
-                            stiffness_impl="indexed_engine")
-    assert sm._eng_statics is not None and sm._eng_interpret
+    old = pg.FUSED
+    try:
+        pg.FUSED = "auto" if fused else "0"
+        sm = shard_unstructured(model, num_devices=5,
+                                stiffness_impl="indexed_engine")
+    finally:
+        pg.FUSED = old
+    if fused:
+        assert sm._fe_statics is not None and sm._eng_statics is None
+    else:
+        assert sm._eng_statics is not None and sm._fe_statics is None
+    assert sm._eng_interpret
     ss, _ = sm.solve(sm.init_state(), dt, 10)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
