@@ -82,6 +82,28 @@ def main():
     per1 = t1 * 1e3 / (mesh.ndofs / 1e6)
     print(f"single-device pair: {t1*1e3:7.3f} ms  ({per1:.2f} ms/MDOF)")
 
+    # fused single-kernel leg (the production default when eligible)
+    def timed_fused_pair(fe, x, x2, c1, c2, n):
+        def f(p, v):
+            px2, pc1, pc2, pfe = p
+            return pg.fused_apply_pair(v, pc1, 0.5 * v + px2, pc2,
+                                       pfe, n, interpret=interp)
+        return B.time_apply(f, (x2, c1, c2, fe), x, chain=20, reps=5,
+                            baseline=bl)
+
+    fe1 = pg.build_fused_engine(
+        np.asarray(mesh.dofmap, np.int64), mesh.ndofs, G_host,
+        np.asarray(mesh.element.deriv_1d), jnp.float32)
+    tf1 = float("nan")
+    if fe1 is not None:
+        tf1, _ = timed_fused_pair(
+            fe1, jnp.asarray(xg, jnp.float32),
+            jnp.asarray(x2g, jnp.float32),
+            jnp.asarray(c1g, jnp.float32),
+            jnp.asarray(c2g, jnp.float32), mesh.ndofs)
+        print(f"single-device FUSED pair: {tf1*1e3:7.3f} ms  "
+              f"({tf1*1e3/(mesh.ndofs/1e6):.2f} ms/MDOF)")
+
     from fustpu.parallel.extruded import rcb_partition
 
     for k in ks:
@@ -134,6 +156,50 @@ def main():
         perk = tot * 1e3 / (mesh.ndofs / 1e6)
         print(f"k={k}: sum {tot*1e3:7.3f} ms  ({perk:.2f} ms/MDOF, "
               f"{perk/per1:4.2f}x single-device per-DOF)")
+
+        # stacked FUSED leg (what IndexedShardedModel now runs)
+        fres = pg.build_fused_engines_stacked(
+            [eng_dm[d] for d in range(k)], nloc,
+            [_g6_block(G_host, cells_of[d], cmax, nd)
+             for d in range(k)],
+            np.asarray(mesh.element.deriv_1d), jnp.float32)
+        if fres is None:
+            print(f"k={k}: stacked fused ineligible")
+            continue
+        fw, fc, fg, fd3, pstat, festat = fres
+        ftot = 0.0
+        for d in range(k):
+            fe_d = pg.FusedEngine(
+                pg.GatherPlan(jnp.asarray(fw[d]), jnp.asarray(fc[d]),
+                              jnp.zeros((0,), jnp.int32),
+                              jnp.zeros((0,), jnp.int32), pstat),
+                jnp.asarray(fg[d], jnp.float32),
+                jnp.asarray(fd3, jnp.float32), festat)
+            xl = np.zeros(nloc)
+            x2l = np.zeros(nloc)
+            xl[:len(gids[d])] = xg[gids[d]]
+            x2l[:len(gids[d])] = x2g[gids[d]]
+            c1l = np.zeros(cmax)
+            c2l = np.zeros(cmax)
+            c1l[:len(cells_of[d])] = c1g[cells_of[d]]
+            c2l[:len(cells_of[d])] = c2g[cells_of[d]]
+            td, _ = timed_fused_pair(
+                fe_d, jnp.asarray(xl, jnp.float32),
+                jnp.asarray(x2l, jnp.float32),
+                jnp.asarray(c1l, jnp.float32),
+                jnp.asarray(c2l, jnp.float32), nloc)
+            ftot += td
+        perkf = ftot * 1e3 / (mesh.ndofs / 1e6)
+        base = tf1 if fe1 is not None else t1
+        print(f"k={k}: FUSED sum {ftot*1e3:7.3f} ms  ({perkf:.2f} "
+              f"ms/MDOF, {ftot/base:4.2f}x single-device per-DOF)")
+
+
+def _g6_block(G_host, cells, cmax, nd):
+    """Component-major (6, cmax, nd) zero-padded geometry block."""
+    out = np.zeros((6, cmax, nd))
+    out[:, :len(cells)] = np.moveaxis(G_host[cells], 2, 0)
+    return out
 
 
 if __name__ == "__main__":
