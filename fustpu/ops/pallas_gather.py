@@ -1255,6 +1255,19 @@ def _fused_from_env() -> str:
 FUSED = _fused_from_env()
 
 
+def _fst_from_env() -> int:
+    """FUSTPU_ENGINE_FST: plan tiles per fused-kernel grid step
+    (supertile size).  Default 8 -> M = 8*16 = 128 cells per
+    contraction dispatch; chip-laddered (BENCH_NOTES r5)."""
+    v = int(os.environ.get("FUSTPU_ENGINE_FST", "8"))
+    if v < 1:
+        raise ValueError(f"FUSTPU_ENGINE_FST={v}: must be >= 1")
+    return v
+
+
+FST = _fst_from_env()
+
+
 @jax.tree_util.register_pytree_node_class
 class FusedEngine:
     """Cell-row plan + lane-padded operator tensors for fused_apply:
@@ -1280,7 +1293,7 @@ class FusedEngine:
 def build_fused_engine(dofmap: np.ndarray, nsrc: int,
                        G_host: np.ndarray, D_host: np.ndarray,
                        dtype, tm: int | None = None,
-                       ST: int = 8) -> "FusedEngine | None":
+                       ST: int | None = None) -> "FusedEngine | None":
     """FusedEngine for a (cells, n^3) dofmap, or None when the mesh is
     ineligible: n^3 > 128 (P > 4), col layout, FUSTPU_ENGINE_FUSED=0,
     any spill on the cell-row plan (the fused kernel never materialises
@@ -1288,6 +1301,7 @@ def build_fused_engine(dofmap: np.ndarray, nsrc: int,
     or the pair form's 3 field-sized VMEM buffers exceed the staged
     cap.  Callers fall back to the staged 3-kernel path."""
     tm = tm or TM
+    ST = ST or FST
     if FUSED == "0" or LAYOUT != "packed" or tm % 1024:
         return None
     cells, n3 = dofmap.shape
@@ -1345,7 +1359,8 @@ def _d3_padded(D_host, n3: int) -> np.ndarray:
 
 def build_fused_engines_stacked(dofmaps, nsrc: int, G6_hosts,
                                 D_host: np.ndarray, dtype,
-                                tm: int | None = None, ST: int = 8):
+                                tm: int | None = None,
+                                ST: int | None = None):
     """Per-device FusedEngine arrays with COMMON statics for use under
     shard_map (the fused analogue of build_stacked_plans): `dofmaps` is
     a sequence of equal-shape (cells, n^3) local dofmaps (dead id
@@ -1357,6 +1372,7 @@ def build_fused_engines_stacked(dofmaps, nsrc: int, G6_hosts,
     devices and ZERO spill is required on every device (the fused
     kernel has no spill fix-up)."""
     tm = tm or TM
+    ST = ST or FST
     if FUSED == "0" or LAYOUT != "packed" or tm % 1024:
         return None
     k = len(dofmaps)
