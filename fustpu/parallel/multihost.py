@@ -69,6 +69,13 @@ def dcn_device_grid(shape: tuple[int, int, int], dcn_axis: int = 0):
 def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
             grid_shape: tuple[int, int, int]) -> None:
     import os
+    import time
+
+    _t0 = time.time()
+
+    def _hb(msg):
+        print(f"[worker {pid} +{time.time() - _t0:5.1f}s] {msg}",
+              flush=True)
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -78,6 +85,7 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    _hb("jax imported; joining process group")
     initialize(coordinator, nprocs, pid)
     assert jax.process_count() == nprocs, jax.process_count()
 
@@ -102,9 +110,11 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
     dt, _ = model.cfl_dt(0.4)
     nsteps = 4
 
+    _hb("phase 1: box model built")
     final, _ = model.solve(model.init_state(), dt, nsteps)
     u_ref = np.asarray(final.u)
 
+    _hb("phase 1: ref solved")
     ds, _ = smodel.solve(smodel.init_state(), dt, nsteps)
     # compare this process's addressable shards against the reference
     Pd = mesh.degree
@@ -122,6 +132,7 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
         checked += 1
     assert checked > 0
 
+    _hb("phase 1 done")
     # ---- phase 2: IMPORTED extruded mesh across the process group ------
     # (the reference's flagship multi-rank workload is `mpirun` on an
     # imported piston/bowl mesh, cuda/demo_linear_piston.py:83-118)
@@ -141,10 +152,12 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
     model2 = LinearWaveModel(mesh2, mat2, src2, mesh2.boundary_facets(1),
                              mesh2.boundary_facets(2), dtype=jnp.float64)
     dt2, _ = model2.cfl_dt(0.4)
+    _hb("phase 2: extruded model built")
     ref2, _ = model2.solve(model2.init_state(), dt2, nsteps)
     u2 = np.asarray(ref2.u).ravel()
     sm2 = shard_unstructured(model2, num_devices=nprocs * devices)
     assert isinstance(sm2, ExtrudedShardedModel)
+    _hb("phase 2: ref solved; sharded solve")
     ds2, ys2 = sm2.solve(sm2.init_state(), dt2, nsteps,
                          probe=sm2.norm_probe())
     ref_norm = np.linalg.norm(u2)
@@ -186,6 +199,7 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
                 / max(np.linalg.norm(u2), 1e-300))
         assert errs < 1e-12, errs
 
+    _hb("phase 2 + snapshots done")
     # ---- phase 3: NON-PRISMATIC mesh, per-device gather/scatter engine,
     # heterogeneous Westervelt pair, traced global-norm probe ------------
     from fustpu.mesh.extruded import as_extruded
@@ -204,11 +218,17 @@ def _worker(coordinator: str, nprocs: int, pid: int, devices: int,
     model3 = WesterveltModel(um, mat3, src, ext[cen[:, 0] < 1e-9],
                              ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
     dt3, _ = model3.cfl_dt(0.4)
-    ref3, _ = model3.solve(model3.init_state(), dt3, nsteps)
+    _hb("phase 3: non-prismatic model built")
+    # 2 steps: the engine runs in interpret mode here (pure-Python per
+    # tile), so steps are the dominant cost; step-to-step carry plus all
+    # 4 RK stage couplings are already exercised at 2
+    nsteps3 = 2
+    ref3, _ = model3.solve(model3.init_state(), dt3, nsteps3)
     sm3 = shard_unstructured(model3, num_devices=nprocs * devices,
                              stiffness_impl="indexed_engine")
     assert not isinstance(sm3, ExtrudedShardedModel)
-    ds3, ys3 = sm3.solve(sm3.init_state(), dt3, nsteps,
+    _hb("phase 3: ref solved; sharded engine solve")
+    ds3, ys3 = sm3.solve(sm3.init_state(), dt3, nsteps3,
                          probe=sm3.norm_probe())
     ref_norm3 = np.linalg.norm(np.asarray(ref3.u).ravel())
     assert abs(float(np.asarray(ys3)[-1]) - ref_norm3) \

@@ -67,6 +67,7 @@ def test_demo_nonlinear_box_two_layer():
     assert "Solve time per step" in out
 
 
+@pytest.mark.slow
 def test_demo_bowl_sharded_cli(tmp_path):
     """Flagship bowl sharded over 8 virtual devices through the CLI —
     both the structured box partition and (via unstructured geometry)
@@ -77,6 +78,7 @@ def test_demo_bowl_sharded_cli(tmp_path):
     assert "pressure at focus" in out
 
 
+@pytest.mark.slow
 def test_demo_bowl_two_layer_cross_path(tmp_path):
     """Heterogeneous (two-layer) bowl through the CLI: the structured
     pair kernel and the imported-mesh (round-tripped .msh) pair path

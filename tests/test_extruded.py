@@ -478,7 +478,9 @@ def test_pallas_extruded_corner_hex27():
             + 0.06 * np.sin(1.7 * x[..., 0] + 0.5 * x[..., 1])
         return out
 
-    bm = build_box_mesh((3, 2, 4), 3)
+    # (2, 2, 3): smallest prismatic stack with an interior layer — the
+    # 163-channel interpret apply scales with cell count, the gate doesn't
+    bm = build_box_mesh((2, 2, 3), 3)
     um = from_box(bm, shuffle_seed=11)
     vals, _ = hex8_tabulate(lat3)
     gl = np.einsum("qv,cvd->cqd", vals, um.vertices[um.cells])

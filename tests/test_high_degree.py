@@ -66,7 +66,10 @@ def test_patch_test_exact_energy(P):
     assert abs(got - want) / abs(want) < 1e-11, (got, want)
 
 
-@pytest.mark.parametrize("P", [7, 8, 9, 10])
+@pytest.mark.parametrize("P", [
+    7, 8,
+    pytest.param(9, marks=pytest.mark.slow),
+    pytest.param(10, marks=pytest.mark.slow)])
 def test_cross_path_consistency(P):
     """mm vs structured einsum vs indexed on a perturbed mesh: three
     independent formulations agree to roundoff at high degree."""

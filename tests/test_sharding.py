@@ -120,8 +120,12 @@ def test_multihost_two_processes():
     `mpirun -n k` test, without MPI; SURVEY §7 step 7)."""
     from fustpu.parallel.multihost import run_multiprocess_check
 
-    run_multiprocess_check(nprocs=2, devices_per_proc=4,
-                           grid_shape=(4, 2, 1))
+    # 2 procs x 2 devices: the multi-host properties under test
+    # (process_count=2, collectives spanning the process boundary,
+    # per-process addressable shards) are independent of the local
+    # device count, and 2x2 halves the suite cost of the two workers
+    run_multiprocess_check(nprocs=2, devices_per_proc=2,
+                           grid_shape=(2, 2, 1))
 
 
 def test_global_reductions_match_single():
@@ -375,7 +379,9 @@ def test_sharded_nonprismatic_engine(fused):
     model = WesterveltModel(um, mat, src, ext[cen[:, 0] < 1e-9],
                             ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
     dt, _ = model.cfl_dt(0.4)
-    ref, _ = model.solve(model.init_state(), dt, 10)
+    # 3 steps: the engine runs in interpret mode (per-tile Python), so
+    # steps dominate the cost; carry + all RK couplings covered at 3
+    ref, _ = model.solve(model.init_state(), dt, 3)
     old = pg.FUSED
     try:
         pg.FUSED = "auto" if fused else "0"
@@ -388,7 +394,7 @@ def test_sharded_nonprismatic_engine(fused):
     else:
         assert sm._eng_statics is not None and sm._fe_statics is None
     assert sm._eng_interpret
-    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    ss, _ = sm.solve(sm.init_state(), dt, 3)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
@@ -643,10 +649,11 @@ def test_sharded_nonprismatic_hetero_pair():
                             ext[cen[:, 0] >= 1e-9], dtype=jnp.float64)
     assert model.uniform is False
     dt, _ = model.cfl_dt(0.4)
-    ref, _ = model.solve(model.init_state(), dt, 10)
+    # 3 steps: interpret-mode engine pair — steps dominate the cost
+    ref, _ = model.solve(model.init_state(), dt, 3)
     sm = shard_unstructured(model, num_devices=5,
                             stiffness_impl="indexed_engine")
-    ss, _ = sm.solve(sm.init_state(), dt, 10)
+    ss, _ = sm.solve(sm.init_state(), dt, 3)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
@@ -733,15 +740,17 @@ def test_sharded_extruded_corner_capacity_mode():
                         stiffness_impl="pallas_corner")
     assert m.impl == "extruded_pallas" and m._ext_corner
     dt, _ = model.cfl_dt(0.4)
-    ref, _ = model.solve(model.init_state(), dt, 4)
+    # 2 steps: corner kernel runs in interpret mode here — steps dominate
+    ref, _ = model.solve(model.init_state(), dt, 2)
     sm = ExtrudedShardedModel(m, num_devices=8)
     assert sm._ext_corner
-    ss, _ = sm.solve(sm.init_state(), dt, 4)
+    ss, _ = sm.solve(sm.init_state(), dt, 2)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(ref.u).ravel())
            / np.linalg.norm(np.asarray(ref.u)))
     assert err < 1e-12, err
 
 
+@pytest.mark.slow
 def test_sharded_extruded_corner_hex27():
     """Curved (hex27) prisms through the SHARDED corner capacity mode:
     per-device 163-channel monomial streams with identity padding at
@@ -789,12 +798,13 @@ def test_sharded_extruded_corner_hex27():
                         stiffness_impl="pallas_corner")
     assert m.impl == "extruded_pallas" and m._ext_corner
     dt, _ = ref.cfl_dt(0.4)
-    # 3 steps: the 1e-12 trajectory gate exercises every stage coupling;
-    # interpret-mode hex27 (163 channels) makes extra steps pure cost
-    s0, _ = ref.solve(ref.init_state(), dt, 3)
-    sm = ExtrudedShardedModel(m, num_devices=5)
+    # 2 steps / 3 devices: the 1e-12 trajectory gate couples all four RK
+    # stages each step and the carry across steps; interpret-mode hex27
+    # (163 channels) makes extra steps and extra shards pure cost
+    s0, _ = ref.solve(ref.init_state(), dt, 2)
+    sm = ExtrudedShardedModel(m, num_devices=3)
     assert sm._ext_corner
-    ss, _ = sm.solve(sm.init_state(), dt, 3)
+    ss, _ = sm.solve(sm.init_state(), dt, 2)
     err = (np.linalg.norm(sm.collect(ss.u) - np.asarray(s0.u).ravel())
            / np.linalg.norm(np.asarray(s0.u)))
     assert err < 1e-12, err

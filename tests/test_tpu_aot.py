@@ -112,6 +112,7 @@ def test_engine_subw_lowers(tpu_dev, nwin):
             f.clear_cache()
 
 
+@pytest.mark.slow
 def test_engine_tm4096_lowers_packed_only(tpu_dev):
     """The TM=4096 ladder rung compiles in the PACKED layout; in the col
     layout its lane-padded (4096, 1) streams exceed the 16 MB scoped
@@ -198,39 +199,56 @@ def test_engine_staged_lowers_at_scan_tax_scale(tpu_dev):
     aot_compile(tpu_dev, lambda vv: pg.scatter_add(vv, plan, nsrc), v)
 
 
+def _fused_engine_case(cells, ndofs, rng):
+    from fustpu.ops import pallas_gather as pg
+
+    n, n3 = 5, 125
+    dm = np.zeros((cells, n3), np.int64)
+    step = max(1, (ndofs - n3 - 1) // cells)
+    for c in range(cells):
+        dm[c] = min(c * step, ndofs - n3 - 1) + np.arange(n3)
+    G = np.ones((cells, n3, 6))
+    D = rng.standard_normal((n, n))
+    fe = pg.build_fused_engine(dm, ndofs, G, D, jnp.float32)
+    assert fe is not None
+    return fe
+
+
 def test_fused_engine_lowers(tpu_dev):
     """The fused single-kernel engine apply (cell-row plan; gather +
     contraction + scatter in one Mosaic kernel) lowers clean on v5e in
-    all three modes, at a small and a 3.2M-DOF scale."""
+    all three modes."""
     from fustpu.ops import pallas_gather as pg
 
-    rng = np.random.default_rng(2)
-    n, n3 = 5, 125
-    # all three modes at a small scale; at the 3.2M production scale
-    # only the pair mode (it subsumes the others: two staged fields,
-    # shared one-hot gather, coefficient fold, contraction, scatter)
-    for cells, ndofs in ((300, 9000), (49152, 3211713)):
-        dm = np.zeros((cells, n3), np.int64)
-        step = max(1, (ndofs - n3 - 1) // cells)
-        for c in range(cells):
-            dm[c] = min(c * step, ndofs - n3 - 1) + np.arange(n3)
-        G = np.ones((cells, n3, 6))
-        D = rng.standard_normal((n, n))
-        fe = pg.build_fused_engine(dm, ndofs, G, D, jnp.float32)
-        assert fe is not None
-        x = jax.ShapeDtypeStruct((ndofs,), jnp.float32)
-        c = jax.ShapeDtypeStruct((cells,), jnp.float32)
-        if cells == 300:
-            aot_compile(tpu_dev,
-                        lambda xx, cc: pg.fused_apply(xx, cc, fe, ndofs),
-                        x, c)
-            aot_compile(tpu_dev,
-                        lambda xx, cc: pg.fused_apply(xx, None, fe,
-                                                      ndofs), x, c)
-        aot_compile(
-            tpu_dev,
-            lambda xx, cc: pg.fused_apply_pair(xx, cc, xx * 2.0, cc,
-                                               fe, ndofs), x, c)
+    cells, ndofs = 300, 9000
+    fe = _fused_engine_case(cells, ndofs, np.random.default_rng(2))
+    x = jax.ShapeDtypeStruct((ndofs,), jnp.float32)
+    c = jax.ShapeDtypeStruct((cells,), jnp.float32)
+    aot_compile(tpu_dev,
+                lambda xx, cc: pg.fused_apply(xx, cc, fe, ndofs), x, c)
+    aot_compile(tpu_dev,
+                lambda xx, cc: pg.fused_apply(xx, None, fe, ndofs), x, c)
+    aot_compile(
+        tpu_dev,
+        lambda xx, cc: pg.fused_apply_pair(xx, cc, xx * 2.0, cc,
+                                           fe, ndofs), x, c)
+
+
+@pytest.mark.slow
+def test_fused_engine_lowers_at_scale(tpu_dev):
+    """The pair mode (it subsumes the others: two staged fields, shared
+    one-hot gather, coefficient fold, contraction, scatter) lowers at
+    the 3.2M-DOF production scale — the staged-VMEM budget gate."""
+    from fustpu.ops import pallas_gather as pg
+
+    cells, ndofs = 49152, 3211713
+    fe = _fused_engine_case(cells, ndofs, np.random.default_rng(2))
+    x = jax.ShapeDtypeStruct((ndofs,), jnp.float32)
+    c = jax.ShapeDtypeStruct((cells,), jnp.float32)
+    aot_compile(
+        tpu_dev,
+        lambda xx, cc: pg.fused_apply_pair(xx, cc, xx * 2.0, cc,
+                                           fe, ndofs), x, c)
 
 
 # ---------------------------------------------------------------------------
